@@ -1,0 +1,179 @@
+"""Cartesian spatial grid with arbitrary per-axis border meshes.
+
+TPU-native replacement for the reference's CartesianSpatialGrid and its
+pull-iterator segment generator (ref: SKIRT/core/CartesianSpatialGrid.cpp:87):
+traversal is a branch-free, fully vectorized DDA step usable inside
+`lax.scan` over a whole packet batch. Cell linear index m = (ix*ny + iy)*nz + iz.
+
+All border arrays are f32 on device; the crossing coordinate is snapped
+exactly onto the border at each step to prevent f32 drift (the reference's
+`nextafter` escape hatch, ref: SKIRT/utils/PathSegmentGenerator.hpp:148,
+is unnecessary under this scheme).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(3e38)
+
+
+class CartesianGrid(NamedTuple):
+    xb: jax.Array  # (nx+1,) x borders [m]
+    yb: jax.Array  # (ny+1,)
+    zb: jax.Array  # (nz+1,)
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.xb.shape[0] - 1, self.yb.shape[0] - 1, self.zb.shape[0] - 1)
+
+    @property
+    def ncells(self) -> int:
+        nx, ny, nz = self.shape
+        return nx * ny * nz
+
+    # ---------------------------------------------------------------- indexing
+
+    def split(self, cell: jax.Array):
+        nx, ny, nz = self.shape
+        iz = cell % nz
+        iy = (cell // nz) % ny
+        ix = cell // (ny * nz)
+        return ix, iy, iz
+
+    def join(self, ix, iy, iz):
+        nx, ny, nz = self.shape
+        return (ix * ny + iy) * nz + iz
+
+    def locate(self, pos: jax.Array) -> jax.Array:
+        """(B,3) -> (B,) cell index or -1 outside."""
+        nx, ny, nz = self.shape
+        ix = jnp.searchsorted(self.xb, pos[..., 0], side="right") - 1
+        iy = jnp.searchsorted(self.yb, pos[..., 1], side="right") - 1
+        iz = jnp.searchsorted(self.zb, pos[..., 2], side="right") - 1
+        inside = (
+            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
+        )
+        cell = self.join(jnp.clip(ix, 0, nx - 1), jnp.clip(iy, 0, ny - 1),
+                         jnp.clip(iz, 0, nz - 1))
+        return jnp.where(inside, cell, -1).astype(jnp.int32)
+
+    # --------------------------------------------------------------- traversal
+
+    def step(self, pos: jax.Array, dirn: jax.Array, cell: jax.Array):
+        """One DDA step: distance to cell exit, next cell, snapped next pos.
+
+        Outside packets (cell < 0) return ds=0 and stay outside.
+        """
+        nx, ny, nz = self.shape
+        ix, iy, iz = self.split(jnp.maximum(cell, 0))
+
+        def axis(borders, i, n, x, d):
+            pos_d = d > 0
+            nxt = jnp.where(pos_d, borders[jnp.clip(i + 1, 0, n)], borders[jnp.clip(i, 0, n)])
+            s = (nxt - x) / jnp.where(jnp.abs(d) < 1e-30, jnp.float32(1.0), d)
+            s = jnp.where(jnp.abs(d) < 1e-30, _BIG, s)
+            # guard against tiny negative due to rounding at a border
+            s = jnp.maximum(s, 0.0)
+            return s, nxt
+
+        sx, bx = axis(self.xb, ix, nx, pos[..., 0], dirn[..., 0])
+        sy, by = axis(self.yb, iy, ny, pos[..., 1], dirn[..., 1])
+        sz, bz = axis(self.zb, iz, nz, pos[..., 2], dirn[..., 2])
+
+        s_all = jnp.stack([sx, sy, sz], axis=-1)
+        ax = jnp.argmin(s_all, axis=-1)
+        ds = jnp.min(s_all, axis=-1)
+
+        newpos = pos + ds[..., None] * dirn
+        # snap the crossed coordinate exactly onto the border
+        border = jnp.stack([bx, by, bz], axis=-1)
+        newpos = jnp.where(jax.nn.one_hot(ax, 3, dtype=bool), border, newpos)
+
+        stp = jnp.where(dirn >= 0, 1, -1).astype(ix.dtype)
+        jx = ix + jnp.where(ax == 0, stp[..., 0], 0)
+        jy = iy + jnp.where(ax == 1, stp[..., 1], 0)
+        jz = iz + jnp.where(ax == 2, stp[..., 2], 0)
+        inside = (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny) & (jz >= 0) & (jz < nz)
+        nxt_cell = jnp.where(
+            inside,
+            self.join(jnp.clip(jx, 0, nx - 1), jnp.clip(jy, 0, ny - 1), jnp.clip(jz, 0, nz - 1)),
+            -1,
+        ).astype(jnp.int32)
+
+        was_outside = cell < 0
+        return (
+            jnp.where(was_outside, 0.0, ds),
+            jnp.where(was_outside, -1, nxt_cell),
+            jnp.where(was_outside[..., None], pos, newpos),
+        )
+
+    def move_inside(self, pos: jax.Array, dirn: jax.Array):
+        """Advance packets launched outside the box to its surface
+        (ref: SpatialGridPath::moveInside, SKIRT/utils/SpatialGridPath.hpp:115).
+
+        Returns (pos', cell', distance). Packets already inside pass through;
+        packets missing the box get cell -1.
+        """
+        lo = jnp.stack([self.xb[0], self.yb[0], self.zb[0]])
+        hi = jnp.stack([self.xb[-1], self.yb[-1], self.zb[-1]])
+        inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-30, 1e-30, dirn)
+        t1 = (lo - pos) * inv
+        t2 = (hi - pos) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hits = (tmax > jnp.maximum(tmin, 0.0))
+        already = self.locate(pos) >= 0
+        t_entry = jnp.where(already, 0.0, jnp.maximum(tmin, 0.0) * (1.0 + 1e-6))
+        newpos = pos + t_entry[..., None] * dirn
+        cell = jnp.where(already | hits, self.locate(newpos), -1)
+        return newpos, cell.astype(jnp.int32), t_entry
+
+    # ------------------------------------------------------------------- misc
+
+    def volumes(self) -> jax.Array:
+        dx = jnp.diff(self.xb)
+        dy = jnp.diff(self.yb)
+        dz = jnp.diff(self.zb)
+        return (dx[:, None, None] * dy[None, :, None] * dz[None, None, :]).reshape(-1)
+
+    def cell_centers(self) -> jax.Array:
+        cx = 0.5 * (self.xb[1:] + self.xb[:-1])
+        cy = 0.5 * (self.yb[1:] + self.yb[:-1])
+        cz = 0.5 * (self.zb[1:] + self.zb[:-1])
+        g = jnp.stack(jnp.meshgrid(cx, cy, cz, indexing="ij"), axis=-1)
+        return g.reshape(-1, 3)
+
+    def diagonal(self) -> float:
+        return float(np.sqrt(
+            (self.xb[-1] - self.xb[0]) ** 2
+            + (self.yb[-1] - self.yb[0]) ** 2
+            + (self.zb[-1] - self.zb[0]) ** 2
+        ))
+
+    def max_steps(self) -> int:
+        """Upper bound on cells crossed by one straight path."""
+        nx, ny, nz = self.shape
+        return nx + ny + nz + 3
+
+
+def make_cartesian(extent, shape, meshes=None) -> CartesianGrid:
+    """Build a Cartesian grid.
+
+    extent: ((xmin,xmax),(ymin,ymax),(zmin,zmax)) in meters
+    shape: (nx, ny, nz)
+    meshes: optional per-axis border arrays overriding linear spacing
+    (ref: CartesianSpatialGrid with Mesh children, SKIRT/core/MeshSpatialGrid).
+    """
+    borders = []
+    for a in range(3):
+        if meshes is not None and meshes[a] is not None:
+            b = np.asarray(meshes[a], dtype=np.float64)
+        else:
+            b = np.linspace(extent[a][0], extent[a][1], shape[a] + 1)
+        borders.append(jnp.asarray(b, dtype=jnp.float32))
+    return CartesianGrid(xb=borders[0], yb=borders[1], zb=borders[2])

@@ -1,0 +1,102 @@
+"""Numerical toolkit: interpolation, cdf construction and batched inversion.
+
+TPU-native analog of the reference's NR namespace
+(ref: SKIRT/utils/NR.hpp — interpolation, cdf construction, sampling).
+Host-side cdf *construction* uses numpy f64 (setup time, exactness matters);
+device-side *inversion* is batched jnp (hot path).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- host (setup)
+
+def cdf_linlin(xv: np.ndarray, pv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized cdf of a piecewise-linear density p(x) on grid xv.
+
+    Returns (cdf at the grid points, normalization integral).
+    (ref: NR::cdf with linear interpolation.)
+    """
+    xv = np.asarray(xv, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    seg = 0.5 * (pv[1:] + pv[:-1]) * np.diff(xv)
+    cdf = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cdf[-1]
+    if total <= 0:
+        raise ValueError("cannot build cdf of non-positive density")
+    return cdf / total, total
+
+
+def cdf_loglog(xv: np.ndarray, pv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """cdf of a density that is log-log (power-law) between grid points
+    (ref: NR::cdf2 log-log variant used for SEDs/dust cross sections)."""
+    xv = np.asarray(xv, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64).copy()
+    tiny = np.finfo(np.float64).tiny
+    pv = np.maximum(pv, tiny)
+    alpha = np.log(pv[1:] / pv[:-1]) / np.log(xv[1:] / xv[:-1])
+    # integral of p0*(x/x0)^alpha dx over [x0,x1]
+    with np.errstate(over="ignore", invalid="ignore"):
+        seg = np.where(
+            np.abs(alpha + 1.0) > 1e-6,
+            pv[:-1] * xv[:-1] / (alpha + 1.0) * ((xv[1:] / xv[:-1]) ** (alpha + 1.0) - 1.0),
+            pv[:-1] * xv[:-1] * np.log(xv[1:] / xv[:-1]),
+        )
+    cdf = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cdf[-1]
+    return cdf / total, total
+
+
+# ---------------------------------------------------- device (hot path, batched)
+
+def interp_linlin(x: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray) -> jnp.ndarray:
+    """Batched linear interpolation with edge clamping."""
+    return jnp.interp(x, xv, yv)
+
+
+def interp_loglog(x: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray) -> jnp.ndarray:
+    """Batched log-log interpolation (power-law between points), clamped.
+
+    Used for dust optical properties vs wavelength, matching the reference's
+    resource-table interpolation convention (ref: StoredTable log axes).
+    """
+    lx = jnp.log(x)
+    lxv = jnp.log(xv)
+    lyv = jnp.log(jnp.maximum(yv, jnp.finfo(yv.dtype).tiny))
+    out = jnp.exp(jnp.interp(lx, lxv, lyv))
+    # values interpolated from the tiny-clamped floor represent exact zeros
+    return jnp.where(out < 1e-35, 0.0, out)
+
+
+def sample_cdf_linlin(u: jnp.ndarray, xv: jnp.ndarray, cdf: jnp.ndarray) -> jnp.ndarray:
+    """Invert a tabulated cdf with linear interpolation within bins.
+
+    u in (0,1), xv (N,), cdf (N,) normalized increasing. Batched over u.
+    (ref: Random::cdfLinLin, SKIRT/core/Random.hpp:160.)
+    """
+    i = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, xv.shape[0] - 2)
+    c0 = cdf[i]
+    c1 = cdf[i + 1]
+    frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.0)
+    return xv[i] + frac * (xv[i + 1] - xv[i])
+
+
+def sample_cdf_loglog(u: jnp.ndarray, xv: jnp.ndarray, cdf: jnp.ndarray) -> jnp.ndarray:
+    """Invert a tabulated cdf with log-x interpolation within bins
+    (ref: Random::cdfLogLog). Good for wide wavelength ranges."""
+    i = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, xv.shape[0] - 2)
+    c0 = cdf[i]
+    c1 = cdf[i + 1]
+    frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.0)
+    lx0 = jnp.log(xv[i])
+    lx1 = jnp.log(xv[i + 1])
+    return jnp.exp(lx0 + frac * (lx1 - lx0))
+
+
+def locate_clip(xv: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Index i such that xv[i] <= x < xv[i+1], clipped to [0, N-2]
+    (ref: NR::locateClip)."""
+    return jnp.clip(jnp.searchsorted(xv, x, side="right") - 1, 0, xv.shape[0] - 2)

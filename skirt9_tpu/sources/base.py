@@ -1,0 +1,133 @@
+"""Primary sources: packet launching as batched pure functions.
+
+TPU-native redesign of the reference's Source hierarchy + SourceSystem
+(ref: SKIRT/core/Source.hpp:56, SourceSystem.cpp:75,101): the source system
+precomputes (host-side) the deterministic history-index -> source allocation
+with the luminosity/uniform composite bias (xi = sourceBias), exactly like
+the reference's prepareForLaunch index map; launching a batch is then a pure
+device function of the per-packet RNG keys.
+
+Wavelength sampling uses the composite-bias scheme of NormalizedSource
+(ref: SKIRT/core/NormalizedSource.cpp:73-110): with probability 1-xi draw
+from the SED, else from a bias distribution (log-uniform over the source
+range); the packet weight corrects by s(lam) / ((1-xi) s + xi b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rng, sampling
+from ..transport.packets import PacketBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class TabulatedSED:
+    """Normalized SED on a wavelength grid; host-built cdf, device sampling.
+
+    lam (T,), flux density s_lambda (T,) [arbitrary units, normalized
+    internally over the source range]. (ref: SKIRT/core/TabulatedSED and
+    ContSED machinery.)
+    """
+
+    lam: np.ndarray
+    s: np.ndarray
+
+    def tables(self) -> dict:
+        cdf, _ = sampling.cdf_loglog(self.lam, self.s)
+        norm, _ = sampling.cdf_linlin(self.lam, self.s)  # unused; keep simple
+        s_arr = np.asarray(self.s, np.float64)
+        # normalized pdf s(lam) such that integral over range = 1
+        total = np.trapezoid(s_arr, self.lam)
+        return {
+            "lam": jnp.asarray(self.lam, jnp.float32),
+            "cdf": jnp.asarray(cdf, jnp.float32),
+            "pdf": jnp.asarray(s_arr / total, jnp.float32),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class PointSource:
+    """Isotropic point source with a given bolometric luminosity [W] over
+    the source wavelength range (ref: SKIRT/core/PointSource.hpp).
+
+    sed=None -> monochromatic at lam0 (oligochromatic regime); luminosity is
+    then interpreted as the total packet luminosity at that wavelength
+    (per-wavelength normalization is the writer's concern).
+    """
+
+    position: tuple = (0.0, 0.0, 0.0)
+    luminosity: float = 1.0
+    lam0: float = 0.55e-6
+    sed: TabulatedSED | None = None
+    wavelength_bias: float = 0.5
+
+    def tables(self) -> dict:
+        t = {"pos": jnp.asarray(np.asarray(self.position), jnp.float32)}
+        if self.sed is not None:
+            t["sed"] = self.sed.tables()
+        return t
+
+    def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
+        """Launch fields for a batch: lam (B,), lum (B,), pos (B,3), dir (B,3).
+
+        keys: per-packet event-0 keys (B,2).
+        """
+        B = keys.shape[0]
+        pos = jnp.broadcast_to(tabs["pos"], (B, 3))
+        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
+        if self.sed is None:
+            lam = jnp.full((B,), self.lam0, jnp.float32)
+        else:
+            sed = tabs["sed"]
+            xi = self.wavelength_bias
+            u = rng.uniform(keys, rng.LAUNCH_WAVELENGTH)
+            lam_sed = sampling.sample_cdf_loglog(u, sed["lam"], sed["cdf"])
+            if xi > 0:
+                # bias distribution: log-uniform over the SED range
+                u2 = rng.uniform(keys, rng.LAUNCH_CELL)
+                lmin = sed["lam"][0]
+                lmax = sed["lam"][-1]
+                lam_bias = lmin * jnp.exp(u2 * jnp.log(lmax / lmin))
+                u3 = rng.uniform(keys, rng.LAUNCH_SOURCE)
+                lam = jnp.where(u3 < xi, lam_bias, lam_sed)
+                s = sampling.interp_loglog(lam, sed["lam"], sed["pdf"])
+                b = 1.0 / (lam * jnp.log(lmax / lmin))
+                w = s / jnp.maximum((1.0 - xi) * s + xi * b, 1e-37)
+                lum = lum * w
+            else:
+                lam = lam_sed
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+
+
+def launch_batch(source, tabs: dict, grid, seed_key: jax.Array,
+                 history: jax.Array, n_total: int) -> PacketBatch:
+    """Assemble a full PacketBatch from a source launch.
+
+    history: (B,) absolute history indices (int32); packets beyond n_total
+    (padding of the last batch) launch dead.
+    """
+    hkeys = rng.history_keys(seed_key, history)
+    keys0 = rng.event_keys(hkeys, rng.LAUNCH_EVENT)  # launch-time stream
+    f = source.launch(tabs, keys0, n_total)
+    pos, cell, _ = grid.move_inside(f["pos"], f["dir"])
+    valid = history < n_total
+    B = history.shape[0]
+    return PacketBatch(
+        lam=f["lam"],
+        lum=jnp.where(valid, f["lum"], 0.0),
+        lum0=jnp.maximum(f["lum"], 1e-37),
+        pos=pos,
+        dir=f["dir"],
+        cell=cell,
+        nscat=jnp.zeros((B,), jnp.int32),
+        alive=valid & (f["lum"] > 0),
+        hkey=hkeys,
+        stokes=jnp.zeros((B, 4), jnp.float32).at[:, 0].set(1.0),
+        normal=jnp.zeros((B, 3), jnp.float32).at[:, 0].set(1.0),
+    )

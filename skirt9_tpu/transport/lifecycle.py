@@ -1,0 +1,311 @@
+"""The photon-packet life cycle as a batched, jit-compiled state machine.
+
+This is the TPU-native re-design of the reference's hot path
+(ref: SKIRT/core/MonteCarloSimulation.cpp:538 `performLifeCycle`,
+:696 `simulateForcedPropagation`, :784 `peelOffScattering`,
+:638 `storeRadiationField`): instead of one C++ object walked through a
+per-packet while-loop, a whole packet batch advances in lockstep through a
+`lax.scan` over scattering events; each event performs
+
+  1. a bounded ray-march to the grid boundary accumulating optical depth
+     (pass 1 — replaces SpatialGridPath segment recording),
+  2. biased interaction-point sampling (forced scattering, composite
+     uniform/exponential path-length bias, ref: MonteCarloSimulation.cpp:709),
+  3. a second ray-march that deposits radiation-field contributions per cell
+     via scatter-add and pinpoints the interaction location (pass 2 —
+     replaces the segment-array binary search + LockFree::add),
+  4. peel-off toward every instrument with an observer-direction
+     optical-depth march (ref: FluxRecorder.cpp:304 detection + second
+     ray-march; same-observer instruments share one march like the
+     reference's per-packet cache, FluxRecorder.cpp:330),
+  5. the scattering event proper: component selection by scattering opacity,
+     HG direction sampling, albedo weighting, termination tests.
+
+Terminated lanes are masked, not removed; the weight-cutoff termination
+(ref: PhotonPacketOptions minWeightReduction=1e4) bounds useful event counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..media import system as msys
+from ..ops import phase as phs
+from ..ops import rng
+from ..instruments import distant as dinst
+from .packets import PacketBatch
+
+# dedicated RNG purpose tags for the draws of one event (distinct streams)
+_TAG_PATH_CHOICE = 21
+_TAG_PATH_TAU_UNI = 22
+_TAG_PATH_TAU_EXP = 23
+_TAG_SCATTER_COMP = 24
+_TAG_SCATTER_CT = 25
+_TAG_SCATTER_PHI = 26
+
+
+@dataclasses.dataclass(frozen=True)
+class TransportOptions:
+    """Static knobs of the MC algorithm variant
+    (ref: SKIRT/core/PhotonPacketOptions.hpp defaults)."""
+
+    max_steps: int                 # ray-march step bound (grid-dependent)
+    max_events: int = 64           # scattering-event bound per packet
+    path_length_bias: float = 0.5  # xi of uniform-vs-exponential tau sampling
+    min_weight_reduction: float = 1e4
+    min_scatt_events: int = 0
+    force_scattering: bool = True
+    explicit_absorption: bool = False
+    store_rf: bool = True
+    primary: bool = True           # primary vs secondary segment (for kinds)
+
+
+# ----------------------------------------------------------------- ray marches
+
+def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
+              pos: jax.Array, dirn: jax.Array, cell: jax.Array,
+              max_steps: int, active: jax.Array) -> jax.Array:
+    """Total extinction optical depth from pos along dirn to the grid boundary.
+
+    Pure tau accumulation (used for peel-off extinction and pass 1 of forced
+    scattering). Bounded scan with masked lanes.
+    """
+
+    def body(carry, _):
+        p, c, tau = carry
+        k = msys.opacity_ext(med, opt, c)
+        ds, nc, np_ = grid.step(p, dirn, c)
+        tau = tau + jnp.where(active & (c >= 0), k * ds, 0.0)
+        return (np_, nc, tau), None
+
+    init = (pos, cell, jnp.zeros_like(pos[..., 0]))
+    (_, _, tau), _ = jax.lax.scan(body, init, None, length=max_steps)
+    return tau
+
+
+def propagate_deposit(grid, med: msys.MediumTables, opt: msys.Optics,
+                      pos0: jax.Array, dirn: jax.Array, cell0: jax.Array,
+                      lum: jax.Array, tau_int: jax.Array, rf_bin: jax.Array,
+                      rf: jax.Array | None, max_steps: int,
+                      rf_mask: jax.Array, int_mask: jax.Array):
+    """Pass 2: walk the full path to the boundary, depositing radiation-field
+    energy per cell (lanes in rf_mask), and capture the interaction point
+    where cumulative tau crosses tau_int (lanes in int_mask).
+
+    RF deposit per segment: L * exp(-tau0) * (1-exp(-dtau)) / k — the exact
+    path integral of L e^-tau ds over the segment (ref:
+    MediumSystem::storeRadiationField semantics, MediumSystem.cpp:1294),
+    with the k->0 limit L * exp(-tau0) * ds. The reference deposits along the
+    ENTIRE path regardless of the sampled interaction point; so do we.
+
+    Returns (pos_int, cell_int, found, rf').
+    """
+    walk_mask = rf_mask | int_mask
+
+    def body(carry, _):
+        p, c, tau, ipos, icell, found, rf_acc = carry
+        k = msys.opacity_ext(med, opt, c)
+        ds, nc, np_ = grid.step(p, dirn, c)
+        dtau = k * ds
+        seg = walk_mask & (c >= 0)
+
+        if rf_acc is not None:
+            small = dtau < 1e-4
+            expfac = jnp.where(small, ds * (1.0 - 0.5 * dtau),
+                               (1.0 - jnp.exp(-dtau)) / jnp.maximum(k, 1e-37))
+            contrib = jnp.where(seg & rf_mask, lum * jnp.exp(-tau) * expfac, 0.0)
+            rf_acc = rf_acc.at[jnp.maximum(c, 0), rf_bin].add(contrib)
+
+        hit = seg & int_mask & ~found & (tau + dtau >= tau_int) & (dtau > 0)
+        s_in = jnp.where(hit, (tau_int - tau) / jnp.maximum(k, 1e-37), 0.0)
+        ipos = jnp.where(hit[..., None], p + s_in[..., None] * dirn, ipos)
+        icell = jnp.where(hit, c, icell)
+        found = found | hit
+        return (np_, nc, tau + jnp.where(seg, dtau, 0.0),
+                ipos, icell, found, rf_acc), None
+
+    init = (pos0, cell0, jnp.zeros_like(lum), pos0, cell0,
+            jnp.zeros_like(int_mask), rf)
+    (_, _, _, ipos, icell, found, rf), _ = jax.lax.scan(
+        body, init, None, length=max_steps)
+    return ipos, icell, found, rf
+
+
+# ------------------------------------------------------------------- peel-off
+
+def _observer_groups(inst_cfgs) -> list[list[int]]:
+    """Group instrument indices by identical observer geometry so the
+    observer-direction tau march is shared (ref: consecutive same-observer
+    optimization, SKIRT/core/Instrument.hpp:126)."""
+    groups: list[list[int]] = []
+    seen: dict[tuple, int] = {}
+    for i, cfg in enumerate(inst_cfgs):
+        key = (cfg.inclination, cfg.azimuth, cfg.distance)
+        if key in seen:
+            groups[seen[key]].append(i)
+        else:
+            seen[key] = len(groups)
+            groups.append([i])
+    return groups
+
+
+def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
+             contrib_per_sr: Callable[[jax.Array], jax.Array],
+             kind: int, max_steps: int, active: jax.Array,
+             transparent_too: bool = False):
+    """Peel a batch of events off toward every instrument.
+
+    contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
+    (phase-function weighting included by the caller).
+    """
+    accs = list(accs)
+    for group in _observer_groups(inst_cfgs):
+        kobs = inst_tabs[group[0]]["kobs"]
+        B = lam.shape[0]
+        kdir = jnp.broadcast_to(kobs, (B, 3))
+        tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps, active)
+        att = jnp.exp(-tau_obs)
+        for i in group:
+            per_sr = contrib_per_sr(inst_tabs[i]["kobs"])
+            accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
+                                   lam, pos, per_sr * att, kind, active)
+            if transparent_too:
+                accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
+                                       lam, pos, per_sr,
+                                       dinst.KIND_TRANSPARENT, active)
+    return accs
+
+
+# ---------------------------------------------------------------- the life cycle
+
+def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
+               inst_cfgs, inst_tabs, rf_borders: jax.Array | None,
+               pkt: PacketBatch, rf: jax.Array | None, accs: list[dict],
+               emission_phase: Callable[[jax.Array], jax.Array] | None = None):
+    """Run the complete life cycle of one launched packet batch.
+
+    Equivalent of performLifeCycle for the whole batch: emission peel-off,
+    then up to max_events forced-scattering cycles. Returns (rf, accs).
+
+    emission_phase(kobs) -> (B,) angular emission probability per sr toward
+    the observer; None means isotropic (1/4pi).
+    """
+    opt = msys.optics_at(med, pkt.lam)
+    kind_direct = (dinst.KIND_PRIMARY_DIRECT if opts.primary
+                   else dinst.KIND_SECONDARY_DIRECT)
+    kind_scat = (dinst.KIND_PRIMARY_SCATTERED if opts.primary
+                 else dinst.KIND_SECONDARY_SCATTERED)
+
+    use_rf = opts.store_rf and rf is not None and rf_borders is not None
+    if use_rf:
+        nrf = rf_borders.shape[0] - 1
+        rf_bin = jnp.clip(jnp.searchsorted(rf_borders, pkt.lam, side="right") - 1,
+                          0, nrf - 1)
+        rf_in_range = (pkt.lam >= rf_borders[0]) & (pkt.lam < rf_borders[-1])
+    else:
+        rf_bin = jnp.zeros_like(pkt.cell)
+        rf_in_range = jnp.zeros_like(pkt.alive)
+
+    # ---- emission peel-off (ref: MonteCarloSimulation::peelOffEmission :617)
+    if inst_cfgs:
+        iso = 1.0 / (4.0 * jnp.pi)
+        if emission_phase is None:
+            per_sr = lambda kobs: pkt.lum * iso
+        else:
+            per_sr = lambda kobs: pkt.lum * emission_phase(kobs)
+        accs = peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs,
+                        pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
+                        opts.max_steps, pkt.alive, transparent_too=True)
+
+    # ---- scattering-event loop
+    def event(carry, ev):
+        pkt, rf, accs = carry
+        keys = rng.event_keys(pkt.hkey, ev)
+        active = pkt.alive
+        opt_ev = opt  # wavelength unchanged by scattering (no Compton/Lya yet)
+
+        # pass 1: total optical depth to the boundary
+        tau_path = trace_tau(grid, med, opt_ev, pkt.pos, pkt.dir, pkt.cell,
+                             opts.max_steps, active)
+
+        # forced-scattering interaction sampling with composite path-length
+        # bias (ref: MonteCarloSimulation.cpp:709-721)
+        xi = opts.path_length_bias
+        one_minus_exp = -jnp.expm1(-tau_path)
+        if xi > 0:
+            u_choice = rng.uniform(keys, _TAG_PATH_CHOICE)
+            tau_uni = rng.uniform(keys, _TAG_PATH_TAU_UNI) * tau_path
+            tau_exp = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+            tau_int = jnp.where(u_choice < xi, tau_uni, tau_exp)
+            p = jnp.exp(-tau_int) / jnp.maximum(one_minus_exp, 1e-30)
+            q = (1.0 - xi) * p + xi / jnp.maximum(tau_path, 1e-30)
+            w_bias = one_minus_exp * p / jnp.maximum(q, 1e-30)
+        else:
+            tau_int = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+            w_bias = one_minus_exp
+
+        # a packet whose path has (nearly) no optical depth escapes
+        active_int = active & (tau_path > 1e-6)
+
+        # pass 2: deposit RF along the FULL path + find the interaction point
+        rf_mask = active & rf_in_range
+        ipos, icell, found, rf = propagate_deposit(
+            grid, med, opt_ev, pkt.pos, pkt.dir, pkt.cell, pkt.lum,
+            tau_int, rf_bin, rf if use_rf else None,
+            opts.max_steps, rf_mask, active_int)
+
+        active_int = active_int & found
+        lum_at = pkt.lum * w_bias
+        albedo = msys.albedo_for_scattering(med, opt_ev, icell)
+
+        # move packet to interaction point
+        pkt = pkt._replace(
+            pos=jnp.where(active_int[..., None], ipos, pkt.pos),
+            cell=jnp.where(active_int, icell, pkt.cell),
+            lum=jnp.where(active_int, lum_at, pkt.lum),
+        )
+
+        # scattering peel-off (ref: MonteCarloSimulation::peelOffScattering)
+        if inst_cfgs:
+            w_comp = msys.scattering_weights(med, opt_ev, icell)  # (B,H)
+
+            def per_sr(kobs):
+                ct = pkt.dir @ kobs
+                ph = jnp.sum(w_comp * phs.hg_phase(opt_ev.g, ct[..., None]),
+                             axis=-1)
+                return pkt.lum * albedo * ph
+
+            accs = peel_off(grid, med, opt_ev, inst_cfgs, inst_tabs, accs,
+                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_scat,
+                            opts.max_steps, active_int)
+
+        # the scattering event proper (ref: MediumSystem::simulateScattering)
+        u_comp = rng.uniform(keys, _TAG_SCATTER_COMP)
+        h = msys.select_component(med, opt_ev, icell, u_comp)
+        g_sel = jnp.take_along_axis(opt_ev.g, h[..., None], axis=-1)[..., 0]
+        ct = phs.hg_sample_costheta(g_sel, rng.uniform(keys, _TAG_SCATTER_CT))
+        phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+        newdir = phs.rotate_direction(pkt.dir, ct, phi)
+
+        lum_new = pkt.lum * albedo
+        nscat_new = pkt.nscat + 1
+        # termination (ref: MonteCarloSimulation.cpp:563 weight cutoff)
+        survive = (lum_new * opts.min_weight_reduction > pkt.lum0) | \
+                  (nscat_new < opts.min_scatt_events)
+        alive_new = active_int & survive & (lum_new > 0)
+
+        pkt = pkt._replace(
+            dir=jnp.where(active_int[..., None], newdir, pkt.dir),
+            lum=jnp.where(active_int, lum_new, pkt.lum),
+            nscat=jnp.where(active_int, nscat_new, pkt.nscat),
+            alive=alive_new,
+        )
+        return (pkt, rf, accs), None
+
+    (pkt, rf, accs), _ = jax.lax.scan(
+        event, (pkt, rf, accs), jnp.arange(opts.max_events))
+    return rf, accs

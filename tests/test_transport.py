@@ -1,0 +1,156 @@
+"""End-to-end transport tests on the uniform-sphere benchmark.
+
+The monochromatic point-source-in-uniform-sphere problem has exact
+expectations (the Ivezic et al. 1997 1D benchmark geometry, supported in the
+reference via MeanIvezicBenchmarkDustMix, ref:
+SKIRT/core/MeanIvezicBenchmarkDustMix.hpp:13):
+
+  * every emission peel-off from the center sees exactly tau_R extinction;
+  * with zero albedo, total observed flux = transparent * exp(-tau_R) exactly;
+  * the radiation field integrates to the absorbed luminosity L(1-e^-tau_R).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt9_tpu.grids.cartesian import make_cartesian
+from skirt9_tpu.instruments import distant as dinst
+from skirt9_tpu.media import system as msys
+from skirt9_tpu.simulation import Simulation
+from skirt9_tpu.sources.base import PointSource
+from skirt9_tpu.transport import lifecycle as lc
+
+PC = 3.0857e16
+LAM0 = 0.55e-6
+
+
+def make_sim(tau=1.0, albedo=0.0, g=0.0, n=16, npackets=20_000,
+             tau_grid_radius=1.2, with_frame=False, seed=0):
+    R = 1.0 * PC
+    box = tau_grid_radius * R
+    grid = make_cartesian(((-box, box), (-box, box), (-box, box)), (n, n, n))
+    sigma = 1e-24  # arbitrary cross-section scale [m2]
+    nd = msys.uniform_density_sphere(grid, tau, sigma, R)
+    lam_t = np.array([0.9 * LAM0, 1.1 * LAM0])
+    med = msys.make_medium(grid, nd, lam_t,
+                           sigma_ext=np.array([[sigma, sigma]]),
+                           albedo=np.full((1, 2), albedo),
+                           g=np.full((1, 2), g))
+    srcs = [PointSource(position=(0, 0, 0), luminosity=1.0, lam0=LAM0)]
+    borders = (0.5e-6, 0.6e-6)
+    inst = dinst.DistantInstrumentCfg(
+        name="i0", wave_borders=borders, inclination=0.0, distance=100 * PC,
+        npx=21 if with_frame else 0, npy=21 if with_frame else 0,
+        fovx=6 * PC, fovy=6 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=24,
+                               path_length_bias=0.5)
+    return Simulation(grid=grid, medium=med, sources=srcs, instruments=[inst],
+                      options=opts, rf_borders=np.array([0.5e-6, 0.6e-6]),
+                      num_packets=npackets, batch_size=4096, seed=seed)
+
+
+def test_transparent_flux_exact():
+    """Transparent peel-off must equal L/(4 pi d^2 dlam) exactly."""
+    sim = make_sim(tau=1.0, albedo=0.0, npackets=8192)
+    rf, accs = sim.run_primary(verbose=False)
+    sed = dinst.calibrate_sed(sim.instruments[0], jax.device_get(accs[0]))
+    d = sim.instruments[0].distance
+    dlam = 0.1e-6
+    expected = 1.0 / (4 * np.pi * d**2 * dlam)
+    assert sed["transparent"][0] == pytest.approx(expected, rel=1e-4)
+
+
+def test_pure_absorption_exact_attenuation():
+    """With albedo 0 the total flux is transparent*exp(-tau) to rounding."""
+    tau = 1.5
+    sim = make_sim(tau=tau, albedo=0.0, npackets=8192, n=24)
+    rf, accs = sim.run_primary(verbose=False)
+    sed = dinst.calibrate_sed(sim.instruments[0], jax.device_get(accs[0]))
+    ratio = sed["total"][0] / sed["transparent"][0]
+    # grid discretization of the sphere causes small tau error; generous tol
+    assert ratio == pytest.approx(np.exp(-tau), rel=0.02)
+    # no scattered component at zero albedo
+    assert sed["primaryscattered"][0] == 0.0
+
+
+def test_radiation_field_energy_balance():
+    """Sum over cells of k_abs * RF = absorbed luminosity = L (1 - e^-tau)."""
+    tau = 1.0
+    sim = make_sim(tau=tau, albedo=0.0, npackets=8192, n=24)
+    rf, accs = sim.run_primary(verbose=False)
+    rf = np.asarray(jax.device_get(rf), np.float64)  # (ncells, 1) [W m]
+    nd = np.asarray(sim.medium.nd, np.float64)[:, 0]
+    sigma = 1e-24
+    k_abs = nd * sigma  # zero albedo: abs = ext
+    absorbed = float(np.sum(k_abs * rf[:, 0]))
+    assert absorbed == pytest.approx(1.0 - np.exp(-tau), rel=0.02)
+
+
+def _tau_along_z(sim, sigma=1e-24):
+    """Discretized optical depth from the center along +z (observer axis),
+    computed host-side from the medium tables (independent of the engine)."""
+    grid = sim.grid
+    nd = np.asarray(sim.medium.nd, np.float64)[:, 0]
+    zb = np.asarray(grid.zb, np.float64)
+    zmax = zb[-1]
+    zs = np.linspace(1e-9, zmax * 0.999999, 20000)
+    dz = zs[1] - zs[0]
+    import jax.numpy as jnp
+    pos = jnp.asarray(np.stack([np.zeros_like(zs), np.zeros_like(zs), zs], -1),
+                      jnp.float32)
+    cells = np.asarray(grid.locate(pos))
+    k = np.where(cells >= 0, nd[np.maximum(cells, 0)] * sigma, 0.0)
+    return float(np.sum(k) * dz)
+
+
+def test_scattering_increases_flux_and_conserves():
+    """With albedo>0, scattered flux appears; direct attenuation matches the
+    discretized tau along the observer axis to high accuracy."""
+    sim = make_sim(tau=1.0, albedo=0.6, g=0.5, npackets=16384)
+    rf, accs = sim.run_primary(verbose=False)
+    sed = dinst.calibrate_sed(sim.instruments[0], jax.device_get(accs[0]))
+    assert sed["primaryscattered"][0] > 0
+    att = sed["primarydirect"][0] / sed["transparent"][0]
+    tau_num = _tau_along_z(sim)
+    assert att == pytest.approx(np.exp(-tau_num), rel=2e-3)
+    # scattered flux is a sizable fraction for albedo .6 tau 1
+    assert sed["primaryscattered"][0] > 0.1 * sed["primarydirect"][0]
+
+
+def test_determinism():
+    """Same seed -> bit-identical instrument accumulators."""
+    s1 = make_sim(tau=1.0, albedo=0.5, npackets=4096, seed=42)
+    s2 = make_sim(tau=1.0, albedo=0.5, npackets=4096, seed=42)
+    _, a1 = s1.run_primary(verbose=False)
+    _, a2 = s2.run_primary(verbose=False)
+    np.testing.assert_array_equal(np.asarray(a1[0]["sed"]),
+                                  np.asarray(a2[0]["sed"]))
+    s3 = make_sim(tau=1.0, albedo=0.5, npackets=4096, seed=43)
+    _, a3 = s3.run_primary(verbose=False)
+    assert not np.array_equal(np.asarray(a1[0]["sed"]), np.asarray(a3[0]["sed"]))
+
+
+def test_frame_centered_source():
+    """The direct image must concentrate in the central pixel."""
+    sim = make_sim(tau=0.5, albedo=0.3, npackets=4096, with_frame=True)
+    rf, accs = sim.run_primary(verbose=False)
+    frame = np.asarray(jax.device_get(accs[0]["frame"]))
+    direct = frame[dinst.KIND_PRIMARY_DIRECT, 0]
+    iy, ix = np.unravel_index(np.argmax(direct), direct.shape)
+    assert (iy, ix) == (10, 10)
+    assert direct.sum() > 0
+
+
+def test_output_writers(tmp_path):
+    sim = make_sim(tau=0.5, albedo=0.3, npackets=2048, with_frame=True)
+    rf, accs = sim.run_primary(verbose=False)
+    paths = sim.write_outputs(accs, "t", str(tmp_path))
+    assert len(paths) == 2
+    dat = np.loadtxt(paths[0])
+    assert dat.ndim in (1, 2)
+    from skirt9_tpu.utils.fits import read_fits
+    cube, hdr = read_fits(paths[1])
+    assert cube.shape == (1, 21, 21)
+    assert np.isfinite(cube).all()
