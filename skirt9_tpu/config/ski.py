@@ -1,0 +1,327 @@
+"""ski-file importer: build a Simulation from a SKIRT 9 parameter file.
+
+TPU-native counterpart of the SMILE config stack (ref: SMILE/serialize/
+XmlHierarchyCreator, SKIRT/core/SimulationItemRegistry.cpp — 390 item
+types; SkirtUnitDef for unit-aware attribute parsing). Instead of a macro
+DSL + runtime schema, item types map to Python builder functions registered
+in _BUILDERS; unknown types raise with the item name so coverage gaps are
+explicit. The subset grows with the engine's capabilities.
+
+Usage:
+    sim = load_ski("model.ski", num_packets=..., overrides...)
+    rf, accs = sim.run_primary()  (or run_with_dust_emission)
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..geometries import analytic as ga
+from ..grids.cartesian import make_cartesian
+from ..grids.octree import build_octree
+from ..instruments import distant as dinst
+from ..media import geometric as gm
+from ..media import mixes as mx
+from ..sources.base import GeometricSource, PointSource, TabulatedSED
+from ..spectral import seds as sedlib
+from ..spectral import wavelengths as wl
+from ..transport import lifecycle as lc
+from ..simulation import Simulation
+from ..utils import units as U
+
+
+def _q(attrs, name, qty, default=None):
+    """Parse a unit-bearing attribute into SI."""
+    if name not in attrs:
+        if default is None:
+            raise KeyError(f"missing attribute '{name}'")
+        return default
+    return U.parse(qty, attrs[name])
+
+
+def _f(attrs, name, default=None):
+    if name not in attrs:
+        if default is None:
+            raise KeyError(f"missing attribute '{name}'")
+        return default
+    return float(attrs[name])
+
+
+def _child(el, tag):
+    c = el.find(tag)
+    return list(c)[0] if c is not None and len(c) else None
+
+
+# ------------------------------------------------------------------ geometry
+
+def build_geometry(el):
+    t = el.tag
+    a = el.attrib
+    if t == "PlummerGeometry":
+        return ga.PlummerGeometry(b=_q(a, "scaleLength", "length"))
+    if t == "GammaGeometry":
+        return ga.GammaGeometry(b=_q(a, "scaleLength", "length"),
+                                gamma=_f(a, "gamma"))
+    if t == "ShellGeometry":
+        return ga.ShellGeometry(rmin=_q(a, "minRadius", "length"),
+                                rmax=_q(a, "maxRadius", "length"),
+                                p=_f(a, "exponent", 0.0))
+    if t == "GaussianGeometry":
+        return ga.GaussianGeometry(sigma=_q(a, "dispersion", "length"))
+    if t == "ExpDiskGeometry":
+        return ga.ExpDiskGeometry(h_r=_q(a, "scaleLength", "length"),
+                                  h_z=_q(a, "scaleHeight", "length"))
+    if t == "SersicGeometry":
+        return ga.SersicGeometry(reff=_q(a, "effectiveRadius", "length"),
+                                 m=_f(a, "index", 4.0))
+    if t == "UniformSphereGeometry":  # convenience extension
+        return ga.UniformSphereGeometry(rmax=_q(a, "maxRadius", "length"))
+    raise NotImplementedError(f"geometry type '{t}' not supported yet")
+
+
+# ---------------------------------------------------------------------- SEDs
+
+def build_sed(el) -> TabulatedSED:
+    t = el.tag
+    a = el.attrib
+    if t == "BlackBodySED":
+        return sedlib.blackbody(_f(a, "temperature"))
+    if t == "QuasarSED":
+        return sedlib.quasar()
+    if t == "SunSED":
+        return sedlib.sun_approx()
+    if t == "FileSED":
+        return sedlib.from_file(a["filename"])
+    raise NotImplementedError(f"SED type '{t}' not supported yet")
+
+
+def source_luminosity(el) -> float:
+    """LuminosityNormalization subset (ref: IntegratedLuminosityNormalization)."""
+    norm = _child(el, "normalization")
+    if norm is None:
+        return 1.0
+    a = norm.attrib
+    if norm.tag == "IntegratedLuminosityNormalization":
+        return _q(a, "integratedLuminosity", "bolluminosity")
+    if norm.tag == "SpecificLuminosityNormalization":
+        return _q(a, "specificLuminosity", "monluminosity")
+    raise NotImplementedError(f"normalization '{norm.tag}' not supported yet")
+
+
+# ------------------------------------------------------------------- sources
+
+def build_source(el):
+    t = el.tag
+    a = el.attrib
+    if t == "PointSource":
+        pos = (_q(a, "positionX", "length", 0.0),
+               _q(a, "positionY", "length", 0.0),
+               _q(a, "positionZ", "length", 0.0))
+        sed_el = _child(el, "sed")
+        sed = build_sed(sed_el) if sed_el is not None else None
+        return PointSource(position=pos, luminosity=source_luminosity(el),
+                           sed=sed)
+    if t == "GeometricSource":
+        geom = build_geometry(_child(el, "geometry"))
+        sed_el = _child(el, "sed")
+        sed = build_sed(sed_el) if sed_el is not None else None
+        return GeometricSource(geometry=geom,
+                               luminosity=source_luminosity(el), sed=sed)
+    raise NotImplementedError(f"source type '{t}' not supported yet")
+
+
+# --------------------------------------------------------------------- mixes
+
+def build_mix(el) -> mx.MixTables:
+    t = el.tag
+    if t == "MeanIvezicBenchmarkDustMix":
+        return mx.mean_ivezic_benchmark()
+    if t == "MeanInterstellarDustMix":
+        return mx.mean_interstellar_approx()
+    if t == "ElectronMix":
+        return mx.electron_mix()
+    if t == "MeanFileDustMix":
+        return mx.from_file(el.attrib["filename"])
+    raise NotImplementedError(f"material mix '{t}' not supported yet")
+
+
+def build_medium_normalization(el, geom, mix):
+    norm = _child(el, "normalization")
+    if norm is None:
+        raise ValueError("medium needs a normalization")
+    a = norm.attrib
+    if norm.tag == "OpticalDepthMaterialNormalization":
+        return gm.OpticalDepthNormalization(
+            tau=_f(a, "opticalDepth"),
+            lam=_q(a, "wavelength", "wavelength"),
+            axis={"X": "x", "Y": "y", "Z": "z"}.get(a.get("axis", "Z"), "z"))
+    if norm.tag == "MassMaterialNormalization":
+        return gm.MassNormalization(mass=_q(a, "mass", "mass"))
+    if norm.tag == "NumberMaterialNormalization":
+        return gm.NumberNormalization(number=_f(a, "number"))
+    raise NotImplementedError(f"normalization '{norm.tag}' not supported yet")
+
+
+# --------------------------------------------------------------------- grids
+
+def build_grid(el):
+    t = el.tag
+    a = el.attrib
+    if t == "CartesianSpatialGrid":
+        ext = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+               (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+               (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+        # mesh children (Lin by default)
+        ns = []
+        for mesh_name in ("meshX", "meshY", "meshZ"):
+            m = _child(el, mesh_name)
+            ns.append(int(m.attrib.get("numBins", 32)) if m is not None else 32)
+        return make_cartesian(ext, tuple(ns))
+    if t == "PolicyTreeSpatialGrid":
+        ext = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+               (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+               (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+        pol = _child(el, "policy")
+        pa = pol.attrib if pol is not None else {}
+        return ("octree", ext,
+                int(pa.get("minLevel", 2)), int(pa.get("maxLevel", 6)),
+                float(pa.get("maxDustFraction", 1e-6)))
+    raise NotImplementedError(f"spatial grid '{t}' not supported yet")
+
+
+# --------------------------------------------------------------- instruments
+
+def build_wavelength_grid(el) -> np.ndarray:
+    t = el.tag
+    a = el.attrib
+    if t == "LogWavelengthGrid":
+        return wl.log_borders(_q(a, "minWavelength", "wavelength"),
+                              _q(a, "maxWavelength", "wavelength"),
+                              int(a["numWavelengths"]))
+    if t == "LinWavelengthGrid":
+        return wl.lin_borders(_q(a, "minWavelength", "wavelength"),
+                              _q(a, "maxWavelength", "wavelength"),
+                              int(a["numWavelengths"]))
+    if t == "ListWavelengthGrid":
+        lams = U.parse_list("wavelength", a["wavelengths"])
+        return wl.oligo_borders(lams)
+    raise NotImplementedError(f"wavelength grid '{t}' not supported yet")
+
+
+def build_instrument(el, default_wlg):
+    t = el.tag
+    a = el.attrib
+    wlg_el = _child(el, "wavelengthGrid")
+    borders = (build_wavelength_grid(wlg_el) if wlg_el is not None
+               else default_wlg)
+    common = dict(
+        name=a.get("instrumentName", t),
+        wave_borders=tuple(borders),
+        inclination=_q(a, "inclination", "angle", 0.0),
+        azimuth=_q(a, "azimuth", "angle", 0.0),
+        roll=_q(a, "roll", "angle", 0.0),
+        distance=_q(a, "distance", "distance", 10 * 3.0857e16),
+    )
+    if t == "SEDInstrument":
+        return dinst.DistantInstrumentCfg(**common)
+    if t in ("FrameInstrument", "FullInstrument"):
+        return dinst.DistantInstrumentCfg(
+            **common,
+            npx=int(a.get("numPixelsX", 250)),
+            npy=int(a.get("numPixelsY", 250)),
+            fovx=_q(a, "fieldOfViewX", "length"),
+            fovy=_q(a, "fieldOfViewY", "length"),
+            centerx=_q(a, "centerX", "length", 0.0),
+            centery=_q(a, "centerY", "length", 0.0),
+        )
+    raise NotImplementedError(f"instrument '{t}' not supported yet")
+
+
+# ----------------------------------------------------------------- top level
+
+def load_ski(path: str, num_packets: int | None = None,
+             batch_size: int = 16384, seed: int = 0,
+             max_events: int = 64) -> Simulation:
+    """Parse a .ski file into a runnable Simulation.
+
+    (ref: SkirtCommandLineHandler::doSimulation, SkirtCommandLineHandler.cpp:295
+    — parse, build item tree, setup; here: parse, build tables.)
+    """
+    tree = ET.parse(path)
+    root = tree.getroot()
+    mcs = root.find("MonteCarloSimulation")
+    if mcs is None:
+        raise ValueError("not a SKIRT 9 ski file (no MonteCarloSimulation)")
+    mode = mcs.attrib.get("simulationMode", "ExtinctionOnly")
+    n_pk = num_packets or int(float(mcs.attrib.get("numPackets", 1e6)))
+
+    # sources
+    src_sys = mcs.find("sourceSystem/SourceSystem")
+    sources = [build_source(e) for e in src_sys.find("sources")] \
+        if src_sys is not None else []
+    src_range = None
+    if src_sys is not None:
+        a = src_sys.attrib
+        if "minWavelength" in a:
+            src_range = (U.parse("wavelength", a["minWavelength"]),
+                         U.parse("wavelength", a["maxWavelength"]))
+
+    # media + grid
+    med_sys = mcs.find("mediumSystem/MediumSystem")
+    grid = None
+    medium = None
+    components = []
+    if med_sys is not None:
+        for m_el in med_sys.find("media"):
+            if m_el.tag != "GeometricMedium":
+                raise NotImplementedError(f"medium '{m_el.tag}' not supported yet")
+            geom = build_geometry(_child(m_el, "geometry"))
+            mix = build_mix(_child(m_el, "materialMix"))
+            norm = build_medium_normalization(m_el, geom, mix)
+            components.append((geom, mix, norm))
+        grid_el = list(med_sys.find("grid"))[0]
+        grid = build_grid(grid_el)
+        if isinstance(grid, tuple) and grid[0] == "octree":
+            _, ext, minl, maxl, maxfrac = grid
+            geom0 = components[0][0]
+            grid = build_octree(ext, geom0.density_np, max_level=maxl,
+                                min_level=minl, max_fraction=max(maxfrac, 1e-4))
+        medium = gm.build_medium(grid, components)
+
+    if grid is None:
+        # no medium: trivial one-cell empty grid spanning the sources
+        R = 3.0857e17
+        grid = make_cartesian(((-R, R), (-R, R), (-R, R)), (1, 1, 1))
+        import jax.numpy as jnp
+        from ..media import system as msys
+        medium = msys.make_medium(grid, np.zeros(1), np.array([1e-8, 1e-3]),
+                                  np.zeros((1, 2)), np.zeros((1, 2)),
+                                  np.zeros((1, 2)))
+
+    # instruments
+    default_wlg = wl.log_borders(0.1e-6, 10e-6, 25) if src_range is None \
+        else wl.log_borders(src_range[0], src_range[1], 25)
+    inst_sys = mcs.find("instrumentSystem/InstrumentSystem")
+    instruments = []
+    if inst_sys is not None:
+        dwlg_el = inst_sys.find("defaultWavelengthGrid")
+        if dwlg_el is not None and len(dwlg_el):
+            default_wlg = build_wavelength_grid(list(dwlg_el)[0])
+        for i_el in inst_sys.find("instruments") or []:
+            instruments.append(build_instrument(i_el, default_wlg))
+
+    with_emission = mode in ("DustEmission", "DustAndGasEmission")
+    rf_borders = wl.log_borders(0.05e-6, 10e-6, 25) if (
+        with_emission or mode.startswith("Iterate")) else None
+    ems_borders = wl.log_borders(1e-6, 2000e-6, 40) if with_emission else None
+
+    max_steps = grid.max_steps() if hasattr(grid, "max_steps") else 128
+    opts = lc.TransportOptions(max_steps=min(max_steps, 256),
+                               max_events=max_events,
+                               store_rf=rf_borders is not None)
+    return Simulation(
+        grid=grid, medium=medium, sources=sources, instruments=instruments,
+        options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
+        num_packets=n_pk, batch_size=batch_size, seed=seed)

@@ -135,11 +135,14 @@ class CartesianGrid(NamedTuple):
 
     # ------------------------------------------------------------------- misc
 
-    def volumes(self) -> jax.Array:
-        dx = jnp.diff(self.xb)
-        dy = jnp.diff(self.yb)
-        dz = jnp.diff(self.zb)
-        return (dx[:, None, None] * dy[None, :, None] * dz[None, None, :]).reshape(-1)
+    def volumes(self) -> np.ndarray:
+        """Cell volumes [m^3], host f64 — the product of parsec-scale edge
+        lengths overflows f32 (2 pc cells -> ~2e47 m^3 > f32 max)."""
+        dx = np.diff(np.asarray(self.xb, np.float64))
+        dy = np.diff(np.asarray(self.yb, np.float64))
+        dz = np.diff(np.asarray(self.zb, np.float64))
+        return (dx[:, None, None] * dy[None, :, None]
+                * dz[None, None, :]).reshape(-1)
 
     def cell_centers(self) -> jax.Array:
         cx = 0.5 * (self.xb[1:] + self.xb[:-1])

@@ -66,6 +66,9 @@ class DistantInstrumentCfg:
     centerx: float = 0.0
     centery: float = 0.0
     record_statistics: bool = True
+    # normalization for the statistics power sums (set to the mean packet
+    # contribution scale, e.g. L_total/num_packets; R and VOV are invariant)
+    stats_scale: float = 1.0
 
     @property
     def nbins(self) -> int:
@@ -117,8 +120,13 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     acc["sed"] = acc["sed"].at[kind, bq].add(c)
     if cfg.record_statistics:
         # power sums of *individual* contributions, kinds merged
-        # (ref: FluxRecorder statistics arrays, FluxRecorder.cpp:350-383)
-        powers = jnp.stack([jnp.where(ok, 1.0, 0.0), c, c * c, c**3, c**4])
+        # (ref: FluxRecorder statistics arrays, FluxRecorder.cpp:350-383).
+        # Contributions are normalized by stats_scale before raising to
+        # powers: raw c^4 overflows f32 for luminous sources (c ~ 1e23 W),
+        # and R/VOV are scale-invariant.
+        cn = c * (1.0 / cfg.stats_scale)
+        powers = jnp.stack([jnp.where(ok, 1.0, 0.0), cn, cn * cn,
+                            cn**3, cn**4])
         acc["stats"] = acc["stats"].at[:, bq].add(powers)
     if cfg.has_frame:
         xp = pos @ tables["ex"] - cfg.centerx

@@ -1,0 +1,96 @@
+"""Geometric media: populate per-cell medium state from analytic geometries.
+
+Counterpart of the reference's GeometricMedium + MaterialNormalization
+family + the per-cell density sampling of MediumSystem setup
+(ref: SKIRT/core/GeometricMedium.hpp, MaterialNormalization.hpp,
+SamplingOptions.hpp:50 numDensitySamples, MediumSystem.cpp:220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import mixes as mx
+from . import system as msys
+
+
+@dataclasses.dataclass(frozen=True)
+class MassNormalization:
+    """Total mass of the component [kg] (ref: MassMaterialNormalization)."""
+
+    mass: float
+
+    def number_factor(self, geometry, mix: mx.MixTables) -> float:
+        # density profiles are normalized to unit total mass; number density
+        # = mass * rho_norm / mu
+        if mix.mu <= 0:
+            raise ValueError("mass normalization needs a mix with mu > 0")
+        return self.mass / mix.mu
+
+
+@dataclasses.dataclass(frozen=True)
+class OpticalDepthNormalization:
+    """Optical depth along a full axis through the origin at wavelength lam
+    (ref: OpticalDepthMaterialNormalization; axis in {'x','y','z'})."""
+
+    tau: float
+    lam: float
+    axis: str = "z"
+    rmax: float = 0.0  # integration bound; default: inferred from geometry
+
+    def number_factor(self, geometry, mix: mx.MixTables) -> float:
+        sigma, _, _ = mix.at(self.lam)
+        rmax = self.rmax or getattr(geometry, "rmax", None)
+        if rmax is None:
+            raise ValueError("provide rmax for optical-depth normalization")
+        s = np.linspace(-rmax, rmax, 20001)
+        unit = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1]}[self.axis]
+        pos = s[:, None] * np.asarray(unit, np.float64)
+        rho = geometry.density_np(pos)
+        col = np.trapezoid(rho, s)  # [1/m^2] per unit total number
+        if col <= 0:
+            raise ValueError("geometry has zero column along the axis")
+        return self.tau / (sigma * col)
+
+
+@dataclasses.dataclass(frozen=True)
+class NumberNormalization:
+    """Total number of entities (ref: NumberMaterialNormalization)."""
+
+    number: float
+
+    def number_factor(self, geometry, mix: mx.MixTables) -> float:
+        return self.number
+
+
+def cell_densities(grid, geometry, samples: int = 8, seed: int = 1234) -> np.ndarray:
+    """Average normalized density over each cell by jittered sampling
+    (== the reference's numDensitySamples MC estimate per cell)."""
+    centers = np.asarray(grid.cell_centers(), np.float64)
+    if samples <= 1:
+        return geometry.density_np(centers)
+    vols = np.asarray(grid.volumes(), np.float64)
+    h = np.cbrt(vols)[:, None]
+    rs = np.random.default_rng(seed)
+    acc = np.zeros(len(centers))
+    for _ in range(samples):
+        jitter = (rs.uniform(-0.5, 0.5, centers.shape)) * h
+        acc += geometry.density_np(centers + jitter)
+    return acc / samples
+
+
+def build_medium(grid, components, lam_grid=None, samples: int = 8) -> msys.MediumTables:
+    """Assemble MediumTables from [(geometry, mix, normalization), ...].
+
+    Each component's per-cell number density is normalization.number_factor *
+    cell-averaged normalized density.
+    """
+    lam, se, al, gg = mx.stack([m for (_, m, _) in components], lam_grid)
+    nds = []
+    for geom, mix, norm in components:
+        f = norm.number_factor(geom, mix)
+        nds.append(cell_densities(grid, geom, samples=samples) * f)
+    nd = np.stack(nds, axis=-1).astype(np.float32)
+    return msys.make_medium(grid, nd, lam, se, al, gg)

@@ -2,13 +2,14 @@
 
 TPU-native counterpart of the reference's MonteCarloSimulation state machine
 (ref: SKIRT/core/MonteCarloSimulation.cpp:58 runSimulation, :104
-runPrimaryEmission): phases launch packet batches through the jitted life
-cycle, accumulating the radiation field and instrument records on device;
-cross-device reduction (the reference's MPI allreduce,
+runPrimaryEmission, :142 runSecondaryEmission, :335
+runSecondaryEmissionIterations): phases launch packet batches through the
+jitted life cycle, accumulating the radiation field and instrument records
+on device; cross-device reduction (the reference's MPI allreduce,
 MediumSystem.cpp:1304) is a psum when running under a device mesh.
 
 The orchestrator is deliberately thin host Python: all hot work happens in
-one compiled function per (batch shape, options) combination.
+one compiled function per (source kind, options, batch shape).
 """
 
 from __future__ import annotations
@@ -21,9 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .emission import equilibrium as eq
 from .instruments import distant as dinst
 from .media import system as msys
 from .sources import base as src
+from .sources import secondary as sec
 from .transport import lifecycle as lc
 from .utils import fits as fitsio
 
@@ -45,66 +48,114 @@ class Simulation:
     num_packets: int = 100_000
     batch_size: int = 16_384
     seed: int = 0
+    source_bias: float = 0.5   # ref: SourceSystem.hpp:88 (xi over sources)
+
+    # dust emission configuration (ref: DustEmissionOptions.hpp:30-66)
+    ems_borders: np.ndarray | None = None
+    spatial_bias: float = 0.5
+    min_iterations: int = 1
+    max_iterations: int = 10
+    max_fraction_of_primary: float = 0.01
+    max_fraction_of_previous: float = 0.03
+    secondary_packets_multiplier: float = 1.0
 
     def __post_init__(self):
+        # normalize instrument statistics accumulation by the mean packet
+        # contribution so the f32 power sums stay in range
+        L_tot0 = sum(float(getattr(s, "luminosity", 1.0)) for s in self.sources)
+        sscale = max(L_tot0 / max(self.num_packets, 1), 1e-300)
+        self.instruments = [
+            dataclasses.replace(c, stats_scale=sscale)
+            if c.stats_scale == 1.0 else c for c in self.instruments]
         self._inst_tabs = [dinst.device_tables(c) for c in self.instruments]
         self._src_tabs = [s.tables() for s in self.sources]
         self._rf_borders_dev = (jnp.asarray(self.rf_borders, jnp.float32)
                                 if self.rf_borders is not None else None)
+        self._seg_cache = {}
+        # RF accumulator unit (see TransportOptions.rf_scale): keeps f32 in
+        # range for solar-luminosity sources at parsec scales
+        L_tot = sum(float(getattr(s, "luminosity", 1.0)) for s in self.sources)
+        diag = self._grid_diagonal()
+        self.rf_scale = max(L_tot / max(self.num_packets, 1) * diag, 1e-300)
+        self.options = dataclasses.replace(self.options, rf_scale=self.rf_scale)
+
+    def _grid_diagonal(self) -> float:
+        if hasattr(self.grid, "diagonal"):
+            return float(self.grid.diagonal())
+        lo, hi = np.asarray(self.grid.box_lo), np.asarray(self.grid.box_hi)
+        return float(np.linalg.norm(hi - lo))
 
     # -------------------------------------------------------------- internals
 
-    def _source_allocation(self, n: int, source_bias: float = 0.5):
+    def _source_allocation(self, n: int):
         """History-index allocation over sources with the composite
         luminosity/uniform bias (ref: SourceSystem.cpp:75 prepareForLaunch)."""
         ls = np.array([getattr(s, "luminosity", 1.0) for s in self.sources],
                       np.float64)
         wl = ls / ls.sum()
         m = len(self.sources)
-        w = (1.0 - source_bias) * wl + source_bias / m
+        w = (1.0 - self.source_bias) * wl + self.source_bias / m
         counts = np.floor(w * n).astype(np.int64)
         counts[0] += n - counts.sum()
-        # per-packet luminosity weight: (L_s / L_tot) / w_s corrects bias
         lum_weights = np.where(w > 0, wl / np.maximum(w, 1e-300), 0.0)
         return counts, lum_weights
 
-    @functools.cached_property
-    def _run_batch(self):
+    def _segment_runner(self, source, opts: lc.TransportOptions, key):
+        """Jitted runner for one (source-kind, options) combination; source
+        device tables flow through as traced arguments so per-iteration
+        table updates do NOT retrigger compilation."""
+        if key in self._seg_cache:
+            return self._seg_cache[key]
         grid = self.grid
         med = self.medium
-        opts = self.options
         cfgs = tuple(self.instruments)
         tabs = self._inst_tabs
         rfb = self._rf_borders_dev
 
-        def step(src_idx: int, n_src: int, lum_weight: float,
-                 seed_key, history, rf, accs):
-            source = self.sources[src_idx]
-            stabs = self._src_tabs[src_idx]
-            pkt = src.launch_batch(source, stabs, grid, seed_key, history, n_src)
+        def step(n_src: int, lum_weight: float, seed_key, history, stabs,
+                 rf, accs):
+            pkt = src.launch_batch(source, stabs, grid, seed_key, history,
+                                   n_src)
             pkt = pkt._replace(lum=pkt.lum * lum_weight,
                                lum0=pkt.lum0 * lum_weight)
             return lc.life_cycle(grid, med, opts, cfgs, tabs, rfb,
                                  pkt, rf, accs)
 
-        return jax.jit(step, static_argnums=(0, 1, 2), donate_argnums=(5, 6))
+        fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(5, 6))
+        self._seg_cache[key] = fn
+        return fn
+
+    def _run_segment(self, source, stabs, opts, n_packets, seed_key,
+                     rf, accs, hist_base=0, lum_weight=1.0, seg_key=None):
+        """Loop a source's history range through the jitted life cycle."""
+        B = self.batch_size
+        run = self._segment_runner(source, opts, seg_key)
+        nb = -(-n_packets // B)
+        for b in range(nb):
+            history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
+            rf, accs = run(n_packets, float(lum_weight), seed_key, history,
+                           stabs, rf, accs)
+        return rf, accs
+
+    def _init_rf(self):
+        if self.rf_borders is None or not self.options.store_rf:
+            return None
+        return jnp.zeros((self.grid.ncells, len(self.rf_borders) - 1),
+                         jnp.float32)
 
     # ------------------------------------------------------------------- runs
 
     def run_primary(self, verbose: bool = True):
         """Primary-emission segment (ref: MonteCarloSimulation.cpp:104).
 
-        Returns (rf, accs): radiation field (ncells, nrf) absorbed-energy
-        path-length sums [W m], instrument accumulators.
+        Returns (rf, accs): radiation field (ncells, nrf) path-length sums
+        [W m], instrument accumulators.
         """
-        ncells = self.grid.ncells
-        rf = (jnp.zeros((ncells, len(self.rf_borders) - 1), jnp.float32)
-              if self.rf_borders is not None and self.options.store_rf else None)
+        rf = self._init_rf()
         accs = [dinst.init_accumulators(c) for c in self.instruments]
         seed_key = jax.random.PRNGKey(self.seed)
 
         counts, lum_w = self._source_allocation(self.num_packets)
-        B = self.batch_size
         t0 = time.perf_counter()
         launched = 0
         hist_base = 0
@@ -112,24 +163,119 @@ class Simulation:
             n_src = int(n_src)
             if n_src == 0:
                 continue
-            nb = -(-n_src // B)
-            for b in range(nb):
-                history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
-                # histories beyond this source's allocation launch dead
-                rf, accs = self._run_batch(si, n_src, float(lum_w[si]),
-                                           seed_key, history, rf, accs)
-                launched += min(B, n_src - b * B)
+            rf, accs = self._run_segment(
+                self.sources[si], self._src_tabs[si], self.options, n_src,
+                seed_key, rf, accs, hist_base=hist_base,
+                lum_weight=float(lum_w[si]), seg_key=("prim", si))
+            launched += n_src
             hist_base += n_src
-        if accs:
-            jax.block_until_ready(accs[0]["sed"])
-        elif rf is not None:
-            jax.block_until_ready(rf)
+        self._block(rf, accs)
         dt = time.perf_counter() - t0
         if verbose:
             print(f"[skirt9_tpu] primary emission: {launched} packets in "
                   f"{dt:.2f} s ({launched/dt:,.0f} packets/s)")
         self.last_rate = launched / dt
         return rf, accs
+
+    def run_with_dust_emission(self, verbose: bool = True):
+        """Full simulation with self-consistent thermal dust emission
+        (ref: MonteCarloSimulation runSimulation with DustEmission mode,
+        including the self-absorption iteration loop :335 and convergence
+        criteria :180-227).
+
+        Returns (rf_total, accs, info dict).
+        """
+        if self.ems_borders is None:
+            raise ValueError("set ems_borders for dust emission")
+        t_all = time.perf_counter()
+        rf_prim, accs = self.run_primary(verbose=verbose)
+        med = self.medium
+        vols = self.grid.volumes()
+        etabs = eq.build_emission_tables(med, np.asarray(self.rf_borders),
+                                         np.asarray(self.ems_borders))
+        L_prim_abs = float(jnp.sum(eq.dust_luminosities(
+            med, etabs, rf_prim, self.rf_scale)))
+
+        n2 = int(self.num_packets * self.secondary_packets_multiplier)
+        opts2 = dataclasses.replace(self.options, primary=False)
+        opts2_nopeel = dataclasses.replace(opts2, peel_off=False)
+
+        seed_key = jax.random.PRNGKey(self.seed + 1)
+        rf_total = rf_prim
+        L_abs_prev = 0.0
+        iterations = 0
+        # --- self-absorption iterations (no peel-off) ---------------------
+        for it in range(self.max_iterations):
+            src2 = self._make_secondary(etabs, rf_total)
+            if src2.luminosity <= 0:
+                break
+            rf_seco = self._init_rf()
+            rf_seco, _ = self._run_segment(
+                src2, src2.tables(), opts2_nopeel, n2,
+                jax.random.fold_in(seed_key, it), rf_seco, [],
+                seg_key=("seco-iter",))
+            rf_total = rf_prim + rf_seco
+            L_abs = float(jnp.sum(eq.dust_luminosities(
+                med, etabs, rf_seco, self.rf_scale)))
+            iterations += 1
+            if verbose:
+                print(f"[skirt9_tpu] dust self-absorption iter {it+1}: "
+                      f"L_abs(seco)={L_abs:.4e} W (prim {L_prim_abs:.4e} W)")
+            # convergence (ref: DustAbsorptionConvergence,
+            # MonteCarloSimulation.cpp:180): secondary absorption small vs
+            # primary, or stable vs previous iteration
+            if it + 1 >= self.min_iterations:
+                if L_abs <= self.max_fraction_of_primary * L_prim_abs:
+                    break
+                if L_abs_prev > 0 and abs(L_abs - L_abs_prev) <= \
+                        self.max_fraction_of_previous * L_abs_prev:
+                    break
+            L_abs_prev = L_abs
+
+        # --- final secondary segment with peel-off ------------------------
+        src2 = self._make_secondary(etabs, rf_total)
+        info = {"iterations": iterations, "L_dust": src2.luminosity,
+                "L_abs_primary": L_prim_abs}
+        if src2.luminosity > 0:
+            _, accs = self._run_segment(
+                src2, src2.tables(), dataclasses.replace(opts2, store_rf=False),
+                n2, jax.random.fold_in(seed_key, 777), None, accs,
+                seg_key=("seco-final",))
+        self._block(rf_total, accs)
+        if verbose:
+            dt = time.perf_counter() - t_all
+            print(f"[skirt9_tpu] dust emission done in {dt:.1f} s "
+                  f"({iterations} iterations, L_dust={src2.luminosity:.4e} W)")
+        return rf_total, accs, info
+
+    def _make_secondary(self, etabs, rf):
+        med = self.medium
+        vols = self.grid.volumes()
+        p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
+        T = eq.equilibrium_temperature(etabs, p_abs)
+        eps = eq.cell_emission_spectra(med, etabs, T)
+        L_cell = eq.dust_luminosities(med, etabs, rf, self.rf_scale)
+        return sec.prepare(self.grid, L_cell, eps,
+                           np.asarray(self.ems_borders), self.spatial_bias)
+
+    def dust_temperature(self, rf):
+        """Indicative equilibrium dust temperature per cell (ncells, H)
+        (ref: MediumSystem indicative temperature probes)."""
+        etabs = eq.build_emission_tables(self.medium,
+                                         np.asarray(self.rf_borders),
+                                         np.asarray(self.ems_borders if
+                                                    self.ems_borders is not None
+                                                    else self.rf_borders))
+        p_abs = eq.absorbed_power(self.medium, etabs, rf,
+                                  self.grid.volumes(), self.rf_scale)
+        return eq.equilibrium_temperature(etabs, p_abs)
+
+    @staticmethod
+    def _block(rf, accs):
+        if accs:
+            jax.block_until_ready(accs[0]["sed"])
+        elif rf is not None:
+            jax.block_until_ready(rf)
 
     # ----------------------------------------------------------------- output
 

@@ -81,28 +81,60 @@ class PointSource:
         pos = jnp.broadcast_to(tabs["pos"], (B, 3))
         dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
         lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
-        if self.sed is None:
-            lam = jnp.full((B,), self.lam0, jnp.float32)
-        else:
-            sed = tabs["sed"]
-            xi = self.wavelength_bias
-            u = rng.uniform(keys, rng.LAUNCH_WAVELENGTH)
-            lam_sed = sampling.sample_cdf_loglog(u, sed["lam"], sed["cdf"])
-            if xi > 0:
-                # bias distribution: log-uniform over the SED range
-                u2 = rng.uniform(keys, rng.LAUNCH_CELL)
-                lmin = sed["lam"][0]
-                lmax = sed["lam"][-1]
-                lam_bias = lmin * jnp.exp(u2 * jnp.log(lmax / lmin))
-                u3 = rng.uniform(keys, rng.LAUNCH_SOURCE)
-                lam = jnp.where(u3 < xi, lam_bias, lam_sed)
-                s = sampling.interp_loglog(lam, sed["lam"], sed["pdf"])
-                b = 1.0 / (lam * jnp.log(lmax / lmin))
-                w = s / jnp.maximum((1.0 - xi) * s + xi * b, 1e-37)
-                lum = lum * w
-            else:
-                lam = lam_sed
+        lam, lum = _sample_wavelength(
+            tabs, keys, lum, self.sed, self.lam0, self.wavelength_bias)
         return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometricSource:
+    """Source with an arbitrary geometry and SED: positions sampled from the
+    normalized density profile (ref: SKIRT/core/GeometricSource.hpp —
+    Geometry x SED x LuminosityNormalization)."""
+
+    geometry: object
+    luminosity: float = 1.0
+    lam0: float = 0.55e-6
+    sed: TabulatedSED | None = None
+    wavelength_bias: float = 0.5
+    velocity: tuple = (0.0, 0.0, 0.0)  # bulk velocity (kinematics, later)
+
+    def tables(self) -> dict:
+        t = {}
+        if self.sed is not None:
+            t["sed"] = self.sed.tables()
+        return t
+
+    def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
+        B = keys.shape[0]
+        pos = self.geometry.sample(keys, rng.LAUNCH_POSITION)
+        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
+        lam, lum = _sample_wavelength(
+            tabs, keys, lum, self.sed, self.lam0, self.wavelength_bias)
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+
+
+def _sample_wavelength(tabs, keys, lum, sed, lam0, xi):
+    """Composite-bias wavelength sampling shared by sources
+    (ref: NormalizedSource.cpp:73-110)."""
+    if sed is None:
+        return jnp.full(lum.shape, lam0, jnp.float32), lum
+    sedt = tabs["sed"]
+    u = rng.uniform(keys, rng.LAUNCH_WAVELENGTH)
+    lam_sed = sampling.sample_cdf_loglog(u, sedt["lam"], sedt["cdf"])
+    if xi <= 0:
+        return lam_sed, lum
+    u2 = rng.uniform(keys, rng.LAUNCH_CELL)
+    lmin = sedt["lam"][0]
+    lmax = sedt["lam"][-1]
+    lam_bias = lmin * jnp.exp(u2 * jnp.log(lmax / lmin))
+    u3 = rng.uniform(keys, rng.LAUNCH_SOURCE)
+    lam = jnp.where(u3 < xi, lam_bias, lam_sed)
+    s = sampling.interp_loglog(lam, sedt["lam"], sedt["pdf"])
+    b = 1.0 / (lam * jnp.log(lmax / lmin))
+    w = s / jnp.maximum((1.0 - xi) * s + xi * b, 1e-37)
+    return lam, lum * w
 
 
 def launch_batch(source, tabs: dict, grid, seed_key: jax.Array,

@@ -1,0 +1,134 @@
+"""Secondary (thermal dust) source: launch packets from cell emission spectra.
+
+Counterpart of the reference's SecondarySourceSystem + DustSecondarySource
+(ref: SKIRT/core/SecondarySourceSystem.cpp:84 prepareForLaunch,
+DustSecondarySource.hpp:24,42-73): packets are distributed over cells with
+the composite luminosity/uniform spatial bias (xi = spatialBias), each packet
+samples its wavelength from its cell's equilibrium emission spectrum cdf and
+launches isotropically from a uniform random position inside the cell.
+
+Unlike the reference (thread-local lazy per-cell spectra), the TPU design
+precomputes the full (ncells, L) spectrum cdf table on device — the batched
+equivalent, trading HBM for gather throughput; cell-chunked scheduling for
+huge grids is a later optimization (SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rng
+
+
+@dataclasses.dataclass(frozen=True)
+class DustSecondarySource:
+    """Static config; all device state lives in the tables dict
+    (protocol: tables() -> dict consumed by launch(tabs, keys, n))."""
+
+    luminosity: float          # total dust luminosity [W]
+    spatial_bias: float = 0.5
+    _tables: dict = dataclasses.field(default=None, compare=False, hash=False,
+                                      repr=False)
+
+    def tables(self) -> dict:
+        return self._tables
+
+    def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
+        # --- cell selection with bias correction
+        cell_cdf = tabs["cell_cdf"]
+        u_cell = rng.uniform(keys, rng.LAUNCH_CELL)
+        cell = jnp.clip(jnp.searchsorted(cell_cdf, u_cell, side="right"),
+                        0, cell_cdf.shape[0] - 1).astype(jnp.int32)
+        lum = (self.luminosity / n_total) * tabs["cell_weight"][cell]
+
+        # --- wavelength from the cell's emission spectrum cdf
+        rows = tabs["spec_cdf"][cell]                   # (B, L)
+        u_lam = rng.uniform(keys, rng.EMISSION_LAMBDA)
+        li = jnp.sum((rows < u_lam[:, None]).astype(jnp.int32), axis=1)
+        li = jnp.clip(li, 0, rows.shape[1] - 1)
+        c0 = jnp.where(li > 0,
+                       jnp.take_along_axis(rows, jnp.maximum(li - 1, 0)[:, None],
+                                           axis=1)[:, 0], 0.0)
+        c1 = jnp.take_along_axis(rows, li[:, None], axis=1)[:, 0]
+        frac = jnp.where(c1 > c0, (u_lam - c0) / jnp.maximum(c1 - c0, 1e-30), 0.5)
+        borders = tabs["lam_borders"]
+        b0 = borders[li]
+        b1 = borders[li + 1]
+        lam = b0 + frac * (b1 - b0)
+
+        # --- uniform random position inside the cell
+        # (ref: SpatialGrid::randomPositionInCell)
+        u3 = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(
+            rng.purpose_key(keys, rng.LAUNCH_POSITION))
+        lo = tabs["cell_lo"][cell]
+        hi = tabs["cell_hi"][cell]
+        pos = lo + u3 * (hi - lo)
+
+        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+
+
+def prepare(grid, L_cell, eps, ems_borders: np.ndarray,
+            spatial_bias: float = 0.5) -> DustSecondarySource:
+    """Build the secondary source from per-cell luminosities and spectra.
+
+    L_cell (ncells,) bolometric dust luminosity; eps (ncells, L) emission
+    spectrum (any per-cell normalization; only the shape matters for
+    sampling). ems_borders (L+1,) wavelength borders.
+    """
+    L_np = np.asarray(L_cell, np.float64)
+    total = float(L_np.sum())
+    nonzero = L_np > 0
+    n_nonzero = max(int(nonzero.sum()), 1)
+
+    # composite bias over luminous cells (ref: SecondarySourceSystem.cpp:84):
+    wl = np.where(nonzero, L_np / max(total, 1e-300), 0.0)
+    xi = spatial_bias
+    w = (1 - xi) * wl + xi * nonzero / n_nonzero
+    wsum = w.sum()
+    if wsum <= 0:
+        w = np.full_like(w, 1.0 / len(w))
+        wsum = 1.0
+    w = w / wsum
+    cdf = np.cumsum(w)
+    weight = np.where(w > 0, wl / np.maximum(w, 1e-300), 0.0)
+
+    # per-cell spectrum cdf over emission bins (bin-integrated weights)
+    eps_np = np.asarray(eps, np.float64)
+    dlam = np.diff(ems_borders)
+    wspec = np.maximum(eps_np, 0.0) * dlam[None, :]
+    tot = wspec.sum(axis=1, keepdims=True)
+    spec_cdf = np.cumsum(wspec, axis=1) / np.maximum(tot, 1e-300)
+
+    lo, hi = cell_bounds(grid)
+
+    tables = {
+        "cell_cdf": jnp.asarray(cdf, jnp.float32),
+        "cell_weight": jnp.asarray(weight, jnp.float32),
+        "lam_borders": jnp.asarray(ems_borders, jnp.float32),
+        "spec_cdf": jnp.asarray(spec_cdf, jnp.float32),
+        "cell_lo": jnp.asarray(lo, jnp.float32),
+        "cell_hi": jnp.asarray(hi, jnp.float32),
+    }
+    return DustSecondarySource(luminosity=total, spatial_bias=spatial_bias,
+                               _tables=tables)
+
+
+def cell_bounds(grid):
+    """Axis-aligned bounds per cell for position sampling. Grids with
+    non-box cells provide their own cell_bounds()."""
+    if hasattr(grid, "cell_bounds"):
+        return grid.cell_bounds()
+    nx, ny, nz = grid.shape
+    xb = np.asarray(grid.xb, np.float64)
+    yb = np.asarray(grid.yb, np.float64)
+    zb = np.asarray(grid.zb, np.float64)
+    lo = np.stack(np.meshgrid(xb[:-1], yb[:-1], zb[:-1], indexing="ij"),
+                  axis=-1).reshape(-1, 3)
+    hi = np.stack(np.meshgrid(xb[1:], yb[1:], zb[1:], indexing="ij"),
+                  axis=-1).reshape(-1, 3)
+    return lo, hi

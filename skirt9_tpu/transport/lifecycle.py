@@ -32,6 +32,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..media import system as msys
 from ..ops import phase as phs
@@ -62,6 +63,13 @@ class TransportOptions:
     explicit_absorption: bool = False
     store_rf: bool = True
     primary: bool = True           # primary vs secondary segment (for kinds)
+    peel_off: bool = True          # off during self-absorption iterations
+                                   # (ref: runSecondaryEmissionIterations)
+    # RF deposits are stored in units of rf_scale [W m] to keep the f32
+    # accumulator in range (raw L*ds reaches ~1e41 for solar-luminosity
+    # sources at parsec scales, beyond f32 max). Choose
+    # rf_scale ~ (L_total/num_packets) * grid diagonal.
+    rf_scale: float = 1.0
 
 
 # ----------------------------------------------------------------- ray marches
@@ -87,52 +95,85 @@ def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
     return tau
 
 
-def propagate_deposit(grid, med: msys.MediumTables, opt: msys.Optics,
-                      pos0: jax.Array, dirn: jax.Array, cell0: jax.Array,
-                      lum: jax.Array, tau_int: jax.Array, rf_bin: jax.Array,
-                      rf: jax.Array | None, max_steps: int,
-                      rf_mask: jax.Array, int_mask: jax.Array):
-    """Pass 2: walk the full path to the boundary, depositing radiation-field
-    energy per cell (lanes in rf_mask), and capture the interaction point
-    where cumulative tau crosses tau_int (lanes in int_mask).
+def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
+                 pos0: jax.Array, dirn: jax.Array, cell0: jax.Array,
+                 max_steps: int, mask: jax.Array):
+    """One bounded traversal recording per-step (cell, ds, dtau): (S,B) each.
 
-    RF deposit per segment: L * exp(-tau0) * (1-exp(-dtau)) / k — the exact
-    path integral of L e^-tau ds over the segment (ref:
-    MediumSystem::storeRadiationField semantics, MediumSystem.cpp:1294),
-    with the k->0 limit L * exp(-tau0) * ds. The reference deposits along the
-    ENTIRE path regardless of the sampled interaction point; so do we.
-
-    Returns (pos_int, cell_int, found, rf').
+    This replaces BOTH of the reference's passes over the path (segment
+    recording in SpatialGridPath + the later binary search / RF walk): a
+    single march materializes the step table, and everything downstream
+    (total optical depth, forced-scattering interaction point, radiation-
+    field deposits) becomes dense vectorized math on (S,B) arrays — the
+    TPU-friendly shape (VPU work + one scatter) instead of two more marches.
     """
-    walk_mask = rf_mask | int_mask
 
     def body(carry, _):
-        p, c, tau, ipos, icell, found, rf_acc = carry
+        p, c = carry
         k = msys.opacity_ext(med, opt, c)
         ds, nc, np_ = grid.step(p, dirn, c)
-        dtau = k * ds
-        seg = walk_mask & (c >= 0)
+        seg = mask & (c >= 0)
+        ds = jnp.where(seg, ds, 0.0)
+        return (np_, nc), (jnp.maximum(c, 0).astype(jnp.int32), ds, k * ds)
 
-        if rf_acc is not None:
-            small = dtau < 1e-4
-            expfac = jnp.where(small, ds * (1.0 - 0.5 * dtau),
-                               (1.0 - jnp.exp(-dtau)) / jnp.maximum(k, 1e-37))
-            contrib = jnp.where(seg & rf_mask, lum * jnp.exp(-tau) * expfac, 0.0)
-            rf_acc = rf_acc.at[jnp.maximum(c, 0), rf_bin].add(contrib)
+    (_, _), (cells, ds, dtau) = jax.lax.scan(
+        body, (pos0, cell0), None, length=max_steps)
+    return cells, ds, dtau
 
-        hit = seg & int_mask & ~found & (tau + dtau >= tau_int) & (dtau > 0)
-        s_in = jnp.where(hit, (tau_int - tau) / jnp.maximum(k, 1e-37), 0.0)
-        ipos = jnp.where(hit[..., None], p + s_in[..., None] * dirn, ipos)
-        icell = jnp.where(hit, c, icell)
-        found = found | hit
-        return (np_, nc, tau + jnp.where(seg, dtau, 0.0),
-                ipos, icell, found, rf_acc), None
 
-    init = (pos0, cell0, jnp.zeros_like(lum), pos0, cell0,
-            jnp.zeros_like(int_mask), rf)
-    (_, _, _, ipos, icell, found, rf), _ = jax.lax.scan(
-        body, init, None, length=max_steps)
-    return ipos, icell, found, rf
+def deposit_rf(rf: jax.Array, cells: jax.Array, ds: jax.Array,
+               dtau: jax.Array, tau_before: jax.Array, lum: jax.Array,
+               rf_bin: jax.Array, rf_mask: jax.Array, rf_scale: float):
+    """Radiation-field deposits for a recorded march, one batched scatter.
+
+    Per-segment deposit: L * exp(-tau0) * (1-exp(-dtau))/k — the exact path
+    integral of L e^-tau ds over the segment (ref:
+    MediumSystem::storeRadiationField semantics, MediumSystem.cpp:1294) with
+    the k->0 limit L e^-tau0 ds; 1/k is computed as ds/dtau. The reference
+    deposits along the ENTIRE path regardless of the sampled interaction
+    point; so do we.
+
+    Scale note: 1/rf_scale underflows f32 and XLA reassociates+constant-
+    folds adjacent scalar factors (observed: (lum*inv)*inv -> lum*0), so the
+    two sqrt factors are attached to DIFFERENT tensors.
+    """
+    inv_sqrt = 1.0 / float(np.sqrt(rf_scale))
+    lum_half = (lum * rf_mask) * inv_sqrt                       # (B,)
+    small = dtau < 1e-4
+    expfac = jnp.where(small, ds * (1.0 - 0.5 * dtau),
+                       -jnp.expm1(-dtau) * ds / jnp.maximum(dtau, 1e-37))
+    contrib = (lum_half * jnp.exp(-tau_before)) * (expfac * inv_sqrt)
+    nrf = rf.shape[1]
+    flat = cells * nrf + jnp.broadcast_to(rf_bin, cells.shape)
+    return rf.reshape(-1).at[flat.reshape(-1)].add(
+        contrib.reshape(-1)).reshape(rf.shape)
+
+
+def interaction_point(pos0, dirn, cells, ds, dtau, tau_before, tau_int,
+                      int_mask):
+    """Locate the forced-scattering interaction on a recorded march.
+
+    Returns (ipos, icell, found): the first step where cumulative tau
+    crosses tau_int, with linear-in-tau interpolation inside the step
+    (ref: SpatialGridPath::findInteractionPoint, SpatialGridPath.hpp:155 —
+    the reference's segment-array binary search becomes a dense argmax).
+    """
+    cum = tau_before + dtau                       # (S,B)
+    hit = (cum >= tau_int[None, :]) & (dtau > 0)
+    found = jnp.any(hit, axis=0) & int_mask
+    idx = jnp.argmax(hit, axis=0)                 # first hit step (B,)
+
+    take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+    ds_i = take(ds)
+    dtau_i = take(dtau)
+    tb_i = take(tau_before)
+    s_before = jnp.cumsum(ds, axis=0) - ds
+    sb_i = take(s_before)
+    frac = jnp.clip((tau_int - tb_i) / jnp.maximum(dtau_i, 1e-37), 0.0, 1.0)
+    s_total = sb_i + frac * ds_i
+    ipos = pos0 + s_total[:, None] * dirn
+    icell = take(cells)
+    return ipos, icell, found
 
 
 # ------------------------------------------------------------------- peel-off
@@ -210,8 +251,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         rf_bin = jnp.zeros_like(pkt.cell)
         rf_in_range = jnp.zeros_like(pkt.alive)
 
+    do_peel = bool(inst_cfgs) and opts.peel_off
+
     # ---- emission peel-off (ref: MonteCarloSimulation::peelOffEmission :617)
-    if inst_cfgs:
+    if do_peel:
         iso = 1.0 / (4.0 * jnp.pi)
         if emission_phase is None:
             per_sr = lambda kobs: pkt.lum * iso
@@ -228,9 +271,14 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         active = pkt.alive
         opt_ev = opt  # wavelength unchanged by scattering (no Compton/Lya yet)
 
-        # pass 1: total optical depth to the boundary
-        tau_path = trace_tau(grid, med, opt_ev, pkt.pos, pkt.dir, pkt.cell,
-                             opts.max_steps, active)
+        # ONE march records the whole path; optical depth, RF deposits and
+        # the interaction point all derive from the step table
+        rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
+        cells, ds, dtau = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
+                                       pkt.cell, opts.max_steps,
+                                       active | rf_mask)
+        tau_before = jnp.cumsum(dtau, axis=0) - dtau
+        tau_path = tau_before[-1] + dtau[-1]
 
         # forced-scattering interaction sampling with composite path-length
         # bias (ref: MonteCarloSimulation.cpp:709-721)
@@ -251,12 +299,12 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         # a packet whose path has (nearly) no optical depth escapes
         active_int = active & (tau_path > 1e-6)
 
-        # pass 2: deposit RF along the FULL path + find the interaction point
-        rf_mask = active & rf_in_range
-        ipos, icell, found, rf = propagate_deposit(
-            grid, med, opt_ev, pkt.pos, pkt.dir, pkt.cell, pkt.lum,
-            tau_int, rf_bin, rf if use_rf else None,
-            opts.max_steps, rf_mask, active_int)
+        if use_rf:
+            rf = deposit_rf(rf, cells, ds, dtau, tau_before, pkt.lum,
+                            rf_bin, rf_mask, opts.rf_scale)
+        ipos, icell, found = interaction_point(
+            pkt.pos, pkt.dir, cells, ds, dtau, tau_before, tau_int,
+            active_int)
 
         active_int = active_int & found
         lum_at = pkt.lum * w_bias
@@ -270,7 +318,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         )
 
         # scattering peel-off (ref: MonteCarloSimulation::peelOffScattering)
-        if inst_cfgs:
+        if do_peel:
             w_comp = msys.scattering_weights(med, opt_ev, icell)  # (B,H)
 
             def per_sr(kobs):

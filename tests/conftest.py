@@ -2,12 +2,15 @@
 
 Multi-chip sharding tests execute on a virtual CPU mesh (the strategy the
 reference cannot offer — it needs real MPI ranks; see SURVEY.md §4).
-Environment must be set before jax is imported anywhere.
+
+The container's sitecustomize force-registers the axon TPU plugin at
+interpreter start and overrides JAX_PLATFORMS, so plain env vars are not
+enough: we must set the platform through jax.config before any backend
+initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,3 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/skirt9_tpu_jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

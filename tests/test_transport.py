@@ -80,7 +80,8 @@ def test_radiation_field_energy_balance():
     tau = 1.0
     sim = make_sim(tau=tau, albedo=0.0, npackets=8192, n=24)
     rf, accs = sim.run_primary(verbose=False)
-    rf = np.asarray(jax.device_get(rf), np.float64)  # (ncells, 1) [W m]
+    # rf is stored in units of sim.rf_scale (f32-range protection)
+    rf = np.asarray(jax.device_get(rf), np.float64) * sim.rf_scale
     nd = np.asarray(sim.medium.nd, np.float64)[:, 0]
     sigma = 1e-24
     k_abs = nd * sigma  # zero albedo: abs = ext
