@@ -97,7 +97,7 @@ def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
 
 def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
                  pos0: jax.Array, dirn: jax.Array, cell0: jax.Array,
-                 max_steps: int, mask: jax.Array):
+                 max_steps: int, mask: jax.Array, record_sca: bool = False):
     """One bounded traversal recording per-step (cell, ds, dtau): (S,B) each.
 
     This replaces BOTH of the reference's passes over the path (segment
@@ -114,11 +114,14 @@ def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
         ds, nc, np_ = grid.step(p, dirn, c)
         seg = mask & (c >= 0)
         ds = jnp.where(seg, ds, 0.0)
-        return (np_, nc), (jnp.maximum(c, 0).astype(jnp.int32), ds, k * ds)
+        ys = [jnp.maximum(c, 0).astype(jnp.int32), ds, k * ds]
+        if record_sca:
+            ys.append(msys.opacity_sca(med, opt, c) * ds)
+        return (np_, nc), tuple(ys)
 
-    (_, _), (cells, ds, dtau) = jax.lax.scan(
+    (_, _), ys = jax.lax.scan(
         body, (pos0, cell0), None, length=max_steps)
-    return cells, ds, dtau
+    return ys
 
 
 def deposit_rf(rf: jax.Array, cells: jax.Array, ds: jax.Array,
@@ -151,12 +154,15 @@ def deposit_rf(rf: jax.Array, cells: jax.Array, ds: jax.Array,
 
 def interaction_point(pos0, dirn, cells, ds, dtau, tau_before, tau_int,
                       int_mask):
-    """Locate the forced-scattering interaction on a recorded march.
+    """Locate the scattering interaction on a recorded march.
 
-    Returns (ipos, icell, found): the first step where cumulative tau
-    crosses tau_int, with linear-in-tau interpolation inside the step
+    Returns (ipos, icell, found, idx, frac): the first step where cumulative
+    tau crosses tau_int, with linear-in-tau interpolation inside the step
     (ref: SpatialGridPath::findInteractionPoint, SpatialGridPath.hpp:155 —
     the reference's segment-array binary search becomes a dense argmax).
+    idx/frac let the caller interpolate any other cumulative quantity (e.g.
+    absorption optical depth for explicit-absorption weighting) at the
+    interaction location.
     """
     cum = tau_before + dtau                       # (S,B)
     hit = (cum >= tau_int[None, :]) & (dtau > 0)
@@ -173,7 +179,7 @@ def interaction_point(pos0, dirn, cells, ds, dtau, tau_before, tau_int,
     s_total = sb_i + frac * ds_i
     ipos = pos0 + s_total[:, None] * dirn
     icell = take(cells)
-    return ipos, icell, found
+    return ipos, icell, found, idx, frac
 
 
 # ------------------------------------------------------------------- peel-off
@@ -274,41 +280,68 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         # ONE march records the whole path; optical depth, RF deposits and
         # the interaction point all derive from the step table
         rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
-        cells, ds, dtau = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
-                                       pkt.cell, opts.max_steps,
-                                       active | rf_mask)
-        tau_before = jnp.cumsum(dtau, axis=0) - dtau
-        tau_path = tau_before[-1] + dtau[-1]
-
-        # forced-scattering interaction sampling with composite path-length
-        # bias (ref: MonteCarloSimulation.cpp:709-721)
-        xi = opts.path_length_bias
-        one_minus_exp = -jnp.expm1(-tau_path)
-        if xi > 0:
-            u_choice = rng.uniform(keys, _TAG_PATH_CHOICE)
-            tau_uni = rng.uniform(keys, _TAG_PATH_TAU_UNI) * tau_path
-            tau_exp = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
-            tau_int = jnp.where(u_choice < xi, tau_uni, tau_exp)
-            p = jnp.exp(-tau_int) / jnp.maximum(one_minus_exp, 1e-30)
-            q = (1.0 - xi) * p + xi / jnp.maximum(tau_path, 1e-30)
-            w_bias = one_minus_exp * p / jnp.maximum(q, 1e-30)
+        rec = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
+                           pkt.cell, opts.max_steps, active | rf_mask,
+                           record_sca=opts.explicit_absorption)
+        if opts.explicit_absorption:
+            # interaction sampled on the SCATTERING optical depth; absorption
+            # applied as an explicit weight e^-tau_abs at the interaction
+            # (ref: Configuration explicitAbsorption + simulateForced/
+            # NonForcedPropagation variants)
+            cells, ds, dtau_ext, dtau_s = rec
         else:
-            tau_int = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
-            w_bias = one_minus_exp
+            cells, ds, dtau_ext = rec
+            dtau_s = dtau_ext
+        tau_before_ext = jnp.cumsum(dtau_ext, axis=0) - dtau_ext
+        tau_before = jnp.cumsum(dtau_s, axis=0) - dtau_s
+        tau_path = tau_before[-1] + dtau_s[-1]
 
-        # a packet whose path has (nearly) no optical depth escapes
-        active_int = active & (tau_path > 1e-6)
+        if opts.force_scattering:
+            # forced scattering with composite path-length bias
+            # (ref: MonteCarloSimulation::simulateForcedPropagation :696,
+            # bias mix :709-721)
+            xi = opts.path_length_bias
+            one_minus_exp = -jnp.expm1(-tau_path)
+            if xi > 0:
+                u_choice = rng.uniform(keys, _TAG_PATH_CHOICE)
+                tau_uni = rng.uniform(keys, _TAG_PATH_TAU_UNI) * tau_path
+                tau_exp = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+                tau_int = jnp.where(u_choice < xi, tau_uni, tau_exp)
+                p = jnp.exp(-tau_int) / jnp.maximum(one_minus_exp, 1e-30)
+                q = (1.0 - xi) * p + xi / jnp.maximum(tau_path, 1e-30)
+                w_bias = one_minus_exp * p / jnp.maximum(q, 1e-30)
+            else:
+                tau_int = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+                w_bias = one_minus_exp
+            # a packet whose path has (nearly) no optical depth escapes
+            active_int = active & (tau_path > 1e-6)
+        else:
+            # non-forced: plain exponential free path; packets whose path
+            # ends before tau_int escape the model
+            # (ref: MonteCarloSimulation::simulateNonForcedPropagation :746)
+            tau_int = rng.expon(keys, _TAG_PATH_TAU_EXP)
+            w_bias = jnp.ones_like(tau_path)
+            active_int = active
 
         if use_rf:
-            rf = deposit_rf(rf, cells, ds, dtau, tau_before, pkt.lum,
+            rf = deposit_rf(rf, cells, ds, dtau_ext, tau_before_ext, pkt.lum,
                             rf_bin, rf_mask, opts.rf_scale)
-        ipos, icell, found = interaction_point(
-            pkt.pos, pkt.dir, cells, ds, dtau, tau_before, tau_int,
+        ipos, icell, found, idx, frac = interaction_point(
+            pkt.pos, pkt.dir, cells, ds, dtau_s, tau_before, tau_int,
             active_int)
 
         active_int = active_int & found
         lum_at = pkt.lum * w_bias
-        albedo = msys.albedo_for_scattering(med, opt_ev, icell)
+        if opts.explicit_absorption:
+            # absorption optical depth accumulated up to the interaction
+            take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+            dtau_abs = dtau_ext - dtau_s
+            tau_abs_at = (take(tau_before_ext) - take(tau_before)
+                          + frac * take(dtau_abs))
+            lum_at = lum_at * jnp.exp(-jnp.maximum(tau_abs_at, 0.0))
+            albedo = jnp.ones_like(lum_at)
+        else:
+            albedo = msys.albedo_for_scattering(med, opt_ev, icell)
 
         # move packet to interaction point
         pkt = pkt._replace(
@@ -354,6 +387,20 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         )
         return (pkt, rf, accs), None
 
-    (pkt, rf, accs), _ = jax.lax.scan(
-        event, (pkt, rf, accs), jnp.arange(opts.max_events))
+    # while-loop with early exit: most packets terminate well before
+    # max_events (weight cutoff), and pure-absorption runs finish after one
+    # event — the reference's per-packet while loop achieves the same
+    # adaptivity via MIMD threads (ref: performLifeCycle while(true) loop)
+    def cond(state):
+        ev, carry = state
+        pkt_c = carry[0]
+        return (ev < opts.max_events) & jnp.any(pkt_c.alive)
+
+    def body(state):
+        ev, carry = state
+        carry, _ = event(carry, ev)
+        return (ev + 1, carry)
+
+    _, (pkt, rf, accs) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (pkt, rf, accs)))
     return rf, accs

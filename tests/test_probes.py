@@ -1,0 +1,76 @@
+"""Probe subsystem: per-cell dumps, cuts, convergence info."""
+
+import numpy as np
+
+from skirt9_tpu.geometries.analytic import ShellGeometry
+from skirt9_tpu.grids.cartesian import make_cartesian
+from skirt9_tpu.instruments import distant as dinst
+from skirt9_tpu.media import geometric as gm, mixes as mx
+from skirt9_tpu.probes import probes as pb
+from skirt9_tpu.simulation import Simulation
+from skirt9_tpu.sources.base import PointSource
+from skirt9_tpu.transport import lifecycle as lc
+from skirt9_tpu.utils.fits import read_fits
+
+PC = 3.0857e16
+
+
+def make_sim():
+    grid = make_cartesian(((-1.2 * PC, 1.2 * PC),) * 3, (12,) * 3)
+    geom = ShellGeometry(rmin=0.1 * PC, rmax=PC, p=0.0)
+    mix = mx.mean_interstellar_approx()
+    norm = gm.OpticalDepthNormalization(tau=1.0, lam=0.55e-6, axis="z")
+    components = [(geom, mix, norm)]
+    med = gm.build_medium(grid, components)
+    inst = dinst.DistantInstrumentCfg(name="i", wave_borders=(0.4e-6, 0.7e-6),
+                                      distance=100 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=8)
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[PointSource(luminosity=3.8e26, lam0=0.55e-6)],
+                     instruments=[inst], options=opts,
+                     rf_borders=np.geomspace(0.1e-6, 10e-6, 9),
+                     ems_borders=np.geomspace(1e-6, 1000e-6, 25),
+                     num_packets=2048, batch_size=2048)
+    return sim, components
+
+
+def test_probes(tmp_path):
+    sim, components = make_sim()
+    rf, accs = sim.run_primary(verbose=False)
+    out = str(tmp_path)
+
+    paths = pb.density_probe(sim, "p", out, cuts=True)
+    dat = np.loadtxt(paths[0])
+    assert dat.shape[1] == 4  # x y z nd
+    assert dat[:, 3].max() > 0
+    cube, hdr = read_fits(paths[1])
+    assert cube.shape == (256, 256)
+    assert np.isfinite(cube).all() and cube.max() > 0
+
+    (p,) = pb.opacity_probe(sim, 0.55e-6, "p", out)
+    k = np.loadtxt(p)[:, 3]
+    assert k.max() > 0
+
+    paths = pb.temperature_probe(sim, rf, "p", out)
+    T = np.loadtxt(paths[0])[:, 3]
+    nd = np.loadtxt(pb.density_probe(sim, "p2", out, cuts=False)[0])[:, 3]
+    assert (T[nd > 0] > 2.0).any()
+
+    (p,) = pb.radiation_field_probe(sim, rf, "p", out)
+    J = np.loadtxt(p)
+    assert np.isfinite(J).all()
+    assert J[:, 3:].max() > 0
+
+    (p,) = pb.convergence_probe(sim, components, "p", out)
+    txt = open(p).read()
+    assert "total_number_0" in txt and "column_z_0" in txt
+    # gridded total number should match the model within sampling error
+    line = [ln for ln in txt.splitlines() if ln.startswith("total_number_0")][0]
+    rel_err = float(line.split()[-1])
+    assert rel_err < 0.1
+
+    (p,) = pb.grid_probe(sim, "p", out)
+    assert "ncells 1728" in open(p).read()
+
+    (p,) = pb.luminosity_probe(sim, "p", out)
+    assert "3.8" in open(p).read()
