@@ -66,6 +66,7 @@ class DistantInstrumentCfg:
     centerx: float = 0.0
     centery: float = 0.0
     record_statistics: bool = True
+    record_polarization: bool = False  # accumulate Stokes Q/U/V
     # normalization for the statistics power sums (set to the mean packet
     # contribution scale, e.g. L_total/num_packets; R and VOV are invariant)
     stats_scale: float = 1.0
@@ -97,6 +98,10 @@ def init_accumulators(cfg: DistantInstrumentCfg) -> dict:
     acc = {"sed": jnp.zeros((NUM_KINDS, nb), jnp.float32)}
     if cfg.record_statistics:
         acc["stats"] = jnp.zeros((5, nb), jnp.float32)
+    if cfg.record_polarization:
+        # Stokes Q,U,V sums (I is the ordinary sed; ref: FluxRecorder
+        # polarization arrays, FluxRecorder.hpp:50)
+        acc["stokes"] = jnp.zeros((3, nb), jnp.float32)
     if cfg.has_frame:
         acc["frame"] = jnp.zeros((NUM_KINDS, nb, cfg.npy, cfg.npx), jnp.float32)
     return acc
@@ -104,7 +109,8 @@ def init_accumulators(cfg: DistantInstrumentCfg) -> dict:
 
 def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
            lam: jax.Array, pos: jax.Array, contrib: jax.Array,
-           kind: int, active: jax.Array) -> dict:
+           kind: int, active: jax.Array,
+           stokes_quv: jax.Array | None = None) -> dict:
     """Record a batch of peel-off contributions into the accumulators.
 
     tables holds device copies of (kobs, ex, ey, wave_borders).
@@ -118,6 +124,9 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
 
     acc = dict(acc)
     acc["sed"] = acc["sed"].at[kind, bq].add(c)
+    if cfg.record_polarization and stokes_quv is not None:
+        acc["stokes"] = acc["stokes"].at[:, bq].add(
+            (stokes_quv * c[..., None]).T)
     if cfg.record_statistics:
         # power sums of *individual* contributions, kinds merged
         # (ref: FluxRecorder statistics arrays, FluxRecorder.cpp:350-383).
@@ -167,6 +176,10 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
         out[name] = sed[k] / (d2 * dlam)
     out["total"] = (sed[KIND_PRIMARY_DIRECT] + sed[KIND_PRIMARY_SCATTERED]
                     + sed[KIND_SECONDARY_DIRECT] + sed[KIND_SECONDARY_SCATTERED]) / (d2 * dlam)
+    if cfg.record_polarization and "stokes" in acc:
+        quv = np.asarray(acc["stokes"], np.float64)
+        for i, name in enumerate(["Q", "U", "V"]):
+            out[name] = quv[i] / (d2 * dlam)
     if cfg.record_statistics and "stats" in acc:
         w = np.asarray(acc["stats"], np.float64)
         n = np.maximum(w[0], 1.0)

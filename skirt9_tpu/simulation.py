@@ -48,6 +48,7 @@ class Simulation:
     num_packets: int = 100_000
     batch_size: int = 16_384
     seed: int = 0
+    mueller: object = None  # MuellerTables for polarized scattering
     source_bias: float = 0.5   # ref: SourceSystem.hpp:88 (xi over sources)
 
     # dust emission configuration (ref: DustEmissionOptions.hpp:30-66)
@@ -119,7 +120,7 @@ class Simulation:
             pkt = pkt._replace(lum=pkt.lum * lum_weight,
                                lum0=pkt.lum0 * lum_weight)
             return lc.life_cycle(grid, med, opts, cfgs, tabs, rfb,
-                                 pkt, rf, accs)
+                                 pkt, rf, accs, mueller=self.mueller)
 
         fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(5, 6))
         self._seg_cache[key] = fn

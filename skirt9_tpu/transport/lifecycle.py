@@ -37,10 +37,13 @@ import numpy as np
 from ..media import system as msys
 from ..ops import phase as phs
 from ..ops import rng
+from ..ops import stokes as stk
 from ..instruments import distant as dinst
 from .packets import PacketBatch
 
 # dedicated RNG purpose tags for the draws of one event (distinct streams)
+_INV_C = 1.0 / 2.99792458e8  # inverse speed of light [s/m]
+
 _TAG_PATH_CHOICE = 21
 _TAG_PATH_TAU_UNI = 22
 _TAG_PATH_TAU_EXP = 23
@@ -65,6 +68,15 @@ class TransportOptions:
     primary: bool = True           # primary vs secondary segment (for kinds)
     peel_off: bool = True          # off during self-absorption iterations
                                    # (ref: runSecondaryEmissionIterations)
+    polarization: bool = False     # Mueller-matrix scattering + Stokes
+                                   # recording (ref: DustMix
+                                   # SphericalPolarization mode, Peest+2017)
+    kinematics: bool = False       # Doppler shifts from cell bulk velocity:
+                                   # per-cell perceived wavelengths in the
+                                   # march, shifted re-emission and
+                                   # detection (ref: PhotonPacket
+                                   # perceivedWavelength, MediumSystem
+                                   # kinematics handling)
     # RF deposits are stored in units of rf_scale [W m] to keep the f32
     # accumulator in range (raw L*ds reaches ~1e41 for solar-luminosity
     # sources at parsec scales, beyond f32 max). Choose
@@ -76,7 +88,8 @@ class TransportOptions:
 
 def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
               pos: jax.Array, dirn: jax.Array, cell: jax.Array,
-              max_steps: int, active: jax.Array) -> jax.Array:
+              max_steps: int, active: jax.Array,
+              lam: jax.Array | None = None) -> jax.Array:
     """Total extinction optical depth from pos along dirn to the grid boundary.
 
     Pure tau accumulation (used for peel-off extinction and pass 1 of forced
@@ -85,7 +98,13 @@ def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
 
     def body(carry, _):
         p, c, tau = carry
-        k = msys.opacity_ext(med, opt, c)
+        if lam is None:
+            k = msys.opacity_ext(med, opt, c)
+        else:
+            v = med.bulk_v[jnp.maximum(c, 0)]
+            lam_c = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * _INV_C)
+            o = msys.optics_at(med, lam_c)
+            k = msys.opacity_ext(med, o, c)
         ds, nc, np_ = grid.step(p, dirn, c)
         tau = tau + jnp.where(active & (c >= 0), k * ds, 0.0)
         return (np_, nc, tau), None
@@ -97,7 +116,8 @@ def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
 
 def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
                  pos0: jax.Array, dirn: jax.Array, cell0: jax.Array,
-                 max_steps: int, mask: jax.Array, record_sca: bool = False):
+                 max_steps: int, mask: jax.Array, record_sca: bool = False,
+                 lam: jax.Array | None = None):
     """One bounded traversal recording per-step (cell, ds, dtau): (S,B) each.
 
     This replaces BOTH of the reference's passes over the path (segment
@@ -110,13 +130,24 @@ def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
 
     def body(carry, _):
         p, c = carry
-        k = msys.opacity_ext(med, opt, c)
+        if lam is None:
+            k = msys.opacity_ext(med, opt, c)
+            k_sca = msys.opacity_sca(med, opt, c) if record_sca else None
+        else:
+            # kinematics: opacity at the wavelength perceived in the cell
+            # frame, lam' = lam (1 - k.v/c) to first order
+            # (ref: MediumSystem.cpp:860-900 per-cell perceived-lam opacity)
+            v = med.bulk_v[jnp.maximum(c, 0)]
+            lam_c = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * _INV_C)
+            o = msys.optics_at(med, lam_c)
+            k = msys.opacity_ext(med, o, c)
+            k_sca = msys.opacity_sca(med, o, c) if record_sca else None
         ds, nc, np_ = grid.step(p, dirn, c)
         seg = mask & (c >= 0)
         ds = jnp.where(seg, ds, 0.0)
         ys = [jnp.maximum(c, 0).astype(jnp.int32), ds, k * ds]
         if record_sca:
-            ys.append(msys.opacity_sca(med, opt, c) * ds)
+            ys.append(k_sca * ds)
         return (np_, nc), tuple(ys)
 
     (_, _), ys = jax.lax.scan(
@@ -203,26 +234,31 @@ def _observer_groups(inst_cfgs) -> list[list[int]]:
 def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
              contrib_per_sr: Callable[[jax.Array], jax.Array],
              kind: int, max_steps: int, active: jax.Array,
-             transparent_too: bool = False):
+             transparent_too: bool = False, lam_fn=None, lam_march=None):
     """Peel a batch of events off toward every instrument.
 
     contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
-    (phase-function weighting included by the caller).
+    (phase-function weighting included by the caller). With kinematics,
+    lam_fn(kobs) supplies the observer-frame detection wavelengths and
+    lam_march the model-frame wavelengths for Doppler-aware extinction.
     """
     accs = list(accs)
     for group in _observer_groups(inst_cfgs):
         kobs = inst_tabs[group[0]]["kobs"]
         B = lam.shape[0]
         kdir = jnp.broadcast_to(kobs, (B, 3))
-        tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps, active)
+        tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps,
+                            active, lam=lam_march)
         att = jnp.exp(-tau_obs)
         for i in group:
-            per_sr = contrib_per_sr(inst_tabs[i]["kobs"])
+            ko = inst_tabs[i]["kobs"]
+            per_sr = contrib_per_sr(ko)
+            lam_i = lam if lam_fn is None else lam_fn(ko)
             accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
-                                   lam, pos, per_sr * att, kind, active)
+                                   lam_i, pos, per_sr * att, kind, active)
             if transparent_too:
                 accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
-                                       lam, pos, per_sr,
+                                       lam_i, pos, per_sr,
                                        dinst.KIND_TRANSPARENT, active)
     return accs
 
@@ -232,7 +268,8 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
 def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                inst_cfgs, inst_tabs, rf_borders: jax.Array | None,
                pkt: PacketBatch, rf: jax.Array | None, accs: list[dict],
-               emission_phase: Callable[[jax.Array], jax.Array] | None = None):
+               emission_phase: Callable[[jax.Array], jax.Array] | None = None,
+               mueller: "stk.MuellerTables | None" = None):
     """Run the complete life cycle of one launched packet batch.
 
     Equivalent of performLifeCycle for the whole batch: emission peel-off,
@@ -268,7 +305,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs)
         accs = peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs,
                         pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
-                        opts.max_steps, pkt.alive, transparent_too=True)
+                        opts.max_steps, pkt.alive, transparent_too=True,
+                        lam_march=pkt.lam if opts.kinematics else None)
 
     # ---- scattering-event loop
     def event(carry, ev):
@@ -282,7 +320,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
         rec = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
                            pkt.cell, opts.max_steps, active | rf_mask,
-                           record_sca=opts.explicit_absorption)
+                           record_sca=opts.explicit_absorption,
+                           lam=pkt.lam if opts.kinematics else None)
         if opts.explicit_absorption:
             # interaction sampled on the SCATTERING optical depth; absorption
             # applied as an explicit weight e^-tau_abs at the interaction
@@ -331,6 +370,17 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             active_int)
 
         active_int = active_int & found
+        if opts.kinematics:
+            # wavelength perceived in the interaction cell's rest frame
+            # (ref: PhotonPacket::perceivedWavelength)
+            v_int = med.bulk_v[jnp.maximum(icell, 0)]
+            lam_cell = pkt.lam * (1.0 - jnp.sum(pkt.dir * v_int, axis=-1)
+                                  * _INV_C)
+            opt_int = msys.optics_at(med, lam_cell)
+        else:
+            v_int = None
+            lam_cell = pkt.lam
+            opt_int = opt_ev
         lum_at = pkt.lum * w_bias
         if opts.explicit_absorption:
             # absorption optical depth accumulated up to the interaction
@@ -341,7 +391,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             lum_at = lum_at * jnp.exp(-jnp.maximum(tau_abs_at, 0.0))
             albedo = jnp.ones_like(lum_at)
         else:
-            albedo = msys.albedo_for_scattering(med, opt_ev, icell)
+            albedo = msys.albedo_for_scattering(med, opt_int, icell)
 
         # move packet to interaction point
         pkt = pkt._replace(
@@ -350,27 +400,116 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             lum=jnp.where(active_int, lum_at, pkt.lum),
         )
 
+        # component selection (shared by both polarization modes)
+        u_comp = rng.uniform(keys, _TAG_SCATTER_COMP)
+        h = msys.select_component(med, opt_int, icell, u_comp)
+
+        polarized = opts.polarization and mueller is not None
+        if polarized:
+            s11n = stk.s11_norm(mueller)[h]  # (B,)
+
         # scattering peel-off (ref: MonteCarloSimulation::peelOffScattering)
         if do_peel:
-            w_comp = msys.scattering_weights(med, opt_ev, icell)  # (B,H)
+            w_comp = msys.scattering_weights(med, opt_int, icell)  # (B,H)
 
-            def per_sr(kobs):
-                ct = pkt.dir @ kobs
-                ph = jnp.sum(w_comp * phs.hg_phase(opt_ev.g, ct[..., None]),
-                             axis=-1)
-                return pkt.lum * albedo * ph
+            if not polarized:
+                def per_sr(kobs):
+                    ct = pkt.dir @ kobs
+                    ph = jnp.sum(w_comp * phs.hg_phase(opt_int.g,
+                                                       ct[..., None]),
+                                 axis=-1)
+                    return pkt.lum * albedo * ph
 
-            accs = peel_off(grid, med, opt_ev, inst_cfgs, inst_tabs, accs,
-                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_scat,
-                            opts.max_steps, active_int)
+                lam_fn = None
+                if opts.kinematics:
+                    lam_fn = lambda ko: lam_cell * (
+                        1.0 + jnp.sum(ko * v_int, axis=-1) * _INV_C)
+                accs = peel_off(grid, med, opt_int, inst_cfgs, inst_tabs,
+                                accs, pkt.lam, pkt.pos, pkt.cell, per_sr,
+                                kind_scat, opts.max_steps, active_int,
+                                lam_fn=lam_fn,
+                                lam_march=pkt.lam if opts.kinematics else None)
+            else:
+                # polarized peel-off: rotate into the (k, k_obs) scattering
+                # plane, apply the Mueller matrix, record Stokes in the
+                # instrument frame (ref: peelOffScattering polarization
+                # branch, MonteCarloSimulation.cpp:629 + Peest+2017)
+                def stokes_per_sr(kobs, tab):
+                    B = pkt.lam.shape[0]
+                    ko = jnp.broadcast_to(kobs, (B, 3))
+                    ct_o = jnp.sum(pkt.dir * ko, axis=-1)
+                    phi_o, pn = stk.rotate_normal_into_plane(pkt.dir,
+                                                             pkt.normal, ko)
+                    S11, S12, S33, S34 = stk.mueller_at(mueller, h, ct_o)
+                    st_rot = stk.rotate_stokes(pkt.stokes, phi_o)
+                    st_obs = stk.apply_mueller(st_rot, S11, S12, S33, S34)
+                    st_obs, I_obs = stk.normalize_stokes(st_obs)
+                    phase = I_obs / jnp.maximum(
+                        2 * jnp.pi * s11n * jnp.maximum(pkt.stokes[..., 0],
+                                                        1e-30), 1e-30)
+                    contrib = pkt.lum * albedo * phase
+                    # rotate Q/U reference from the plane normal to the
+                    # instrument north (ey projected perpendicular to kobs)
+                    north = tab["ey"] - jnp.sum(tab["ey"] * kobs) * kobs
+                    north = north / jnp.maximum(jnp.linalg.norm(north), 1e-30)
+                    cosb = jnp.sum(pn * north, axis=-1)
+                    sinb = jnp.sum(jnp.cross(pn, jnp.broadcast_to(
+                        north, pn.shape)) * ko, axis=-1)
+                    beta = jnp.arctan2(sinb, cosb)
+                    st_final = stk.rotate_stokes(st_obs, beta)
+                    return contrib, st_final[..., 1:]
 
-        # the scattering event proper (ref: MediumSystem::simulateScattering)
-        u_comp = rng.uniform(keys, _TAG_SCATTER_COMP)
-        h = msys.select_component(med, opt_ev, icell, u_comp)
-        g_sel = jnp.take_along_axis(opt_ev.g, h[..., None], axis=-1)[..., 0]
-        ct = phs.hg_sample_costheta(g_sel, rng.uniform(keys, _TAG_SCATTER_CT))
-        phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
-        newdir = phs.rotate_direction(pkt.dir, ct, phi)
+                accs2 = list(accs)
+                for gidx in _observer_groups(inst_cfgs):
+                    kobs = inst_tabs[gidx[0]]["kobs"]
+                    B = pkt.lam.shape[0]
+                    kdir = jnp.broadcast_to(kobs, (B, 3))
+                    tau_obs = trace_tau(grid, med, opt_ev, pkt.pos, kdir,
+                                        pkt.cell, opts.max_steps, active_int)
+                    att = jnp.exp(-tau_obs)
+                    for i in gidx:
+                        contrib, quv = stokes_per_sr(inst_tabs[i]["kobs"],
+                                                     inst_tabs[i])
+                        accs2[i] = dinst.detect(
+                            inst_cfgs[i], inst_tabs[i], accs2[i], pkt.lam,
+                            pkt.pos, contrib * att, kind_scat, active_int,
+                            stokes_quv=quv)
+                accs = accs2
+
+        # the scattering event proper (ref: MediumSystem::simulateScattering
+        # / MaterialMix::performScattering)
+        if not polarized:
+            g_sel = jnp.take_along_axis(opt_int.g, h[..., None], axis=-1)[..., 0]
+            ct = phs.hg_sample_costheta(g_sel,
+                                        rng.uniform(keys, _TAG_SCATTER_CT))
+            phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+            newdir = phs.rotate_direction(pkt.dir, ct, phi)
+        else:
+            # sample (theta, phi) from the polarized phase function and
+            # update direction, reference normal and Stokes state
+            ct = stk.sample_costheta(mueller, h, rng.uniform(keys, _TAG_SCATTER_CT))
+            S11s, S12s, S33s, S34s = stk.mueller_at(mueller, h, ct)
+            phi = stk.sample_azimuth(S11s, S12s, pkt.stokes,
+                                     rng.uniform(keys, _TAG_SCATTER_PHI))
+            n_rot = (jnp.cos(phi)[..., None] * pkt.normal
+                     + jnp.sin(phi)[..., None] * jnp.cross(pkt.dir, pkt.normal))
+            m = jnp.cross(n_rot, pkt.dir)
+            st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+            newdir = ct[..., None] * pkt.dir + st[..., None] * m
+            newdir = newdir / jnp.linalg.norm(newdir, axis=-1, keepdims=True)
+            st_new = stk.apply_mueller(stk.rotate_stokes(pkt.stokes, phi),
+                                       S11s, S12s, S33s, S34s)
+            st_new, _ = stk.normalize_stokes(st_new)
+            pkt = pkt._replace(
+                stokes=jnp.where(active_int[..., None], st_new, pkt.stokes),
+                normal=jnp.where(active_int[..., None], n_rot, pkt.normal),
+            )
+
+        if opts.kinematics:
+            lam_new = lam_cell * (1.0 + jnp.sum(newdir * v_int, axis=-1)
+                                  * _INV_C)
+            pkt = pkt._replace(
+                lam=jnp.where(active_int, lam_new, pkt.lam))
 
         lum_new = pkt.lum * albedo
         nscat_new = pkt.nscat + 1
