@@ -14,6 +14,12 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: engine compiles on the axon TPU take
+# minutes; warmed entries make driver re-runs fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jaxcache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 
 def main():
     import jax
@@ -45,12 +51,12 @@ def main():
                      sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
                      instruments=[inst], options=opts,
                      rf_borders=np.array([0.5e-6, 0.6e-6]),
-                     num_packets=1 << 17, batch_size=1 << 15, seed=0)
+                     num_packets=1 << 17, batch_size=1 << 17, seed=0)
 
     # warmup (compile)
     sim.run_primary(verbose=False)
     # timed
-    sim.num_packets = 1 << 19
+    sim.num_packets = 1 << 20
     t0 = time.perf_counter()
     rf, accs = sim.run_primary(verbose=False)
     dt = time.perf_counter() - t0

@@ -1,0 +1,68 @@
+"""Command-line entry point: run a ski file.
+
+Counterpart of the reference's CLI (ref: SKIRT/main/SkirtMain.cpp:15,
+SkirtCommandLineHandler.cpp:31 flags). Usage:
+
+    python -m skirt9_tpu model.ski [more.ski ...] [-o outdir] [-s seed]
+        [-p packets] [-b batch] [-e]
+
+Accepted-for-compatibility but inert flags: -t (thread count — the TPU
+engine parallelizes by batch), -m/-v/-d (memory/verbose/data-parallel
+logging modes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="skirt9_tpu",
+        description="TPU-native Monte Carlo radiative transfer (SKIRT 9 "
+                    "capability set)")
+    ap.add_argument("skifiles", nargs="+", help=".ski parameter files")
+    ap.add_argument("-o", "--outdir", default=".", help="output directory")
+    ap.add_argument("-s", "--seed", type=int, default=0, help="RNG seed")
+    ap.add_argument("-p", "--packets", type=int, default=None,
+                    help="override number of photon packets")
+    ap.add_argument("-b", "--batch", type=int, default=16384,
+                    help="packet batch size per device")
+    ap.add_argument("-e", "--emulate", action="store_true",
+                    help="setup only, zero packets (ref: emulation mode)")
+    ap.add_argument("-t", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("-m", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("-v", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+
+    from .config.ski import load_ski
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for ski in args.skifiles:
+        prefix = os.path.splitext(os.path.basename(ski))[0]
+        t0 = time.perf_counter()
+        print(f"[skirt9_tpu] loading {ski}")
+        sim = load_ski(ski, num_packets=args.packets, batch_size=args.batch,
+                       seed=args.seed)
+        if args.emulate:
+            print(f"[skirt9_tpu] emulation: setup OK, "
+                  f"{sim.grid.ncells} cells, {len(sim.sources)} sources, "
+                  f"{len(sim.instruments)} instruments")
+            continue
+        if sim.ems_borders is not None:
+            rf, accs, info = sim.run_with_dust_emission()
+        else:
+            rf, accs = sim.run_primary()
+        paths = sim.write_outputs(accs, prefix, args.outdir)
+        print(f"[skirt9_tpu] finished {ski} in "
+              f"{time.perf_counter() - t0:.1f} s; wrote:")
+        for p in paths:
+            print(f"  {p}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

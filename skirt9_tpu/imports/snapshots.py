@@ -1,0 +1,238 @@
+"""Imported snapshots: particle (SPH) and cell data as media and sources.
+
+TPU-native counterpart of the reference's Snapshot framework
+(ref: SKIRT/core/Snapshot.hpp:47, ParticleSnapshot.hpp:25,
+CellSnapshot, TextInFile.hpp:87 column import; SmoothingKernel.hpp:22):
+
+  * import is column-oriented host-side numpy; snapshot queries (density on
+    the grid, per-cell kinematics) are vectorized with a cKDTree
+    neighbor search standing in for the reference's BoxSearch accelerator;
+  * an imported medium resamples the snapshot onto the spatial grid once at
+    setup (the reference samples densities per cell the same way,
+    ref: MediumSystem.cpp:220 + SamplingOptions numDensitySamples);
+  * an imported source launches packets from the particles themselves
+    (luminosity-weighted selection, kernel-smoothed positions, per-particle
+    SEDs through a family — ref: ImportedSource.hpp:70).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..media import system as msys
+from ..ops import rng, sampling
+from ..utils import constants as c
+
+
+# ------------------------------------------------------------- SPH kernels
+
+def cubic_spline_w(q: np.ndarray) -> np.ndarray:
+    """Standard cubic spline kernel W(q), normalized in 3D with support q<1
+    (ref: CubicSplineSmoothingKernel)."""
+    q = np.asarray(q)
+    a = 8.0 / np.pi
+    w = np.where(q < 0.5,
+                 1 - 6 * q**2 + 6 * q**3,
+                 np.where(q < 1.0, 2 * (1 - q) ** 3, 0.0))
+    return a * w
+
+
+_CUM_Q = np.linspace(0, 1, 513)
+_CUM_W = np.cumsum(cubic_spline_w(_CUM_Q) * _CUM_Q**2)
+_CUM_W /= _CUM_W[-1]
+
+
+def sample_kernel_radius(u: jax.Array) -> jax.Array:
+    """Sample normalized radius q from the cubic-spline kernel (device)."""
+    return sampling.sample_cdf_linlin(u, jnp.asarray(_CUM_Q, jnp.float32),
+                                      jnp.asarray(_CUM_W, jnp.float32))
+
+
+# ---------------------------------------------------------------- snapshots
+
+@dataclasses.dataclass
+class ParticleSnapshot:
+    """SPH particles: positions (N,3) [m], smoothing lengths h (N,) [m],
+    masses m (N,) [kg] (or entity counts), optional velocity (N,3) [m/s]
+    and extra per-particle properties (dict of (N,) arrays)."""
+
+    positions: np.ndarray
+    h: np.ndarray
+    mass: np.ndarray
+    velocity: np.ndarray | None = None
+    props: dict = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        self.positions = np.asarray(self.positions, np.float64)
+        self.h = np.asarray(self.h, np.float64)
+        self.mass = np.asarray(self.mass, np.float64)
+
+    @property
+    def n(self) -> int:
+        return len(self.mass)
+
+    def density_on_cells(self, grid, samples: int = 1, seed: int = 9) -> np.ndarray:
+        """Kernel-smoothed mass density at cell centers [kg/m^3]
+        (ref: ParticleSnapshot::density via kernel sum over neighbors)."""
+        from scipy.spatial import cKDTree
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        tree = cKDTree(self.positions)
+        hmax = self.h.max()
+        out = np.zeros(len(centers))
+        # particles whose kernel overlaps each center
+        pairs = tree.query_ball_point(centers, hmax)
+        for i, plist in enumerate(pairs):
+            if not plist:
+                continue
+            p = np.asarray(plist)
+            d = np.linalg.norm(self.positions[p] - centers[i], axis=-1)
+            q = d / self.h[p]
+            w = cubic_spline_w(q) / self.h[p] ** 3
+            out[i] = np.sum(self.mass[p] * w)
+        return out
+
+    def velocity_on_cells(self, grid) -> np.ndarray:
+        """Mass-weighted bulk velocity per cell (nearest-particle fallback)."""
+        if self.velocity is None:
+            return np.zeros((grid.ncells, 3))
+        from scipy.spatial import cKDTree
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        tree = cKDTree(self.positions)
+        _, idx = tree.query(centers)
+        return np.asarray(self.velocity, np.float64)[idx]
+
+
+@dataclasses.dataclass
+class CellSnapshot:
+    """Axis-aligned box cells: lo (N,3), hi (N,3) [m], mass (N,) [kg]
+    (ref: CellSnapshot)."""
+
+    lo: np.ndarray
+    hi: np.ndarray
+    mass: np.ndarray
+    velocity: np.ndarray | None = None
+
+    def density_on_cells(self, grid, samples: int = 4, seed: int = 9) -> np.ndarray:
+        """Overlap-weighted resampling of cell masses onto the grid."""
+        lo = np.asarray(self.lo, np.float64)
+        hi = np.asarray(self.hi, np.float64)
+        m = np.asarray(self.mass, np.float64)
+        rho_snap = m / np.prod(hi - lo, axis=-1)
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        vols = np.asarray(grid.volumes(), np.float64)
+        halfe = np.cbrt(vols)[:, None] * 0.5
+        rs = np.random.default_rng(seed)
+        out = np.zeros(len(centers))
+        for _ in range(samples):
+            pts = centers + rs.uniform(-1, 1, centers.shape) * halfe
+            inside = np.zeros(len(pts))
+            # for each snapshot cell accumulate membership (N_snap small-ish)
+            for j in range(len(m)):
+                sel = np.all((pts >= lo[j]) & (pts < hi[j]), axis=-1)
+                inside = np.where(sel, rho_snap[j], inside)
+            out += inside
+        return out / samples
+
+
+def imported_medium(grid, snapshot, mix, samples: int = 1) -> msys.MediumTables:
+    """Build MediumTables from a snapshot + material mix: number density =
+    mass density / mix.mu (ref: ImportedMedium with massType Mass)."""
+    from ..media import mixes as mx
+    rho = snapshot.density_on_cells(grid, samples=samples)
+    if mix.mu <= 0:
+        raise ValueError("imported medium needs a mix with mu > 0")
+    nd = (rho / mix.mu).astype(np.float32)
+    lam, se, al, g = mx.stack([mix])
+    bulk_v = snapshot.velocity_on_cells(grid) if hasattr(
+        snapshot, "velocity_on_cells") else None
+    return msys.make_medium(grid, nd, lam, se, al, g,
+                            bulk_v=np.asarray(bulk_v, np.float32)
+                            if bulk_v is not None else None)
+
+
+# --------------------------------------------------------------- BB family
+
+_X_GRID = np.geomspace(1e-2, 50, 512)          # x = hc/(lam k T)
+_planck_x = _X_GRID**3 / np.expm1(_X_GRID)     # dimensionless B in x
+_X_CDF = np.concatenate([[0.0], np.cumsum(
+    0.5 * (_planck_x[1:] + _planck_x[:-1]) * np.diff(_X_GRID))])
+_X_CDF /= _X_CDF[-1]
+
+
+def sample_planck_wavelength(u: jax.Array, T: jax.Array) -> jax.Array:
+    """Sample lam from a blackbody at per-packet temperature T via the
+    universal dimensionless Planck cdf in x = hc/(lam k T) — one table for
+    all temperatures (the trick that replaces per-entity SED cdfs,
+    ref: BlackBodySEDFamily)."""
+    x = sampling.sample_cdf_linlin(u, jnp.asarray(_X_GRID, jnp.float32),
+                                   jnp.asarray(_X_CDF[1:], jnp.float32))
+    return c.H_PLANCK * c.C_LIGHT / (x * c.K_BOLTZMANN * T)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleSource:
+    """Imported source: particles with luminosities and a blackbody SED
+    family parameterized by per-particle temperature
+    (ref: ParticleSource + BlackBodySEDFamily; other families plug in by
+    swapping the wavelength sampler)."""
+
+    snapshot: ParticleSnapshot
+    luminosities: np.ndarray   # (N,) [W]
+    temperatures: np.ndarray   # (N,) [K]
+
+    @property
+    def luminosity(self) -> float:
+        return float(np.sum(self.luminosities))
+
+    def tables(self) -> dict:
+        L = np.asarray(self.luminosities, np.float64)
+        cdf = np.cumsum(L) / L.sum()
+        return {
+            "cdf": jnp.asarray(cdf, jnp.float32),
+            "pos": jnp.asarray(self.snapshot.positions, jnp.float32),
+            "h": jnp.asarray(self.snapshot.h, jnp.float32),
+            "T": jnp.asarray(self.temperatures, jnp.float32),
+            "v": jnp.asarray(self.snapshot.velocity
+                             if self.snapshot.velocity is not None
+                             else np.zeros_like(self.snapshot.positions),
+                             jnp.float32),
+        }
+
+    def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
+        B = keys.shape[0]
+        u_sel = rng.uniform(keys, rng.LAUNCH_SOURCE)
+        p = jnp.clip(jnp.searchsorted(tabs["cdf"], u_sel, side="right"),
+                     0, tabs["cdf"].shape[0] - 1).astype(jnp.int32)
+        # kernel-smoothed position around the particle
+        u_r = rng.uniform(keys, rng.LAUNCH_POSITION)
+        q = sample_kernel_radius(u_r)
+        dirn_r = rng.isotropic_direction(keys, rng.LAUNCH_POSITION + 60)
+        pos = tabs["pos"][p] + (q * tabs["h"][p])[..., None] * dirn_r
+        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        # wavelength from the particle's blackbody temperature
+        u_lam = rng.uniform(keys, rng.LAUNCH_WAVELENGTH)
+        lam = sample_planck_wavelength(u_lam, tabs["T"][p])
+        # first-order Doppler shift from the particle velocity
+        inv_c = 1.0 / c.C_LIGHT
+        lam = lam * (1.0 + jnp.sum(dirn * tabs["v"][p], axis=-1) * inv_c)
+        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+
+
+def read_column_file(path: str, columns: list[tuple[str, str, str]]):
+    """Text import with unit conversion: columns = [(name, quantity, unit)]
+    (ref: TextInFile column descriptors). Returns dict of SI arrays."""
+    from ..utils import units as U
+    data = np.loadtxt(path, ndmin=2)
+    if data.shape[1] < len(columns):
+        raise ValueError(f"file has {data.shape[1]} columns, "
+                         f"need {len(columns)}")
+    out = {}
+    for i, (name, qty, unit) in enumerate(columns):
+        factor = U.to_si(qty, 1.0, unit) if unit else 1.0
+        out[name] = data[:, i] * factor
+    return out
