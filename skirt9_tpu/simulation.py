@@ -23,12 +23,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from .emission import equilibrium as eq
+from .instruments import allsky as asky
 from .instruments import distant as dinst
 from .media import system as msys
 from .sources import base as src
 from .sources import secondary as sec
 from .transport import lifecycle as lc
 from .utils import fits as fitsio
+
+
+def _inst_tables(cfg):
+    return (asky.device_tables(cfg) if getattr(cfg, "is_local", False)
+            else dinst.device_tables(cfg))
+
+
+def _inst_accumulators(cfg):
+    return (asky.init_accumulators(cfg) if getattr(cfg, "is_local", False)
+            else dinst.init_accumulators(cfg))
 
 
 @dataclasses.dataclass
@@ -68,7 +79,7 @@ class Simulation:
         self.instruments = [
             dataclasses.replace(c, stats_scale=sscale)
             if c.stats_scale == 1.0 else c for c in self.instruments]
-        self._inst_tabs = [dinst.device_tables(c) for c in self.instruments]
+        self._inst_tabs = [_inst_tables(c) for c in self.instruments]
         self._src_tabs = [s.tables() for s in self.sources]
         self._rf_borders_dev = (jnp.asarray(self.rf_borders, jnp.float32)
                                 if self.rf_borders is not None else None)
@@ -153,7 +164,7 @@ class Simulation:
         [W m], instrument accumulators.
         """
         rf = self._init_rf()
-        accs = [dinst.init_accumulators(c) for c in self.instruments]
+        accs = [_inst_accumulators(c) for c in self.instruments]
         seed_key = jax.random.PRNGKey(self.seed)
 
         counts, lum_w = self._source_allocation(self.num_packets)
@@ -274,7 +285,7 @@ class Simulation:
     @staticmethod
     def _block(rf, accs):
         if accs:
-            jax.block_until_ready(accs[0]["sed"])
+            jax.block_until_ready(jax.tree.leaves(accs))
         elif rf is not None:
             jax.block_until_ready(rf)
 
@@ -286,6 +297,14 @@ class Simulation:
         import os
         paths = []
         for cfg, acc in zip(self.instruments, accs):
+            if getattr(cfg, "is_local", False):
+                cube = asky.calibrate(cfg, jax.device_get(acc))
+                p2 = os.path.join(outdir, f"{prefix}_{cfg.name}_allsky.fits")
+                fitsio.write_fits(p2, cube.astype(np.float32),
+                                  {"BUNIT": "W/m2/m/sr",
+                                   "PROJ": cfg.projection})
+                paths.append(p2)
+                continue
             sed = dinst.calibrate_sed(cfg, jax.device_get(acc))
             p = os.path.join(outdir, f"{prefix}_{cfg.name}_sed.dat")
             cols = ["wavelength", "total", "transparent", "primarydirect",

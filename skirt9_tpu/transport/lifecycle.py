@@ -39,6 +39,7 @@ from ..ops import phase as phs
 from ..ops import rng
 from ..ops import stokes as stk
 from ..instruments import distant as dinst
+from ..instruments import allsky as asky
 from .packets import PacketBatch
 
 # dedicated RNG purpose tags for the draws of one event (distinct streams)
@@ -263,6 +264,25 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
     return accs
 
 
+def peel_off_local(grid, med, opt, cfgs, tabs, accs, lam, pos, cell,
+                   contrib_per_sr: Callable[[jax.Array], jax.Array],
+                   kind: int, max_steps: int, active: jax.Array,
+                   lam_march=None):
+    """Peel-off toward interior (all-sky) observers: per-packet observer
+    directions and 1/d^2 local calibration (ref: AllSkyInstrument detection
+    + FluxRecorder local-instrument distance factor)."""
+    accs = list(accs)
+    for i, (cfg, tab) in enumerate(zip(cfgs, tabs)):
+        k, dist = asky.observer_directions(tab, pos)
+        per_sr = contrib_per_sr(k)
+        tau_obs = trace_tau(grid, med, opt, pos, k, cell, max_steps,
+                            active, lam=lam_march)
+        contrib = per_sr * jnp.exp(-tau_obs) / jnp.maximum(dist * dist, 1e-30)
+        accs[i] = asky.detect(cfg, tab, accs[i], lam, -k, contrib, kind,
+                              active)
+    return accs
+
+
 # ---------------------------------------------------------------- the life cycle
 
 def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
@@ -279,6 +299,19 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     the observer; None means isotropic (1/4pi).
     """
     opt = msys.optics_at(med, pkt.lam)
+    # split instruments into distant observers (shared-direction peel-off)
+    # and local all-sky observers (per-packet directions)
+    dist_ids = tuple(i for i, c_ in enumerate(inst_cfgs)
+                     if not getattr(c_, "is_local", False))
+    local_ids = tuple(i for i, c_ in enumerate(inst_cfgs)
+                      if getattr(c_, "is_local", False))
+
+    def _stitch(accs, ids, sub):
+        accs = list(accs)
+        for j, i in enumerate(ids):
+            accs[i] = sub[j]
+        return accs
+
     kind_direct = (dinst.KIND_PRIMARY_DIRECT if opts.primary
                    else dinst.KIND_SECONDARY_DIRECT)
     kind_scat = (dinst.KIND_PRIMARY_SCATTERED if opts.primary
@@ -303,10 +336,25 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             per_sr = lambda kobs: pkt.lum * iso
         else:
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs)
-        accs = peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs,
-                        pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
-                        opts.max_steps, pkt.alive, transparent_too=True,
-                        lam_march=pkt.lam if opts.kinematics else None)
+        lam_march0 = pkt.lam if opts.kinematics else None
+        if dist_ids:
+            sub = peel_off(grid, med, opt,
+                           [inst_cfgs[i] for i in dist_ids],
+                           [inst_tabs[i] for i in dist_ids],
+                           [accs[i] for i in dist_ids],
+                           pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
+                           opts.max_steps, pkt.alive, transparent_too=True,
+                           lam_march=lam_march0)
+            accs = _stitch(accs, dist_ids, sub)
+        if local_ids:
+            sub = peel_off_local(grid, med, opt,
+                                 [inst_cfgs[i] for i in local_ids],
+                                 [inst_tabs[i] for i in local_ids],
+                                 [accs[i] for i in local_ids],
+                                 pkt.lam, pkt.pos, pkt.cell, per_sr,
+                                 kind_direct, opts.max_steps, pkt.alive,
+                                 lam_march=lam_march0)
+            accs = _stitch(accs, local_ids, sub)
 
     # ---- scattering-event loop
     def event(carry, ev):
@@ -414,21 +462,35 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
             if not polarized:
                 def per_sr(kobs):
-                    ct = pkt.dir @ kobs
+                    ct = jnp.sum(pkt.dir * kobs, axis=-1)
                     ph = jnp.sum(w_comp * phs.hg_phase(opt_int.g,
                                                        ct[..., None]),
                                  axis=-1)
                     return pkt.lum * albedo * ph
 
                 lam_fn = None
+                lam_march1 = pkt.lam if opts.kinematics else None
                 if opts.kinematics:
                     lam_fn = lambda ko: lam_cell * (
                         1.0 + jnp.sum(ko * v_int, axis=-1) * _INV_C)
-                accs = peel_off(grid, med, opt_int, inst_cfgs, inst_tabs,
-                                accs, pkt.lam, pkt.pos, pkt.cell, per_sr,
-                                kind_scat, opts.max_steps, active_int,
-                                lam_fn=lam_fn,
-                                lam_march=pkt.lam if opts.kinematics else None)
+                if dist_ids:
+                    sub = peel_off(grid, med, opt_int,
+                                   [inst_cfgs[i] for i in dist_ids],
+                                   [inst_tabs[i] for i in dist_ids],
+                                   [accs[i] for i in dist_ids],
+                                   pkt.lam, pkt.pos, pkt.cell, per_sr,
+                                   kind_scat, opts.max_steps, active_int,
+                                   lam_fn=lam_fn, lam_march=lam_march1)
+                    accs = _stitch(accs, dist_ids, sub)
+                if local_ids:
+                    sub = peel_off_local(grid, med, opt_int,
+                                         [inst_cfgs[i] for i in local_ids],
+                                         [inst_tabs[i] for i in local_ids],
+                                         [accs[i] for i in local_ids],
+                                         pkt.lam, pkt.pos, pkt.cell, per_sr,
+                                         kind_scat, opts.max_steps,
+                                         active_int, lam_march=lam_march1)
+                    accs = _stitch(accs, local_ids, sub)
             else:
                 # polarized peel-off: rotate into the (k, k_obs) scattering
                 # plane, apply the Mueller matrix, record Stokes in the
