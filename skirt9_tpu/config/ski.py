@@ -87,7 +87,7 @@ def build_sed(el) -> TabulatedSED:
     t = el.tag
     a = el.attrib
     if t == "BlackBodySED":
-        return sedlib.blackbody(_f(a, "temperature"))
+        return sedlib.blackbody(_q(a, "temperature", "temperature"))
     if t == "QuasarSED":
         return sedlib.quasar()
     if t == "SunSED":
@@ -136,6 +136,15 @@ def build_source(el):
 
 def build_mix(el) -> mx.MixTables:
     t = el.tag
+    if t == "TrivialGasMix":
+        a = el.attrib
+        sabs = _q(a, "absorptionCrossSection", "section")
+        ssca = _q(a, "scatteringCrossSection", "section")
+        g = _f(a, "asymmetryParameter", 0.0)
+        sext = sabs + ssca
+        lam = np.array([1e-8, 1e-3])
+        return mx.tabulated(lam, [sext, sext],
+                            [ssca / sext, ssca / sext], [g, g])
     if t == "MeanIvezicBenchmarkDustMix":
         return mx.mean_ivezic_benchmark()
     if t == "MeanInterstellarDustMix":
@@ -255,12 +264,20 @@ def load_ski(path: str, num_packets: int | None = None,
     if mcs is None:
         raise ValueError("not a SKIRT 9 ski file (no MonteCarloSimulation)")
     mode = mcs.attrib.get("simulationMode", "ExtinctionOnly")
+    oligo = mode.startswith("Oligo")
     n_pk = num_packets or int(float(mcs.attrib.get("numPackets", 1e6)))
 
     # sources
     src_sys = mcs.find("sourceSystem/SourceSystem")
     sources = [build_source(e) for e in src_sys.find("sources")] \
         if src_sys is not None else []
+    if oligo and src_sys is not None:
+        # oligochromatic regime: discrete wavelengths, sources emit at the
+        # (first) discrete wavelength with their SED-weighted luminosity
+        # (ref: Configuration.cpp:58 oligochromatic setup)
+        import dataclasses as _dc
+        lams = U.parse_list("wavelength", src_sys.attrib["wavelengths"])
+        sources = [_dc.replace(s, sed=None, lam0=lams[0]) for s in sources]
     src_range = None
     if src_sys is not None:
         a = src_sys.attrib
@@ -301,15 +318,21 @@ def load_ski(path: str, num_packets: int | None = None,
                                   np.zeros((1, 2)))
 
     # instruments
-    default_wlg = wl.log_borders(0.1e-6, 10e-6, 25) if src_range is None \
-        else wl.log_borders(src_range[0], src_range[1], 25)
+    if oligo:
+        lams = U.parse_list("wavelength", src_sys.attrib["wavelengths"])
+        default_wlg = wl.oligo_borders(lams)
+    elif src_range is None:
+        default_wlg = wl.log_borders(0.1e-6, 10e-6, 25)
+    else:
+        default_wlg = wl.log_borders(src_range[0], src_range[1], 25)
     inst_sys = mcs.find("instrumentSystem/InstrumentSystem")
     instruments = []
     if inst_sys is not None:
         dwlg_el = inst_sys.find("defaultWavelengthGrid")
         if dwlg_el is not None and len(dwlg_el):
             default_wlg = build_wavelength_grid(list(dwlg_el)[0])
-        for i_el in inst_sys.find("instruments") or []:
+        inst_list = inst_sys.find("instruments")
+        for i_el in (list(inst_list) if inst_list is not None else []):
             instruments.append(build_instrument(i_el, default_wlg))
 
     with_emission = mode in ("DustEmission", "DustAndGasEmission")

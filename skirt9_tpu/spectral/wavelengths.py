@@ -42,8 +42,9 @@ def nested_log_borders(lam_min: float, lam_max: float, n: int,
 
 
 def oligo_borders(wavelengths) -> np.ndarray:
-    """Narrow disjoint bins (width lam/1000) around discrete wavelengths
-    (ref: OligoWavelengthGrid.cpp: 1/1000 relative half-width).
+    """Narrow disjoint bins (relative half-width 1e-3, i.e. width lam/500)
+    around discrete wavelengths (ref: OligoWavelengthGrid.cpp:25
+    setWavelengthBins(lams, 1e-3, true)).
 
     Note: disjoint narrow bins are represented as a border array with gap
     bins; callers using this must mask the gap bins at calibration.
@@ -51,7 +52,7 @@ def oligo_borders(wavelengths) -> np.ndarray:
     ws = np.sort(np.asarray(wavelengths, np.float64))
     borders = []
     for w in ws:
-        borders += [w * (1 - 5e-4), w * (1 + 5e-4)]
+        borders += [w * (1 - 1e-3), w * (1 + 1e-3)]
     return np.asarray(borders)
 
 
