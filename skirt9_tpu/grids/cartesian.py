@@ -164,14 +164,28 @@ class CartesianGrid(NamedTuple):
         return nx + ny + nz + 3
 
 
-def make_cartesian(extent, shape, meshes=None) -> CartesianGrid:
+def make_cartesian(extent, shape, meshes=None, force_general: bool = False):
     """Build a Cartesian grid.
 
     extent: ((xmin,xmax),(ymin,ymax),(zmin,zmax)) in meters
     shape: (nx, ny, nz)
     meshes: optional per-axis border arrays overriding linear spacing
     (ref: CartesianSpatialGrid with Mesh children, SKIRT/core/MeshSpatialGrid).
+
+    Without custom meshes the UNIFORM grid variant is returned — its
+    traversal needs no border-table gathers (the TPU hot-path bottleneck).
     """
+    if meshes is None and not force_general:
+        lo = np.array([extent[a][0] for a in range(3)], np.float64)
+        hi = np.array([extent[a][1] for a in range(3)], np.float64)
+        n = np.array(shape, np.int64)
+        h = (hi - lo) / n
+        return UniformCartesianGrid(
+            lo=jnp.asarray(lo, jnp.float32),
+            hi=jnp.asarray(hi, jnp.float32),
+            inv_h=jnp.asarray(1.0 / h, jnp.float32),
+            h=jnp.asarray(h, jnp.float32),
+            nx=int(shape[0]), ny=int(shape[1]), nz=int(shape[2]))
     borders = []
     for a in range(3):
         if meshes is not None and meshes[a] is not None:
@@ -180,3 +194,129 @@ def make_cartesian(extent, shape, meshes=None) -> CartesianGrid:
             b = np.linspace(extent[a][0], extent[a][1], shape[a] + 1)
         borders.append(jnp.asarray(b, dtype=jnp.float32))
     return CartesianGrid(xb=borders[0], yb=borders[1], zb=borders[2])
+
+
+class UniformCartesianGrid(NamedTuple):
+    """Uniform-spacing Cartesian grid: all traversal math is arithmetic —
+    no border-table gathers in the hot march (the per-step gathers are the
+    TPU throughput bottleneck; the general CartesianGrid costs ~6 table
+    gathers per step, this costs zero)."""
+
+    lo: jax.Array     # (3,) box minimum [m]
+    hi: jax.Array     # (3,) box maximum [m]
+    inv_h: jax.Array  # (3,) 1/cell size
+    h: jax.Array      # (3,) cell size
+    nx: int
+    ny: int
+    nz: int
+
+    @property
+    def shape(self):
+        return (self.nx, self.ny, self.nz)
+
+    @property
+    def ncells(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    def split(self, cell):
+        iz = cell % self.nz
+        iy = (cell // self.nz) % self.ny
+        ix = cell // (self.ny * self.nz)
+        return ix, iy, iz
+
+    def join(self, ix, iy, iz):
+        return (ix * self.ny + iy) * self.nz + iz
+
+    def locate(self, pos: jax.Array) -> jax.Array:
+        rel = (pos - self.lo) * self.inv_h
+        i = jnp.floor(rel).astype(jnp.int32)
+        n = jnp.array([self.nx, self.ny, self.nz], jnp.int32)
+        inside = jnp.all((i >= 0) & (i < n), axis=-1)
+        i = jnp.clip(i, 0, n - 1)
+        return jnp.where(inside, self.join(i[..., 0], i[..., 1], i[..., 2]),
+                         -1).astype(jnp.int32)
+
+    def step(self, pos: jax.Array, dirn: jax.Array, cell: jax.Array):
+        ix, iy, iz = self.split(jnp.maximum(cell, 0))
+        i3 = jnp.stack([ix, iy, iz], axis=-1)          # (B,3)
+        pos_d = dirn > 0
+        nxt_idx = i3 + pos_d.astype(i3.dtype)          # border index per axis
+        border = self.lo + nxt_idx.astype(pos.dtype) * self.h
+        tiny = jnp.abs(dirn) < 1e-30
+        s = jnp.where(tiny, _BIG,
+                      jnp.maximum((border - pos)
+                                  / jnp.where(tiny, 1.0, dirn), 0.0))
+        ax = jnp.argmin(s, axis=-1)
+        ds = jnp.min(s, axis=-1)
+        newpos = pos + ds[..., None] * dirn
+        onehot = jax.nn.one_hot(ax, 3, dtype=bool)
+        newpos = jnp.where(onehot, border, newpos)
+        stp = jnp.where(dirn >= 0, 1, -1).astype(i3.dtype)
+        j3 = i3 + jnp.where(onehot, stp, 0)
+        n = jnp.array([self.nx, self.ny, self.nz], jnp.int32)
+        inside = jnp.all((j3 >= 0) & (j3 < n), axis=-1)
+        j3c = jnp.clip(j3, 0, n - 1)
+        nxt = jnp.where(inside,
+                        self.join(j3c[..., 0], j3c[..., 1], j3c[..., 2]),
+                        -1).astype(jnp.int32)
+        was_outside = cell < 0
+        return (jnp.where(was_outside, 0.0, ds),
+                jnp.where(was_outside, -1, nxt),
+                jnp.where(was_outside[..., None], pos, newpos))
+
+    def move_inside(self, pos: jax.Array, dirn: jax.Array):
+        inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-30, 1e-30, dirn)
+        t1 = (self.lo - pos) * inv
+        t2 = (self.hi - pos) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hits = tmax > jnp.maximum(tmin, 0.0)
+        already = self.locate(pos) >= 0
+        t_entry = jnp.where(already, 0.0,
+                            jnp.maximum(tmin, 0.0) * (1.0 + 1e-6))
+        newpos = pos + t_entry[..., None] * dirn
+        cell = jnp.where(already | hits, self.locate(newpos), -1)
+        return newpos, cell.astype(jnp.int32), t_entry
+
+    # ------------------------------------------------------------------- misc
+
+    @property
+    def xb(self):
+        return self.lo[0] + jnp.arange(self.nx + 1) * self.h[0]
+
+    @property
+    def yb(self):
+        return self.lo[1] + jnp.arange(self.ny + 1) * self.h[1]
+
+    @property
+    def zb(self):
+        return self.lo[2] + jnp.arange(self.nz + 1) * self.h[2]
+
+    def volumes(self) -> np.ndarray:
+        h = np.asarray(self.h, np.float64)
+        return np.full(self.ncells, h[0] * h[1] * h[2])
+
+    def cell_centers(self) -> jax.Array:
+        cx = self.lo[0] + (jnp.arange(self.nx) + 0.5) * self.h[0]
+        cy = self.lo[1] + (jnp.arange(self.ny) + 0.5) * self.h[1]
+        cz = self.lo[2] + (jnp.arange(self.nz) + 0.5) * self.h[2]
+        g = jnp.stack(jnp.meshgrid(cx, cy, cz, indexing="ij"), axis=-1)
+        return g.reshape(-1, 3)
+
+    def cell_bounds(self):
+        lo = np.asarray(self.lo, np.float64)
+        h = np.asarray(self.h, np.float64)
+        cx = lo[0] + np.arange(self.nx) * h[0]
+        cy = lo[1] + np.arange(self.ny) * h[1]
+        cz = lo[2] + np.arange(self.nz) * h[2]
+        clo = np.stack(np.meshgrid(cx, cy, cz, indexing="ij"),
+                       axis=-1).reshape(-1, 3)
+        return clo, clo + h
+
+    def diagonal(self) -> float:
+        lo = np.asarray(self.lo, np.float64)
+        hi = np.asarray(self.hi, np.float64)
+        return float(np.linalg.norm(hi - lo))
+
+    def max_steps(self) -> int:
+        return self.nx + self.ny + self.nz + 3

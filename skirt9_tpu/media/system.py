@@ -34,6 +34,8 @@ class MediumTables(NamedTuple):
     sigma_sca: jax.Array  # (H, T) scattering cross section [m^2]
     g: jax.Array          # (H, T) HG asymmetry parameter
     bulk_v: jax.Array     # (ncells, 3) bulk velocity [m/s] (kinematics)
+    temperature: jax.Array  # (ncells,) gas kinetic temperature [K]
+                            # (used by resonant-line materials, e.g. Lya)
 
     @property
     def ncomp(self) -> int:
@@ -130,7 +132,9 @@ def uniform_density_sphere(grid, tau_radius: float, sigma_ext_val: float,
 
 
 def make_medium(grid, nd: np.ndarray, lam_t: np.ndarray, sigma_ext: np.ndarray,
-                albedo: np.ndarray, g: np.ndarray, bulk_v: np.ndarray | None = None) -> MediumTables:
+                albedo: np.ndarray, g: np.ndarray,
+                bulk_v: np.ndarray | None = None,
+                temperature: np.ndarray | None = None) -> MediumTables:
     """Assemble MediumTables from host arrays.
 
     nd: (ncells,) or (ncells,H); tables: (T,) or (H,T).
@@ -145,6 +149,8 @@ def make_medium(grid, nd: np.ndarray, lam_t: np.ndarray, sigma_ext: np.ndarray,
     sigma_sca = sigma_ext * albedo
     if bulk_v is None:
         bulk_v = np.zeros((nd.shape[0], 3), np.float32)
+    if temperature is None:
+        temperature = np.zeros(nd.shape[0], np.float32)
     return MediumTables(
         nd=jnp.asarray(nd),
         lam_t=jnp.asarray(lam_t, jnp.float32),
@@ -152,4 +158,5 @@ def make_medium(grid, nd: np.ndarray, lam_t: np.ndarray, sigma_ext: np.ndarray,
         sigma_sca=jnp.asarray(sigma_sca, jnp.float32),
         g=jnp.asarray(g, jnp.float32),
         bulk_v=jnp.asarray(bulk_v, jnp.float32),
+        temperature=jnp.asarray(temperature, jnp.float32),
     )

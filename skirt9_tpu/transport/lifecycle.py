@@ -38,6 +38,7 @@ from ..media import system as msys
 from ..ops import phase as phs
 from ..ops import rng
 from ..ops import stokes as stk
+from ..ops import lya as lyo
 from ..instruments import distant as dinst
 from ..instruments import allsky as asky
 from .packets import PacketBatch
@@ -72,6 +73,13 @@ class TransportOptions:
     polarization: bool = False     # Mueller-matrix scattering + Stokes
                                    # recording (ref: DustMix
                                    # SphericalPolarization mode, Peest+2017)
+    lya: bool = False              # Lyman-alpha resonant line transfer:
+                                   # Voigt cross sections vs (lam, T_cell),
+                                   # atom-velocity scattering with
+                                   # wavelength redistribution (ref:
+                                   # LyaNeutralHydrogenGasMix, LyaUtils)
+    lya_xcrit: float = 0.0         # core-skipping critical x (0 = off;
+                                   # ref: LyaOptions acceleration schemes)
     kinematics: bool = False       # Doppler shifts from cell bulk velocity:
                                    # per-cell perceived wavelengths in the
                                    # march, shifted re-emission and
@@ -90,7 +98,7 @@ class TransportOptions:
 def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
               pos: jax.Array, dirn: jax.Array, cell: jax.Array,
               max_steps: int, active: jax.Array,
-              lam: jax.Array | None = None) -> jax.Array:
+              lam: jax.Array | None = None, lya: bool = False) -> jax.Array:
     """Total extinction optical depth from pos along dirn to the grid boundary.
 
     Pure tau accumulation (used for peel-off extinction and pass 1 of forced
@@ -99,10 +107,16 @@ def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
 
     def body(carry, _):
         p, c, tau = carry
-        if lam is None:
+        cm = jnp.maximum(c, 0)
+        if lya:
+            v = med.bulk_v[cm]
+            lam_c = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * _INV_C)
+            T = jnp.maximum(med.temperature[cm], 1.0)
+            k = med.nd[cm, 0] * lyo.cross_section(lam_c, T)
+        elif lam is None:
             k = msys.opacity_ext(med, opt, c)
         else:
-            v = med.bulk_v[jnp.maximum(c, 0)]
+            v = med.bulk_v[cm]
             lam_c = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * _INV_C)
             o = msys.optics_at(med, lam_c)
             k = msys.opacity_ext(med, o, c)
@@ -118,7 +132,7 @@ def trace_tau(grid, med: msys.MediumTables, opt: msys.Optics,
 def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
                  pos0: jax.Array, dirn: jax.Array, cell0: jax.Array,
                  max_steps: int, mask: jax.Array, record_sca: bool = False,
-                 lam: jax.Array | None = None):
+                 lam: jax.Array | None = None, lya: bool = False):
     """One bounded traversal recording per-step (cell, ds, dtau): (S,B) each.
 
     This replaces BOTH of the reference's passes over the path (segment
@@ -131,7 +145,14 @@ def march_record(grid, med: msys.MediumTables, opt: msys.Optics,
 
     def body(carry, _):
         p, c = carry
-        if lam is None:
+        if lya:
+            cm = jnp.maximum(c, 0)
+            v = med.bulk_v[cm]
+            lam_c = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * _INV_C)
+            T = jnp.maximum(med.temperature[cm], 1.0)
+            k = med.nd[cm, 0] * lyo.cross_section(lam_c, T)
+            k_sca = k if record_sca else None
+        elif lam is None:
             k = msys.opacity_ext(med, opt, c)
             k_sca = msys.opacity_sca(med, opt, c) if record_sca else None
         else:
@@ -235,7 +256,8 @@ def _observer_groups(inst_cfgs) -> list[list[int]]:
 def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
              contrib_per_sr: Callable[[jax.Array], jax.Array],
              kind: int, max_steps: int, active: jax.Array,
-             transparent_too: bool = False, lam_fn=None, lam_march=None):
+             transparent_too: bool = False, lam_fn=None, lam_march=None,
+             march_uses_lam_fn: bool = False, lya: bool = False):
     """Peel a batch of events off toward every instrument.
 
     contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
@@ -248,8 +270,11 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
         kobs = inst_tabs[group[0]]["kobs"]
         B = lam.shape[0]
         kdir = jnp.broadcast_to(kobs, (B, 3))
+        lam_for_march = lam_march
+        if march_uses_lam_fn and lam_fn is not None:
+            lam_for_march = lam_fn(kobs)
         tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps,
-                            active, lam=lam_march)
+                            active, lam=lam_for_march, lya=lya)
         att = jnp.exp(-tau_obs)
         for i in group:
             ko = inst_tabs[i]["kobs"]
@@ -369,7 +394,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         rec = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
                            pkt.cell, opts.max_steps, active | rf_mask,
                            record_sca=opts.explicit_absorption,
-                           lam=pkt.lam if opts.kinematics else None)
+                           lam=pkt.lam if (opts.kinematics or opts.lya)
+                           else None, lya=opts.lya)
         if opts.explicit_absorption:
             # interaction sampled on the SCATTERING optical depth; absorption
             # applied as an explicit weight e^-tau_abs at the interaction
@@ -440,6 +466,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             albedo = jnp.ones_like(lum_at)
         else:
             albedo = msys.albedo_for_scattering(med, opt_int, icell)
+        if opts.lya:
+            albedo = jnp.ones_like(lum_at)  # pure resonant scattering
 
         # move packet to interaction point
         pkt = pkt._replace(
@@ -456,8 +484,68 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if polarized:
             s11n = stk.s11_norm(mueller)[h]  # (B,)
 
+        # ---- Lyman-alpha resonant scattering (own peel-off + direction +
+        # wavelength redistribution; ref: LyaUtils + LyaNeutralHydrogenGasMix
+        # performScattering)
+        if opts.lya:
+            T_lya = jnp.maximum(med.temperature[jnp.maximum(icell, 0)], 1.0)
+            a_lya = lyo.damping_parameter(T_lya)
+            x_in = lyo.dimensionless_x(lam_cell, T_lya)
+            u_par = lyo.sample_parallel_velocity(keys, _TAG_SCATTER_COMP + 40,
+                                                 a_lya, x_in)
+            inv_sqrt2 = 0.7071067811865476
+            up1 = rng.gauss(keys, _TAG_SCATTER_COMP + 41) * inv_sqrt2
+            up2 = rng.gauss(keys, _TAG_SCATTER_COMP + 42) * inv_sqrt2
+            core = jnp.abs(x_in) < 0.2
+            if opts.lya_xcrit > 0:
+                # core-skipping: boost the perpendicular velocity so the
+                # photon leaves the interaction in the wing (Smith+ scheme;
+                # ref: LyaOptions acceleration schemes :17-59)
+                skip = jnp.abs(x_in) < opts.lya_xcrit
+                u_r = rng.uniform(keys, _TAG_SCATTER_COMP + 43)
+                u_a = rng.uniform(keys, _TAG_SCATTER_COMP + 44)
+                mag = jnp.sqrt(opts.lya_xcrit**2 - jnp.log(u_r))
+                up1 = jnp.where(skip, mag * jnp.cos(2 * jnp.pi * u_a), up1)
+                up2 = jnp.where(skip, mag * jnp.sin(2 * jnp.pi * u_a), up2)
+
+            # direction: isotropic in the core, dipole in the wing
+            u_ct = rng.uniform(keys, _TAG_SCATTER_CT)
+            ct = jnp.where(core, 2.0 * u_ct - 1.0,
+                           phs.dipole_sample_costheta(u_ct))
+            phi_s = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+            newdir = phs.rotate_direction(pkt.dir, ct, phi_s)
+            lam_new_lya = lyo.scatter_wavelength(lam_cell, pkt.dir, newdir,
+                                                 u_par, up1, T_lya)
+
+            if do_peel:
+                iso = 1.0 / (4.0 * jnp.pi)
+
+                def lya_per_sr(kobs):
+                    ct_o = jnp.sum(pkt.dir * kobs, axis=-1)
+                    ph = jnp.where(core, iso, phs.dipole_phase(ct_o))
+                    return pkt.lum * ph
+
+                def lya_lam_fn(kobs):
+                    B = pkt.lam.shape[0]
+                    ko = jnp.broadcast_to(kobs, (B, 3))
+                    return lyo.scatter_wavelength(lam_cell, pkt.dir, ko,
+                                                  u_par, up1, T_lya)
+
+                if dist_ids:
+                    sub = peel_off(grid, med, opt_int,
+                                   [inst_cfgs[i] for i in dist_ids],
+                                   [inst_tabs[i] for i in dist_ids],
+                                   [accs[i] for i in dist_ids],
+                                   pkt.lam, pkt.pos, pkt.cell, lya_per_sr,
+                                   kind_scat, opts.max_steps, active_int,
+                                   lam_fn=lya_lam_fn,
+                                   march_uses_lam_fn=True, lya=True)
+                    accs = _stitch(accs, dist_ids, sub)
+            pkt = pkt._replace(
+                lam=jnp.where(active_int, lam_new_lya, pkt.lam))
+
         # scattering peel-off (ref: MonteCarloSimulation::peelOffScattering)
-        if do_peel:
+        if do_peel and not opts.lya:
             w_comp = msys.scattering_weights(med, opt_int, icell)  # (B,H)
 
             if not polarized:
@@ -540,7 +628,9 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
         # the scattering event proper (ref: MediumSystem::simulateScattering
         # / MaterialMix::performScattering)
-        if not polarized:
+        if opts.lya:
+            pass  # direction and wavelength already updated above
+        elif not polarized:
             g_sel = jnp.take_along_axis(opt_int.g, h[..., None], axis=-1)[..., 0]
             ct = phs.hg_sample_costheta(g_sel,
                                         rng.uniform(keys, _TAG_SCATTER_CT))
@@ -567,7 +657,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                 normal=jnp.where(active_int[..., None], n_rot, pkt.normal),
             )
 
-        if opts.kinematics:
+        if opts.kinematics and not opts.lya:
             lam_new = lam_cell * (1.0 + jnp.sum(newdir * v_int, axis=-1)
                                   * _INV_C)
             pkt = pkt._replace(
