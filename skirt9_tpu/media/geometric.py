@@ -71,8 +71,11 @@ def cell_densities(grid, geometry, samples: int = 8, seed: int = 1234) -> np.nda
     centers = np.asarray(grid.cell_centers(), np.float64)
     if samples <= 1:
         return geometry.density_np(centers)
-    vols = np.asarray(grid.volumes(), np.float64)
-    h = np.cbrt(vols)[:, None]
+    if hasattr(grid, "cell_jitter_halfwidths"):
+        h = 2.0 * np.asarray(grid.cell_jitter_halfwidths(), np.float64)
+    else:
+        vols = np.asarray(grid.volumes(), np.float64)
+        h = np.cbrt(vols)[:, None]
     rs = np.random.default_rng(seed)
     acc = np.zeros(len(centers))
     for _ in range(samples):

@@ -39,6 +39,7 @@ from ..ops import phase as phs
 from ..ops import rng
 from ..ops import stokes as stk
 from ..ops import lya as lyo
+from ..ops import compton as co
 from ..instruments import distant as dinst
 from ..instruments import allsky as asky
 from .packets import PacketBatch
@@ -73,6 +74,9 @@ class TransportOptions:
     polarization: bool = False     # Mueller-matrix scattering + Stokes
                                    # recording (ref: DustMix
                                    # SphericalPolarization mode, Peest+2017)
+    compton: bool = False          # Klein-Nishina electron scattering with
+                                   # Compton wavelength shifts (ref:
+                                   # ComptonPhaseFunction.hpp:16)
     lya: bool = False              # Lyman-alpha resonant line transfer:
                                    # Voigt cross sections vs (lam, T_cell),
                                    # atom-velocity scattering with
@@ -544,8 +548,38 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             pkt = pkt._replace(
                 lam=jnp.where(active_int, lam_new_lya, pkt.lam))
 
+        # ---- Compton scattering (KN angle sampling + wavelength shift;
+        # ref: ComptonPhaseFunction::performScattering/peeloffScattering)
+        if opts.compton:
+            x_c = co.x_of_lambda(lam_cell)
+            if do_peel and dist_ids:
+                def kn_per_sr(kobs):
+                    mu_o = jnp.sum(pkt.dir * kobs, axis=-1)
+                    return pkt.lum * albedo * co.phase_value(x_c, mu_o)
+
+                def kn_lam_fn(kobs):
+                    B = pkt.lam.shape[0]
+                    ko = jnp.broadcast_to(kobs, (B, 3))
+                    mu_o = jnp.sum(pkt.dir * ko, axis=-1)
+                    return co.shifted_wavelength(lam_cell, x_c, mu_o)
+
+                sub = peel_off(grid, med, opt_int,
+                               [inst_cfgs[i] for i in dist_ids],
+                               [inst_tabs[i] for i in dist_ids],
+                               [accs[i] for i in dist_ids],
+                               pkt.lam, pkt.pos, pkt.cell, kn_per_sr,
+                               kind_scat, opts.max_steps, active_int,
+                               lam_fn=kn_lam_fn, march_uses_lam_fn=True)
+                accs = _stitch(accs, dist_ids, sub)
+            mu_s = co.sample_costheta(rng.uniform(keys, _TAG_SCATTER_CT), x_c)
+            phi_c = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+            newdir = phs.rotate_direction(pkt.dir, mu_s, phi_c)
+            lam_new_c = co.shifted_wavelength(lam_cell, x_c, mu_s)
+            pkt = pkt._replace(
+                lam=jnp.where(active_int, lam_new_c, pkt.lam))
+
         # scattering peel-off (ref: MonteCarloSimulation::peelOffScattering)
-        if do_peel and not opts.lya:
+        if do_peel and not opts.lya and not opts.compton:
             w_comp = msys.scattering_weights(med, opt_int, icell)  # (B,H)
 
             if not polarized:
@@ -628,7 +662,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
         # the scattering event proper (ref: MediumSystem::simulateScattering
         # / MaterialMix::performScattering)
-        if opts.lya:
+        if opts.lya or opts.compton:
             pass  # direction and wavelength already updated above
         elif not polarized:
             g_sel = jnp.take_along_axis(opt_int.g, h[..., None], axis=-1)[..., 0]
