@@ -158,3 +158,38 @@ def stack(mixes: list[MixTables], lam_grid: np.ndarray | None = None):
         al.append(np.interp(lam_grid, m.lam, m.albedo))
         gg.append(np.interp(lam_grid, m.lam, m.g))
     return lam_grid, np.array(se), np.array(al), np.array(gg)
+
+
+def from_stored_table(path: str, mu: float = 0.0) -> MixTables:
+    """Build a mix from a SKIRT mean-optical-properties stored table
+    (axes: lambda; quantities: absorption/scattering cross sections +
+    asymmetry, as in the MeanXxxDustMix resources). This is the exact-parity
+    path for users who have SKIRT resource packs
+    (ref: MeanDustMix resource layout + StoredTable.hpp format)."""
+    from ..utils.storedtable import read_stored_table
+    t = read_stored_table(path)
+    lam = t.axes_points[0]
+
+    def find(*keys):
+        for i, n in enumerate(t.quantity_names):
+            ln = n.lower()
+            if any(k in ln for k in keys):
+                return t.values[..., i]
+        return None
+
+    sabs = find("abs")
+    ssca = find("sca")
+    g = None
+    for i, n in enumerate(t.quantity_names):
+        if n.lower() == "g" or "asym" in n.lower():
+            g = t.values[..., i]
+            break
+    if sabs is None or ssca is None:
+        raise ValueError(f"stored table {path} lacks abs/sca quantities "
+                         f"(has {t.quantity_names})")
+    if g is None:
+        g = np.zeros_like(lam)
+    sext = sabs + ssca
+    albedo = np.where(sext > 0, ssca / np.maximum(sext, 1e-300), 0.0)
+    return MixTables(lam=np.asarray(lam), sigma_ext=np.asarray(sext),
+                     albedo=albedo, g=np.asarray(g), mu=mu)

@@ -141,6 +141,9 @@ class Simulation:
                      rf, accs, hist_base=0, lum_weight=1.0, seg_key=None):
         """Loop a source's history range through the jitted life cycle."""
         B = self.batch_size
+        if getattr(source, "emits_with_velocity", False) and \
+                not opts.emission_doppler:
+            opts = dataclasses.replace(opts, emission_doppler=True)
         run = self._segment_runner(source, opts, seg_key)
         nb = -(-n_packets // B)
         for b in range(nb):

@@ -90,6 +90,10 @@ class TransportOptions:
                                    # detection (ref: PhotonPacket
                                    # perceivedWavelength, MediumSystem
                                    # kinematics handling)
+    emission_doppler: bool = False  # peel-off emission wavelengths in the
+                                    # observer frame from the emitter
+                                    # velocity (line sources; ref:
+                                    # LineGasSecondarySource peel-off)
     # RF deposits are stored in units of rf_scale [W m] to keep the f32
     # accumulator in range (raw L*ds reaches ~1e41 for solar-luminosity
     # sources at parsec scales, beyond f32 max). Choose
@@ -374,6 +378,18 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         else:
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs)
         lam_march0 = pkt.lam if opts.kinematics else None
+        emis_lam_fn = None
+        if opts.emission_doppler:
+            # rest wavelength from the launch-direction Doppler factor, then
+            # re-shift toward each observer
+            lam_rest = pkt.lam / (1.0 + jnp.sum(pkt.dir * pkt.v_emit,
+                                                axis=-1) * _INV_C)
+
+            def emis_lam_fn(ko):
+                B = pkt.lam.shape[0]
+                kb = jnp.broadcast_to(ko, (B, 3))
+                return lam_rest * (1.0 + jnp.sum(kb * pkt.v_emit, axis=-1)
+                                   * _INV_C)
         if dist_ids:
             sub = peel_off(grid, med, opt,
                            [inst_cfgs[i] for i in dist_ids],
@@ -381,7 +397,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                            [accs[i] for i in dist_ids],
                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
                            opts.max_steps, pkt.alive, transparent_too=True,
-                           lam_march=lam_march0)
+                           lam_march=lam_march0, lam_fn=emis_lam_fn)
             accs = _stitch(accs, dist_ids, sub)
         if local_ids:
             sub = peel_off_local(grid, med, opt,

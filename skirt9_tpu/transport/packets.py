@@ -29,6 +29,9 @@ class PacketBatch(NamedTuple):
     # polarization state (identity-initialized; used when polarization on)
     stokes: jax.Array   # (B,4) Stokes (I,Q,U,V) with I normalized to 1
     normal: jax.Array   # (B,3) reference normal for Q/U orientation
+    v_emit: jax.Array   # (B,3) emitter velocity [m/s] (line/kinematic
+                        # sources: enables observer-frame emission
+                        # wavelengths in peel-off)
 
     @property
     def batch_size(self) -> int:
@@ -48,4 +51,5 @@ def empty_batch(batch: int, dtype=jnp.float32) -> PacketBatch:
         hkey=jnp.zeros((batch, 2), jnp.uint32),
         stokes=jnp.zeros((batch, 4), dtype).at[:, 0].set(1.0),
         normal=z3.at[:, 0].set(1.0),
+        v_emit=z3,
     )
