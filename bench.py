@@ -53,10 +53,12 @@ def main():
                      rf_borders=np.array([0.5e-6, 0.6e-6]),
                      num_packets=1 << 17, batch_size=1 << 17, seed=0)
 
-    # warmup (compile)
+    # warmup (compile) at the same packet count as the timed run: the
+    # per-source launch count is a static jit argument, so warming at a
+    # different count would put a recompile inside the timed region
+    sim.num_packets = 1 << 20
     sim.run_primary(verbose=False)
     # timed
-    sim.num_packets = 1 << 20
     t0 = time.perf_counter()
     rf, accs = sim.run_primary(verbose=False)
     dt = time.perf_counter() - t0

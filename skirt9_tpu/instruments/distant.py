@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import scatteradd as sca
+
 # contribution kinds (component split, ref: FluxRecorder.hpp enum)
 KIND_TRANSPARENT = 0
 KIND_PRIMARY_DIRECT = 1
@@ -123,10 +125,13 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     c = jnp.where(ok, contrib, 0.0)
 
     acc = dict(acc)
-    acc["sed"] = acc["sed"].at[kind, bq].add(c)
+    # all bin accumulations go through the Pallas one-hot matmul scatter
+    # (ops/scatteradd.py) — XLA's serialized scatter is the TPU hot spot
+    acc["sed"] = acc["sed"].at[kind].add(sca.scatter_add(bq, c, nb))
     if cfg.record_polarization and stokes_quv is not None:
-        acc["stokes"] = acc["stokes"].at[:, bq].add(
-            (stokes_quv * c[..., None]).T)
+        quv = jnp.stack([sca.scatter_add(bq, stokes_quv[..., i] * c, nb)
+                         for i in range(3)])
+        acc["stokes"] = acc["stokes"] + quv
     if cfg.record_statistics:
         # power sums of *individual* contributions, kinds merged
         # (ref: FluxRecorder statistics arrays, FluxRecorder.cpp:350-383).
@@ -134,18 +139,21 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
         # powers: raw c^4 overflows f32 for luminous sources (c ~ 1e23 W),
         # and R/VOV are scale-invariant.
         cn = c * (1.0 / cfg.stats_scale)
-        powers = jnp.stack([jnp.where(ok, 1.0, 0.0), cn, cn * cn,
-                            cn**3, cn**4])
-        acc["stats"] = acc["stats"].at[:, bq].add(powers)
+        powers = [jnp.where(ok, 1.0, 0.0), cn, cn * cn, cn**3, cn**4]
+        acc["stats"] = acc["stats"] + jnp.stack(
+            [sca.scatter_add(bq, p, nb) for p in powers])
     if cfg.has_frame:
         xp = pos @ tables["ex"] - cfg.centerx
         yp = pos @ tables["ey"] - cfg.centery
         ix = jnp.floor((xp / cfg.fovx + 0.5) * cfg.npx).astype(jnp.int32)
         iy = jnp.floor((yp / cfg.fovy + 0.5) * cfg.npy).astype(jnp.int32)
         okf = ok & (ix >= 0) & (ix < cfg.npx) & (iy >= 0) & (iy < cfg.npy)
-        acc["frame"] = acc["frame"].at[
-            kind, bq, jnp.clip(iy, 0, cfg.npy - 1), jnp.clip(ix, 0, cfg.npx - 1)
-        ].add(jnp.where(okf, contrib, 0.0))
+        flat = (bq * cfg.npy + jnp.clip(iy, 0, cfg.npy - 1)) * cfg.npx \
+            + jnp.clip(ix, 0, cfg.npx - 1)
+        fr = sca.scatter_add(flat, jnp.where(okf, contrib, 0.0),
+                             nb * cfg.npy * cfg.npx)
+        acc["frame"] = acc["frame"].at[kind].add(
+            fr.reshape(nb, cfg.npy, cfg.npx))
     return acc
 
 

@@ -84,6 +84,11 @@ class Simulation:
         self._rf_borders_dev = (jnp.asarray(self.rf_borders, jnp.float32)
                                 if self.rf_borders is not None else None)
         self._seg_cache = {}
+        # slab-sweep fast-path tables (Pallas kernels) when supported
+        from .transport import sweep as _sw
+        self._sweep_tabs = (_sw.build_tables(self.grid, self.medium)
+                            if _sw.supports_sweep(self.grid, self.medium)
+                            else None)
         # RF accumulator unit (see TransportOptions.rf_scale): keeps f32 in
         # range for solar-luminosity sources at parsec scales
         L_tot = sum(float(getattr(s, "luminosity", 1.0)) for s in self.sources)
@@ -131,7 +136,8 @@ class Simulation:
             pkt = pkt._replace(lum=pkt.lum * lum_weight,
                                lum0=pkt.lum0 * lum_weight)
             return lc.life_cycle(grid, med, opts, cfgs, tabs, rfb,
-                                 pkt, rf, accs, mueller=self.mueller)
+                                 pkt, rf, accs, mueller=self.mueller,
+                                 sweep_tabs=self._sweep_tabs)
 
         fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(5, 6))
         self._seg_cache[key] = fn

@@ -273,7 +273,8 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
              contrib_per_sr: Callable[[jax.Array], jax.Array],
              kind: int, max_steps: int, active: jax.Array,
              transparent_too: bool = False, lam_fn=None, lam_march=None,
-             march_uses_lam_fn: bool = False, lya: bool = False):
+             march_uses_lam_fn: bool = False, lya: bool = False,
+             tracer=None):
     """Peel a batch of events off toward every instrument.
 
     contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
@@ -289,8 +290,11 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
         lam_for_march = lam_march
         if march_uses_lam_fn and lam_fn is not None:
             lam_for_march = lam_fn(kobs)
-        tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps,
-                            active, lam=lam_for_march, lya=lya)
+        if tracer is not None:
+            tau_obs = tracer(opt, pos, kdir, cell, active, lam_for_march, lya)
+        else:
+            tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps,
+                                active, lam=lam_for_march, lya=lya)
         att = jnp.exp(-tau_obs)
         for i in group:
             ko = inst_tabs[i]["kobs"]
@@ -308,7 +312,7 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
 def peel_off_local(grid, med, opt, cfgs, tabs, accs, lam, pos, cell,
                    contrib_per_sr: Callable[[jax.Array], jax.Array],
                    kind: int, max_steps: int, active: jax.Array,
-                   lam_march=None):
+                   lam_march=None, tracer=None):
     """Peel-off toward interior (all-sky) observers: per-packet observer
     directions and 1/d^2 local calibration (ref: AllSkyInstrument detection
     + FluxRecorder local-instrument distance factor)."""
@@ -316,8 +320,11 @@ def peel_off_local(grid, med, opt, cfgs, tabs, accs, lam, pos, cell,
     for i, (cfg, tab) in enumerate(zip(cfgs, tabs)):
         k, dist = asky.observer_directions(tab, pos)
         per_sr = contrib_per_sr(k)
-        tau_obs = trace_tau(grid, med, opt, pos, k, cell, max_steps,
-                            active, lam=lam_march)
+        if tracer is not None:
+            tau_obs = tracer(opt, pos, k, cell, active, lam_march, False)
+        else:
+            tau_obs = trace_tau(grid, med, opt, pos, k, cell, max_steps,
+                                active, lam=lam_march)
         contrib = per_sr * jnp.exp(-tau_obs) / jnp.maximum(dist * dist, 1e-30)
         accs[i] = asky.detect(cfg, tab, accs[i], lam, -k, contrib, kind,
                               active)
@@ -330,7 +337,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                inst_cfgs, inst_tabs, rf_borders: jax.Array | None,
                pkt: PacketBatch, rf: jax.Array | None, accs: list[dict],
                emission_phase: Callable[[jax.Array], jax.Array] | None = None,
-               mueller: "stk.MuellerTables | None" = None):
+               mueller: "stk.MuellerTables | None" = None,
+               sweep_tabs=None):
     """Run the complete life cycle of one launched packet batch.
 
     Equivalent of performLifeCycle for the whole batch: emission peel-off,
@@ -340,6 +348,26 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     the observer; None means isotropic (1/4pi).
     """
     opt = msys.optics_at(med, pkt.lam)
+    # slab-sweep fast path (Pallas kernels, see transport/sweep.py): active
+    # when the grid/medium support it and no per-cell wavelength shifts are
+    # in play (the per-lane cross section must be constant along the path)
+    B_lanes = int(pkt.lam.shape[0])
+    use_sweep = (sweep_tabs is not None
+                 and not opts.explicit_absorption and not opts.kinematics
+                 and not opts.lya and not opts.compton
+                 and B_lanes % 128 == 0
+                 and (rf is None or not opts.store_rf or rf.shape[1] == 1))
+    if use_sweep:
+        from . import sweep as _sw
+        sigma_lane = opt.sigma_ext[:, 0]
+
+        def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
+            return jnp.sum(_sw.sweep_dtau(sweep_tabs, pos, kdir,
+                                          o.sigma_ext[:, 0], mask), axis=0)
+    else:
+        def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
+            return trace_tau(grid, med, o, pos, kdir, cell, opts.max_steps,
+                             mask, lam=lam_m, lya=lya_f)
     # split instruments into distant observers (shared-direction peel-off)
     # and local all-sky observers (per-packet directions)
     dist_ids = tuple(i for i, c_ in enumerate(inst_cfgs)
@@ -397,7 +425,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                            [accs[i] for i in dist_ids],
                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
                            opts.max_steps, pkt.alive, transparent_too=True,
-                           lam_march=lam_march0, lam_fn=emis_lam_fn)
+                           lam_march=lam_march0, lam_fn=emis_lam_fn,
+                           tracer=tracer)
             accs = _stitch(accs, dist_ids, sub)
         if local_ids:
             sub = peel_off_local(grid, med, opt,
@@ -406,7 +435,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                  [accs[i] for i in local_ids],
                                  pkt.lam, pkt.pos, pkt.cell, per_sr,
                                  kind_direct, opts.max_steps, pkt.alive,
-                                 lam_march=lam_march0)
+                                 lam_march=lam_march0, tracer=tracer)
             accs = _stitch(accs, local_ids, sub)
 
     # ---- scattering-event loop
@@ -419,23 +448,30 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         # ONE march records the whole path; optical depth, RF deposits and
         # the interaction point all derive from the step table
         rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
-        rec = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
-                           pkt.cell, opts.max_steps, active | rf_mask,
-                           record_sca=opts.explicit_absorption,
-                           lam=pkt.lam if (opts.kinematics or opts.lya)
-                           else None, lya=opts.lya)
-        if opts.explicit_absorption:
-            # interaction sampled on the SCATTERING optical depth; absorption
-            # applied as an explicit weight e^-tau_abs at the interaction
-            # (ref: Configuration explicitAbsorption + simulateForced/
-            # NonForcedPropagation variants)
-            cells, ds, dtau_ext, dtau_s = rec
+        if use_sweep:
+            dtau_slab = _sw.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
+                                       sigma_lane, active)
+            grp = jnp.argmax(jnp.abs(pkt.dir), axis=-1)
+            dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
+            tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
         else:
-            cells, ds, dtau_ext = rec
-            dtau_s = dtau_ext
-        tau_before_ext = jnp.cumsum(dtau_ext, axis=0) - dtau_ext
-        tau_before = jnp.cumsum(dtau_s, axis=0) - dtau_s
-        tau_path = tau_before[-1] + dtau_s[-1]
+            rec = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
+                               pkt.cell, opts.max_steps, active | rf_mask,
+                               record_sca=opts.explicit_absorption,
+                               lam=pkt.lam if (opts.kinematics or opts.lya)
+                               else None, lya=opts.lya)
+            if opts.explicit_absorption:
+                # interaction sampled on the SCATTERING optical depth;
+                # absorption applied as an explicit weight e^-tau_abs at the
+                # interaction (ref: Configuration explicitAbsorption +
+                # simulateForced/NonForcedPropagation variants)
+                cells, ds, dtau_ext, dtau_s = rec
+            else:
+                cells, ds, dtau_ext = rec
+                dtau_s = dtau_ext
+            tau_before_ext = jnp.cumsum(dtau_ext, axis=0) - dtau_ext
+            tau_before = jnp.cumsum(dtau_s, axis=0) - dtau_s
+            tau_path = tau_before[-1] + dtau_s[-1]
 
         if opts.force_scattering:
             # forced scattering with composite path-length bias
@@ -464,12 +500,27 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             w_bias = jnp.ones_like(tau_path)
             active_int = active
 
-        if use_rf:
-            rf = deposit_rf(rf, cells, ds, dtau_ext, tau_before_ext, pkt.lum,
-                            rf_bin, rf_mask, opts.rf_scale)
-        ipos, icell, found, idx, frac = interaction_point(
-            pkt.pos, pkt.dir, cells, ds, dtau_s, tau_before, tau_int,
-            active_int)
+        if use_sweep:
+            # pass 2: deposits + exact interaction resolution in one kernel
+            inv_sqrt = 1.0 / float(np.sqrt(opts.rf_scale))
+            lum_half = (pkt.lum * rf_mask) * inv_sqrt
+            scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) * inv_sqrt
+            rel_slab = tau_int[None, :] - tb_slab
+            rf_delta, s_int, icell, found = _sw.sweep_deposit(
+                sweep_tabs, pkt.pos, pkt.dir, sigma_lane, active,
+                scale_slab, rel_slab)
+            if use_rf:
+                rf = rf + rf_delta[:, None]
+            ipos = pkt.pos + s_int[:, None] * pkt.dir
+            found = found & active_int
+            idx = frac = None
+        else:
+            if use_rf:
+                rf = deposit_rf(rf, cells, ds, dtau_ext, tau_before_ext,
+                                pkt.lum, rf_bin, rf_mask, opts.rf_scale)
+            ipos, icell, found, idx, frac = interaction_point(
+                pkt.pos, pkt.dir, cells, ds, dtau_s, tau_before, tau_int,
+                active_int)
 
         active_int = active_int & found
         if opts.kinematics:
@@ -567,7 +618,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                    pkt.lam, pkt.pos, pkt.cell, lya_per_sr,
                                    kind_scat, opts.max_steps, active_int,
                                    lam_fn=lya_lam_fn,
-                                   march_uses_lam_fn=True, lya=True)
+                                   march_uses_lam_fn=True, lya=True,
+                                   tracer=tracer)
                     accs = _stitch(accs, dist_ids, sub)
             pkt = pkt._replace(
                 lam=jnp.where(active_int, lam_new_lya, pkt.lam))
@@ -593,7 +645,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                [accs[i] for i in dist_ids],
                                pkt.lam, pkt.pos, pkt.cell, kn_per_sr,
                                kind_scat, opts.max_steps, active_int,
-                               lam_fn=kn_lam_fn, march_uses_lam_fn=True)
+                               lam_fn=kn_lam_fn, march_uses_lam_fn=True,
+                               tracer=tracer)
                 accs = _stitch(accs, dist_ids, sub)
             mu_s = co.sample_costheta(rng.uniform(keys, _TAG_SCATTER_CT), x_c)
             phi_c = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
@@ -626,7 +679,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                    [accs[i] for i in dist_ids],
                                    pkt.lam, pkt.pos, pkt.cell, per_sr,
                                    kind_scat, opts.max_steps, active_int,
-                                   lam_fn=lam_fn, lam_march=lam_march1)
+                                   lam_fn=lam_fn, lam_march=lam_march1,
+                                   tracer=tracer)
                     accs = _stitch(accs, dist_ids, sub)
                 if local_ids:
                     sub = peel_off_local(grid, med, opt_int,
@@ -635,7 +689,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                          [accs[i] for i in local_ids],
                                          pkt.lam, pkt.pos, pkt.cell, per_sr,
                                          kind_scat, opts.max_steps,
-                                         active_int, lam_march=lam_march1)
+                                         active_int, lam_march=lam_march1,
+                                         tracer=tracer)
                     accs = _stitch(accs, local_ids, sub)
             else:
                 # polarized peel-off: rotate into the (k, k_obs) scattering
@@ -672,8 +727,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                     kobs = inst_tabs[gidx[0]]["kobs"]
                     B = pkt.lam.shape[0]
                     kdir = jnp.broadcast_to(kobs, (B, 3))
-                    tau_obs = trace_tau(grid, med, opt_ev, pkt.pos, kdir,
-                                        pkt.cell, opts.max_steps, active_int)
+                    tau_obs = tracer(opt_ev, pkt.pos, kdir, pkt.cell,
+                                     active_int)
                     att = jnp.exp(-tau_obs)
                     for i in gidx:
                         contrib, quv = stokes_per_sr(inst_tabs[i]["kobs"],
