@@ -91,6 +91,11 @@ def opacity_sca(med: MediumTables, opt: Optics, cell: jax.Array) -> jax.Array:
 def albedo_for_scattering(med: MediumTables, opt: Optics, cell: jax.Array) -> jax.Array:
     """Aggregate albedo = k_sca/k_ext at the interaction cell
     (ref: MediumSystem::albedoForScattering, MediumSystem.cpp:678)."""
+    if med.ncomp == 1:
+        # single component: the density cancels — no per-cell gather needed
+        ke = opt.sigma_ext[..., 0]
+        ks = opt.sigma_sca[..., 0]
+        return jnp.where(ke > 0, ks / jnp.maximum(ke, 1e-30), 0.0)
     ke = opacity_ext(med, opt, cell)
     ks = opacity_sca(med, opt, cell)
     return jnp.where(ke > 0, ks / jnp.maximum(ke, 1e-30), 0.0)
@@ -104,6 +109,8 @@ def scattering_weights(med: MediumTables, opt: Optics, cell: jax.Array) -> jax.A
     per-component phase functions in peel-off (ref:
     MediumSystem::peelOffScattering, MediumSystem.cpp:734).
     """
+    if med.ncomp == 1:
+        return jnp.ones(cell.shape + (1,), jnp.float32)
     nd = med.nd[jnp.maximum(cell, 0)]
     w = nd * opt.sigma_sca
     tot = jnp.sum(w, axis=-1, keepdims=True)
@@ -112,6 +119,8 @@ def scattering_weights(med: MediumTables, opt: Optics, cell: jax.Array) -> jax.A
 
 def select_component(med: MediumTables, opt: Optics, cell: jax.Array, u: jax.Array) -> jax.Array:
     """Sample the scattering component index per packet from the weights."""
+    if med.ncomp == 1:
+        return jnp.zeros(cell.shape, jnp.int32)
     w = scattering_weights(med, opt, cell)
     cdf = jnp.cumsum(w, axis=-1)
     return jnp.argmax(cdf >= u[..., None], axis=-1).astype(jnp.int32)

@@ -88,7 +88,8 @@ def supports_sweep(grid, med) -> bool:
         return False
     nx, ny, nz = grid.shape
     minor = max(ny * nz, nx * nz, nx * ny)
-    if minor > 32 * 128:
+    if minor > 42 * 128:
+        # the deposit matmul encodes (axis, minor-row) in 128 output rows
         return False
     if max(nx, ny, nz) > 256:
         return False
@@ -299,21 +300,19 @@ def _deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
                              (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
                              / jnp.maximum(dtau, 1e-37))
             contrib = scale * jnp.exp(-tau_loc) * ds * gfac
-            # scatter into the per-axis slab accumulator via the lane-flat
-            # one-hot matmul pair (MXU); rows beyond `rows` stay zero.
+            # scatter into the slab accumulator via the lane-flat one-hot
+            # matmul pair (MXU): the output row encodes (axis, minor-row) as
+            # a*rows + (m>>7), so one matmul serves all three axis layouts
+            # (requires 3*rows <= 128, enforced by supports_sweep)
             mf = m.reshape(1, lb)
             cf = mf & 127
-            rf_ = mf >> 7
+            rf_ = a.reshape(1, lb) * rows + (mf >> 7)
             sub = jax.lax.broadcasted_iota(jnp.int32, (128, lb), 0)
             Bm = jnp.where(sub == cf, 1.0, 0.0)
-            # one matmul-scatter per axis (lanes of other axes zeroed) so the
-            # deposit lands in the lane's own axis-major accumulator
-            for aa in range(3):
-                va = jnp.where(a == aa, contrib, 0.0).reshape(1, lb)
-                Aa = jnp.where(sub == rf_, va, 0.0)
-                tile_a = jax.lax.dot_general(Aa, Bm, (((1,), (1,)), ((), ())),
-                                             preferred_element_type=jnp.float32)
-                acc_ref[aa, t] += tile_a[:rows]
+            A = jnp.where(sub == rf_, contrib.reshape(1, lb), 0.0)
+            tile = jax.lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            acc_ref[t] += tile[: 3 * rows]
             # ---- interaction point: first sub-segment where the local
             # cumulative tau crosses rel (= tau_int - tau_before_slab)
             rem = rel - tau_loc
@@ -442,14 +441,14 @@ def sweep_deposit(tabs: SweepTables, pos, dirn, sigma, active,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((3, nmax, rows, 128), lambda g: (0, 0, 0, 0),
+            pl.BlockSpec((nmax, 3 * rows, 128), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, nmax, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nmax, 3 * rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((NB, 128), jnp.float32),
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
@@ -458,10 +457,12 @@ def sweep_deposit(tabs: SweepTables, pos, dirn, sigma, active,
     )(pos3, dir3, grp, smin, smax, sig, scale3, rel3, tabs.rho)
 
     nx, ny, nz = tabs.n
-    # recombine the three axis-major accumulators into the flat cell table
-    rf = acc[0, :nx].reshape(nx, -1)[:, : ny * nz].reshape(nx, ny, nz)
-    rf = rf + acc[1, :ny].reshape(ny, -1)[:, : nx * nz].reshape(ny, nx, nz).transpose(1, 0, 2)
-    rf = rf + acc[2, :nz].reshape(nz, -1)[:, : nx * ny].reshape(nz, nx, ny).transpose(1, 2, 0)
+    # split the combined accumulator (row = axis*rows + minor_row) and
+    # recombine the three axis-major layouts into the flat cell table
+    acc3 = acc.reshape(nmax, 3, rows * 128).transpose(1, 0, 2)
+    rf = acc3[0, :nx, : ny * nz].reshape(nx, ny, nz)
+    rf = rf + acc3[1, :ny, : nx * nz].reshape(ny, nx, nz).transpose(1, 0, 2)
+    rf = rf + acc3[2, :nz, : nx * ny].reshape(nz, nx, ny).transpose(1, 2, 0)
     B = NB * 128
     return (rf.reshape(-1), s_int.reshape(B), icell.reshape(B),
             found.reshape(B) != 0)
