@@ -19,6 +19,7 @@ import xml.etree.ElementTree as ET
 import numpy as np
 
 from ..geometries import analytic as ga
+from ..geometries import axial as gax
 from ..grids.cartesian import make_cartesian
 from ..grids.octree import build_octree
 from ..instruments import distant as dinst
@@ -78,6 +79,62 @@ def build_geometry(el):
                                  m=_f(a, "index", 4.0))
     if t == "UniformSphereGeometry":  # convenience extension
         return ga.UniformSphereGeometry(rmax=_q(a, "maxRadius", "length"))
+    if t == "EinastoGeometry":
+        # the reference parameterizes by half-mass radius; solve for the
+        # scale radius rs such that M(<rh) = M/2 (ref: EinastoGeometry.hpp)
+        rh = _q(a, "halfMassRadius", "length")
+        n = _f(a, "index")
+        x = np.geomspace(1e-4, 30.0, 8192)  # matches EinastoGeometry rmax=30 rs
+        w = x**2 * np.exp(-2 * n * (x ** (1.0 / n) - 1.0))
+        cum = np.cumsum(w * np.gradient(x))
+        xh = x[int(np.searchsorted(cum, 0.5 * cum[-1]))]  # rh/rs
+        return ga.EinastoGeometry(rs=rh / xh, n=n)
+    if t == "PseudoSersicGeometry":
+        return ga.PseudoSersicGeometry(reff=_q(a, "effectiveRadius", "length"),
+                                       m=_f(a, "index", 4.0))
+    if t == "UniformBoxGeometry":
+        x0, x1 = _q(a, "minX", "length"), _q(a, "maxX", "length")
+        y0, y1 = _q(a, "minY", "length"), _q(a, "maxY", "length")
+        z0, z1 = _q(a, "minZ", "length"), _q(a, "maxZ", "length")
+        return ga.UniformBoxGeometry(lx=x1 - x0, ly=y1 - y0, lz=z1 - z0,
+                                     cx=0.5 * (x0 + x1), cy=0.5 * (y0 + y1),
+                                     cz=0.5 * (z0 + z1))
+    if t == "TorusGeometry":
+        return gax.TorusGeometry(
+            p=_f(a, "exponent"), q=_f(a, "index"),
+            delta=_q(a, "openingAngle", "posangle"),
+            rmin=_q(a, "minRadius", "length"),
+            rmax=_q(a, "maxRadius", "length"))
+    if t == "ConicalShellGeometry":
+        return gax.ConicalShellGeometry(
+            p=_f(a, "exponent"),
+            delta_in=_q(a, "minAngle", "posangle"),
+            delta_out=_q(a, "maxAngle", "posangle"),
+            rmin=_q(a, "minRadius", "length"),
+            rmax=_q(a, "maxRadius", "length"))
+    if t == "TTauriDiskGeometry":
+        return gax.TTauriDiskGeometry(
+            rd=_q(a, "scaleLength", "length"),
+            zd=_q(a, "scaleHeight", "length"),
+            rinn=_q(a, "minRadius", "length"),
+            rout=_q(a, "maxRadius", "length"))
+    if t == "RingGeometry":
+        return gax.RingGeometry(r0=_q(a, "ringRadius", "length"),
+                                width=_q(a, "width", "length"),
+                                hz=_q(a, "height", "length"))
+    if t == "AnnulusGeometry":
+        return gax.AnnulusGeometry(rmin=_q(a, "minRadius", "length"),
+                                   rmax=_q(a, "maxRadius", "length"),
+                                   height=_q(a, "height", "length"))
+    if t == "DonutGeometry":
+        return gax.DonutGeometry(r0=_q(a, "largeRadius", "length"),
+                                 rc=_q(a, "smallRadius", "length"))
+    if t == "BrokenExpDiskGeometry":
+        return gax.BrokenExpDiskGeometry(
+            h_inn=_q(a, "scaleLengthInner", "length"),
+            h_out=_q(a, "scaleLengthOuter", "length"),
+            hz=_q(a, "scaleHeight", "length"),
+            rb=_q(a, "breakRadius", "length"))
     raise NotImplementedError(f"geometry type '{t}' not supported yet")
 
 
@@ -259,6 +316,8 @@ def load_ski(path: str, num_packets: int | None = None,
     — parse, build item tree, setup; here: parse, build tables.)
     """
     tree = ET.parse(path)
+    with open(path, "r", encoding="utf-8") as f:
+        ski_text = f.read()
     root = tree.getroot()
     mcs = root.find("MonteCarloSimulation")
     if mcs is None:
@@ -344,7 +403,11 @@ def load_ski(path: str, num_packets: int | None = None,
     opts = lc.TransportOptions(max_steps=min(max_steps, 256),
                                max_events=max_events,
                                store_rf=rf_borders is not None)
-    return Simulation(
+    sim = Simulation(
         grid=grid, medium=medium, sources=sources, instruments=instruments,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
         num_packets=n_pk, batch_size=batch_size, seed=seed)
+    # keep the exact configuration for the parameters.xml round-trip
+    # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
+    sim.ski_text = ski_text
+    return sim

@@ -223,3 +223,113 @@ class PointGeometry(Geometry):
     def sample(self, keys, tag: int = rng.LAUNCH_POSITION) -> jax.Array:
         B = keys.shape[0]
         return jnp.zeros((B, 3), jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class EinastoGeometry(SphericalProfileGeometry):
+    """Einasto profile rho ~ exp(-2n ((r/rs)^(1/n) - 1))
+    (ref: SKIRT/core/EinastoGeometry.hpp)."""
+
+    rs: float = 1.0
+    n: float = 5.0
+    rmax: float = 0.0
+
+    def __post_init__(self):
+        if self.rmax == 0.0:
+            object.__setattr__(self, "rmax", 30.0 * self.rs)
+        super().__post_init__()
+
+    def rho(self, r):
+        x = np.maximum(r / self.rs, 1e-12)
+        raw = np.exp(-2 * self.n * (x ** (1.0 / self.n) - 1.0))
+        rr = np.geomspace(1e-6, self.rmax / self.rs, 2048)
+        w = 4 * np.pi * rr**2 * np.exp(-2 * self.n * (rr ** (1.0 / self.n) - 1.0))
+        norm = np.trapezoid(w, rr) * self.rs**3
+        return raw / norm
+
+
+@dataclasses.dataclass(frozen=True)
+class PseudoSersicGeometry(SphericalProfileGeometry):
+    """Pseudo-Sersic (Prugniel-Simien 1997) spherical profile
+    (ref: SKIRT/core/PseudoSersicGeometry.hpp)."""
+
+    reff: float = 1.0
+    m: float = 4.0
+    rmax: float = 0.0
+
+    def __post_init__(self):
+        if self.rmax == 0.0:
+            object.__setattr__(self, "rmax", 40.0 * self.reff)
+        super().__post_init__()
+
+    def rho(self, r):
+        m = self.m
+        bn = 2 * m - 1.0 / 3.0 + 4.0 / (405 * m) + 46.0 / (25515 * m**2)
+        pn = 1.0 - 0.6097 / m + 0.05463 / m**2
+        x = np.maximum(r / self.reff, 1e-12)
+        raw = x**-pn * np.exp(-bn * x ** (1.0 / m))
+        rr = np.geomspace(1e-6, self.rmax / self.reff, 2048)
+        w = 4 * np.pi * rr**2 * rr**-pn * np.exp(-bn * rr ** (1.0 / m))
+        norm = np.trapezoid(w, rr) * self.reff**3
+        return raw / norm
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformBoxGeometry(Geometry):
+    """Constant density inside an axis-aligned box
+    (ref: SKIRT/core/UniformBoxGeometry.hpp)."""
+
+    lx: float = 1.0
+    ly: float = 1.0
+    lz: float = 1.0
+    cx: float = 0.0
+    cy: float = 0.0
+    cz: float = 0.0
+
+    def density_np(self, pos):
+        pos = np.asarray(pos, np.float64)
+        c = np.array([self.cx, self.cy, self.cz])
+        half = 0.5 * np.array([self.lx, self.ly, self.lz])
+        inside = np.all(np.abs(pos - c) <= half, axis=-1)
+        return np.where(inside, 1.0 / (self.lx * self.ly * self.lz), 0.0)
+
+    def sample(self, keys, tag: int = rng.LAUNCH_POSITION) -> jax.Array:
+        u1, u2 = rng.uniform2(keys, tag)
+        u3 = rng.uniform(keys, tag + 50)
+        c = jnp.array([self.cx, self.cy, self.cz], jnp.float32)
+        l = jnp.array([self.lx, self.ly, self.lz], jnp.float32)
+        u = jnp.stack([u1, u2, u3], axis=-1)
+        return c + (u - 0.5) * l
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiGaussianExpansionGeometry(Geometry):
+    """Sum of co-axial Gaussian components with weights, dispersions and a
+    common flattening per component (ref:
+    SKIRT/core/MultiGaussianExpansionGeometry.hpp).  components is a tuple
+    of (weight, sigma, q) with q the z-axis flattening."""
+
+    components: tuple = ((1.0, 1.0, 1.0),)
+
+    def density_np(self, pos):
+        pos = np.asarray(pos, np.float64)
+        R2 = pos[..., 0] ** 2 + pos[..., 1] ** 2
+        z = pos[..., 2]
+        wtot = sum(w for w, _, _ in self.components)
+        out = np.zeros(pos.shape[:-1])
+        for w, s, q in self.components:
+            norm = w / wtot / ((2 * np.pi) ** 1.5 * s**3 * q)
+            out = out + norm * np.exp(-(R2 + (z / q) ** 2) / (2 * s**2))
+        return out
+
+    def sample(self, keys, tag: int = rng.LAUNCH_POSITION) -> jax.Array:
+        ws = np.array([w for w, _, _ in self.components], np.float64)
+        cdf = jnp.asarray(np.cumsum(ws) / ws.sum(), jnp.float32)
+        sig = jnp.asarray([s for _, s, _ in self.components], jnp.float32)
+        qs = jnp.asarray([q for _, _, q in self.components], jnp.float32)
+        u = rng.uniform(keys, tag)
+        k = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, len(ws) - 1)
+        g = jnp.stack([rng.gauss(keys, tag + 50 + i) for i in range(3)],
+                      axis=-1)
+        scale = jnp.stack([sig[k], sig[k], sig[k] * qs[k]], axis=-1)
+        return g * scale

@@ -69,12 +69,18 @@ class DistantInstrumentCfg:
     centery: float = 0.0
     record_statistics: bool = True
     record_polarization: bool = False  # accumulate Stokes Q/U/V
+    # broadband mode: tuple of spectral.bands.Band — detection convolves
+    # every packet into EVERY band with its transmission weight
+    # (ref: BandWavelengthGrid.hpp; bands may overlap)
+    bands: tuple = ()
     # normalization for the statistics power sums (set to the mean packet
     # contribution scale, e.g. L_total/num_packets; R and VOV are invariant)
     stats_scale: float = 1.0
 
     @property
     def nbins(self) -> int:
+        if self.bands:
+            return len(self.bands)
         return len(self.wave_borders) - 1
 
     @property
@@ -117,8 +123,11 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
 
     tables holds device copies of (kobs, ex, ey, wave_borders).
     """
-    borders = tables["wave_borders"]
     nb = cfg.nbins
+    if cfg.bands:
+        return _detect_bands(cfg, tables, acc, lam, pos, contrib, kind,
+                             active, stokes_quv)
+    borders = tables["wave_borders"]
     b = jnp.searchsorted(borders, lam, side="right") - 1
     ok = active & (b >= 0) & (b < nb) & (contrib > 0)
     bq = jnp.clip(b, 0, nb - 1)
@@ -157,14 +166,51 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     return acc
 
 
+def _detect_bands(cfg, tables, acc, lam, pos, contrib, kind, active,
+                  stokes_quv=None):
+    """Broadband detection: per-band transmission weights, no scatter for
+    the SED (dense matvec over (B, nb)); per-band pixel scatters for frames
+    (ref: BandWavelengthGrid bin(*) semantics with overlapping bands)."""
+    from ..spectral import bands as bnd
+
+    nb = cfg.nbins
+    c = jnp.where(active & (contrib > 0), contrib, 0.0)
+    W = bnd.band_weights(tables["bands"], lam)      # (B, nb)
+    acc = dict(acc)
+    acc["sed"] = acc["sed"].at[kind].add(jnp.sum(c[:, None] * W, axis=0))
+    if cfg.record_statistics:
+        cn = (c[:, None] * W) * (1.0 / cfg.stats_scale)
+        hits = jnp.where(cn > 0, 1.0, 0.0)
+        powers = jnp.stack([hits, cn, cn * cn, cn**3, cn**4])
+        acc["stats"] = acc["stats"] + powers.sum(axis=1)
+    if cfg.has_frame:
+        xp = pos @ tables["ex"] - cfg.centerx
+        yp = pos @ tables["ey"] - cfg.centery
+        ix = jnp.floor((xp / cfg.fovx + 0.5) * cfg.npx).astype(jnp.int32)
+        iy = jnp.floor((yp / cfg.fovy + 0.5) * cfg.npy).astype(jnp.int32)
+        okf = (ix >= 0) & (ix < cfg.npx) & (iy >= 0) & (iy < cfg.npy)
+        flat = jnp.clip(iy, 0, cfg.npy - 1) * cfg.npx + jnp.clip(ix, 0, cfg.npx - 1)
+        frames = []
+        for b in range(nb):
+            fr = sca.scatter_add(flat, jnp.where(okf, c * W[:, b], 0.0),
+                                 cfg.npy * cfg.npx)
+            frames.append(fr.reshape(cfg.npy, cfg.npx))
+        acc["frame"] = acc["frame"].at[kind].add(jnp.stack(frames))
+    return acc
+
+
 def device_tables(cfg: DistantInstrumentCfg) -> dict:
     kobs, ex, ey = cfg.frame_axes()
-    return {
+    t = {
         "kobs": jnp.asarray(kobs, jnp.float32),
         "ex": jnp.asarray(ex, jnp.float32),
         "ey": jnp.asarray(ey, jnp.float32),
         "wave_borders": jnp.asarray(np.asarray(cfg.wave_borders), jnp.float32),
     }
+    if cfg.bands:
+        from ..spectral import bands as bnd
+        t["bands"] = bnd.band_tables(list(cfg.bands))
+    return t
 
 
 # ------------------------------------------------------------- calibration
@@ -175,11 +221,16 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
     (ref: FluxRecorder calibration 1/(4 pi d^2) with our Phi convention
     already including the 1/4pi, so the factor is 1/d^2.)
     """
-    borders = np.asarray(cfg.wave_borders, np.float64)
-    dlam = np.diff(borders)
+    if cfg.bands:
+        dlam = np.array([b.effective_width() for b in cfg.bands])
+        pivots = np.array([b.pivot_wavelength() for b in cfg.bands])
+    else:
+        borders = np.asarray(cfg.wave_borders, np.float64)
+        dlam = np.diff(borders)
+        pivots = 0.5 * (borders[1:] + borders[:-1])
     d2 = cfg.distance**2
     sed = np.asarray(acc["sed"], np.float64)
-    out = {"wavelength": 0.5 * (borders[1:] + borders[:-1])}
+    out = {"wavelength": pivots}
     for k, name in enumerate(KIND_NAMES):
         out[name] = sed[k] / (d2 * dlam)
     out["total"] = (sed[KIND_PRIMARY_DIRECT] + sed[KIND_PRIMARY_SCATTERED]

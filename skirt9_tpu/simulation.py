@@ -129,6 +129,13 @@ class Simulation:
         tabs = self._inst_tabs
         rfb = self._rf_borders_dev
 
+        # anisotropic / surface sources supply their own emission phase for
+        # peel-off (ref: Source angular distributions + surface cosine law)
+        emission_phase = getattr(source, "emission_phase", None)
+        if emission_phase is None and getattr(source, "angular", None) is not None:
+            ang = source.angular
+            emission_phase = lambda kobs, pos: ang.phase(kobs)
+
         def step(n_src: int, lum_weight: float, seed_key, history, stabs,
                  rf, accs):
             pkt = src.launch_batch(source, stabs, grid, seed_key, history,
@@ -137,7 +144,8 @@ class Simulation:
                                lum0=pkt.lum0 * lum_weight)
             return lc.life_cycle(grid, med, opts, cfgs, tabs, rfb,
                                  pkt, rf, accs, mueller=self.mueller,
-                                 sweep_tabs=self._sweep_tabs)
+                                 sweep_tabs=self._sweep_tabs,
+                                 emission_phase=emission_phase)
 
         fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(5, 6))
         self._seg_cache[key] = fn
@@ -305,6 +313,13 @@ class Simulation:
         the analog of InstrumentSystem::write (root-only in the reference)."""
         import os
         paths = []
+        # exact-configuration round-trip next to the outputs
+        # (ref: SkirtCommandLineHandler.cpp:342-347)
+        if getattr(self, "ski_text", None):
+            p0 = os.path.join(outdir, f"{prefix}_parameters.xml")
+            with open(p0, "w", encoding="utf-8") as f:
+                f.write(self.ski_text)
+            paths.append(p0)
         for cfg, acc in zip(self.instruments, accs):
             if getattr(cfg, "is_local", False):
                 cube = asky.calibrate(cfg, jax.device_get(acc))

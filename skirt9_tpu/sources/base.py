@@ -65,6 +65,8 @@ class PointSource:
     lam0: float = 0.55e-6
     sed: TabulatedSED | None = None
     wavelength_bias: float = 0.5
+    angular: object = None  # AngularDistribution (ref: SpecialtySource
+                            # angular emission, SKIRT/core/PointSource.hpp)
 
     def tables(self) -> dict:
         t = {"pos": jnp.asarray(np.asarray(self.position), jnp.float32)}
@@ -79,7 +81,10 @@ class PointSource:
         """
         B = keys.shape[0]
         pos = jnp.broadcast_to(tabs["pos"], (B, 3))
-        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        if self.angular is not None:
+            dirn = self.angular.sample_direction(keys, rng.LAUNCH_DIRECTION)
+        else:
+            dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
         lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
         lam, lum = _sample_wavelength(
             tabs, keys, lum, self.sed, self.lam0, self.wavelength_bias)

@@ -344,8 +344,9 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     Equivalent of performLifeCycle for the whole batch: emission peel-off,
     then up to max_events forced-scattering cycles. Returns (rf, accs).
 
-    emission_phase(kobs) -> (B,) angular emission probability per sr toward
-    the observer; None means isotropic (1/4pi).
+    emission_phase(kobs, pos) -> (B,) angular emission probability per sr
+    toward the observer (pos enables surface sources whose phase depends on
+    the packet's local normal); None means isotropic (1/4pi).
     """
     opt = msys.optics_at(med, pkt.lam)
     # slab-sweep fast path (Pallas kernels, see transport/sweep.py): active
@@ -404,7 +405,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if emission_phase is None:
             per_sr = lambda kobs: pkt.lum * iso
         else:
-            per_sr = lambda kobs: pkt.lum * emission_phase(kobs)
+            per_sr = lambda kobs: pkt.lum * emission_phase(kobs, pkt.pos)
         lam_march0 = pkt.lam if opts.kinematics else None
         emis_lam_fn = None
         if opts.emission_doppler:
