@@ -210,7 +210,62 @@ def build_mix(el) -> mx.MixTables:
         return mx.electron_mix()
     if t == "MeanFileDustMix":
         return mx.from_file(el.attrib["filename"])
+    if t in ("MRNDustMix", "DraineLiDustMix", "ZubkoDustMix",
+             "WeingartnerDraineDustMix", "ThemisDustMix",
+             "ConfigurableDustMix"):
+        # multi-grain mixes: size-distribution x composition integration
+        # (ref: MultiGrainDustMix.hpp:108); the per-size-bin emission data is
+        # kept on the MixTables via the `multigrain` attribute for the
+        # stochastic calculator
+        from ..media import grains as gr
+        nb = int(_f(el.attrib, "numSilicateSizes", 6))
+        if t == "MRNDustMix":
+            mg = gr.mrn_mix(nb)
+        elif t == "DraineLiDustMix":
+            mg = gr.draine_li_mix(nb)
+        elif t == "ZubkoDustMix":
+            mg = gr.zubko_mix(nb)
+        elif t == "WeingartnerDraineDustMix":
+            mg = gr.weingartner_draine_mix(nb)
+        elif t == "ThemisDustMix":
+            mg = gr.themis_mix(nb)
+        else:  # ConfigurableDustMix: explicit GrainPopulation children
+            pops = []
+            for p_el in el.iter("GrainPopulation"):
+                comp_el = _child(p_el, "composition")
+                comp = (gr.graphite_composition()
+                        if comp_el is not None and "Graphite" in comp_el.tag
+                        else gr.silicate_composition())
+                sd_el = _child(p_el, "sizeDistribution")
+                a = sd_el.attrib if sd_el is not None else {}
+                amin = _q(a, "minSize", "grainsize") if "minSize" in a else 5e-9
+                amax = _q(a, "maxSize", "grainsize") if "maxSize" in a else 250e-9
+                if sd_el is not None and "LogNormal" in sd_el.tag:
+                    sd = gr.log_normal_sizes(amin, amax,
+                                             _q(a, "centroid", "grainsize")
+                                             if "centroid" in a else 100e-9,
+                                             _f(a, "width", 0.4))
+                else:
+                    sd = gr.power_law_sizes(amin, amax,
+                                            -_f(a, "exponent", -3.5))
+                nbins = int(_f(p_el.attrib, "numSizes", 6))
+                mass = _q(p_el.attrib, "dustMassPerHydrogenAtom", "mass") \
+                    if "dustMassPerHydrogenAtom" in p_el.attrib else 1e-29
+                pops.append(gr.GrainPopulation(comp, sd, nbins, mass))
+            mg = gr.build_multi_grain(pops)
+        # MixTables is a frozen dataclass; the size-bin payload for the
+        # stochastic calculator is carried in a side table keyed by identity
+        _MULTIGRAIN_CACHE[id(mg.mix)] = mg
+        return mg.mix
     raise NotImplementedError(f"material mix '{t}' not supported yet")
+
+
+# maps id(MixTables) -> MultiGrainTables for stochastic emission wiring
+_MULTIGRAIN_CACHE: dict = {}
+
+
+def multigrain_for(mix) -> "object | None":
+    return _MULTIGRAIN_CACHE.get(id(mix))
 
 
 def build_medium_normalization(el, geom, mix):
@@ -399,6 +454,21 @@ def load_ski(path: str, num_packets: int | None = None,
         with_emission or mode.startswith("Iterate")) else None
     ems_borders = wl.log_borders(1e-6, 2000e-6, 40) if with_emission else None
 
+    # dust emission type (ref: DustEmissionOptions dustEmissionType); the
+    # stochastic calculator needs the multi-grain size-bin tables of the
+    # (first multi-grain) dust component
+    ems_type = "Equilibrium"
+    grain_tables = None
+    de_opts = mcs.find(".//dustEmissionOptions/DustEmissionOptions")
+    if de_opts is not None and \
+            de_opts.attrib.get("dustEmissionType") == "Stochastic":
+        ems_type = "Stochastic"
+    for _, mix_i, _ in components:
+        mg_i = multigrain_for(mix_i)
+        if mg_i is not None:
+            grain_tables = mg_i
+            break
+
     max_steps = grid.max_steps() if hasattr(grid, "max_steps") else 128
     opts = lc.TransportOptions(max_steps=min(max_steps, 256),
                                max_events=max_events,
@@ -406,7 +476,8 @@ def load_ski(path: str, num_packets: int | None = None,
     sim = Simulation(
         grid=grid, medium=medium, sources=sources, instruments=instruments,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
-        num_packets=n_pk, batch_size=batch_size, seed=seed)
+        num_packets=n_pk, batch_size=batch_size, seed=seed,
+        dust_emission_type=ems_type, grain_tables=grain_tables)
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text

@@ -70,6 +70,11 @@ class Simulation:
     max_fraction_of_primary: float = 0.01
     max_fraction_of_previous: float = 0.03
     secondary_packets_multiplier: float = 1.0
+    # "Equilibrium" or "Stochastic" (ref: DustEmissionOptions dustEmissionType);
+    # Stochastic requires grain_tables (a media.grains.MultiGrainTables with
+    # per-size-bin cross sections + enthalpies)
+    dust_emission_type: str = "Equilibrium"
+    grain_tables: object = None
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -280,10 +285,27 @@ class Simulation:
     def _make_secondary(self, etabs, rf):
         med = self.medium
         vols = self.grid.volumes()
-        p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
-        T = eq.equilibrium_temperature(etabs, p_abs)
-        eps = eq.cell_emission_spectra(med, etabs, T)
         L_cell = eq.dust_luminosities(med, etabs, rf, self.rf_scale)
+        if self.dust_emission_type == "Stochastic":
+            # per-cell temperature-probability distributions for every grain
+            # size bin (ref: StochasticDustEmissionCalculator.hpp:87); the
+            # bolometric luminosity is the absorbed power either way
+            from .emission import stochastic as st
+            if self.grain_tables is None:
+                raise ValueError("Stochastic dust emission requires "
+                                 "grain_tables (media.grains.build_multi_grain)")
+            if not hasattr(self, "_stoch_tabs"):
+                self._stoch_tabs = st.build_stochastic_tables(
+                    self.grain_tables, np.asarray(self.rf_borders),
+                    np.asarray(self.ems_borders))
+            u_lam = st.u_lambda_from_rf(rf, np.asarray(self.rf_borders),
+                                        vols, self.rf_scale)
+            eps = st.cell_emission_spectra(self._stoch_tabs,
+                                           np.asarray(med.nd), u_lam)
+        else:
+            p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
+            T = eq.equilibrium_temperature(etabs, p_abs)
+            eps = eq.cell_emission_spectra(med, etabs, T)
         return sec.prepare(self.grid, L_cell, eps,
                            np.asarray(self.ems_borders), self.spatial_bias)
 
