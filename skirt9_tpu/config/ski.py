@@ -309,6 +309,44 @@ def build_grid(el):
         return ("octree", ext,
                 int(pa.get("minLevel", 2)), int(pa.get("maxLevel", 6)),
                 float(pa.get("maxDustFraction", 1e-6)))
+
+    def _mesh_bins(name, default=16):
+        m = _child(el, name)
+        return int(m.attrib.get("numBins", default)) if m is not None \
+            else default
+
+    if t == "Sphere1DSpatialGrid":
+        from ..grids.sphere import make_sphere1d
+        return make_sphere1d(_q(a, "maxRadius", "length"),
+                             _mesh_bins("meshRadial", 32),
+                             r_min=_q(a, "minRadius", "length")
+                             if "minRadius" in a else 0.0)
+    if t == "Sphere2DSpatialGrid":
+        from ..grids.polar import make_sphere2d
+        return make_sphere2d(_q(a, "maxRadius", "length"),
+                             _mesh_bins("meshRadial", 32),
+                             _mesh_bins("meshPolar", 16))
+    if t == "Sphere3DSpatialGrid":
+        from ..grids.polar import make_sphere3d
+        return make_sphere3d(_q(a, "maxRadius", "length"),
+                             _mesh_bins("meshRadial", 32),
+                             _mesh_bins("meshPolar", 16),
+                             _mesh_bins("meshAzimuthal", 16))
+    if t == "Cylinder2DSpatialGrid":
+        from ..grids.cylinder import make_cylinder2d
+        return make_cylinder2d(_q(a, "maxRadius", "length"),
+                               _q(a, "minZ", "length"),
+                               _q(a, "maxZ", "length"),
+                               _mesh_bins("meshRadial", 32),
+                               _mesh_bins("meshZ", 32))
+    if t == "Cylinder3DSpatialGrid":
+        from ..grids.polar import make_cylinder3d
+        return make_cylinder3d(_q(a, "maxRadius", "length"),
+                               _q(a, "minZ", "length"),
+                               _q(a, "maxZ", "length"),
+                               _mesh_bins("meshRadial", 32),
+                               _mesh_bins("meshAzimuthal", 16),
+                               _mesh_bins("meshZ", 32))
     raise NotImplementedError(f"spatial grid '{t}' not supported yet")
 
 

@@ -119,7 +119,12 @@ class Simulation:
         w = (1.0 - self.source_bias) * wl + self.source_bias / m
         counts = np.floor(w * n).astype(np.int64)
         counts[0] += n - counts.sum()
-        lum_weights = np.where(w > 0, wl / np.maximum(w, 1e-300), 0.0)
+        # each source's launch normalizes by ITS OWN packet count (L_s/n_s),
+        # which already compensates the biased allocation exactly — per-packet
+        # reweighting beyond that would double-correct (the reference reaches
+        # the same total via Ltot/N * wl_s/w_s with global normalization,
+        # ref: SourceSystem.hpp:54-60 weight formula)
+        lum_weights = np.ones(m)
         return counts, lum_weights
 
     def _segment_runner(self, source, opts: lc.TransportOptions, key):
@@ -141,10 +146,10 @@ class Simulation:
             ang = source.angular
             emission_phase = lambda kobs, pos: ang.phase(kobs)
 
-        def step(n_src: int, lum_weight: float, seed_key, history, stabs,
-                 rf, accs):
+        def step(n_src: int, lum_weight: float, seed_key, history, hist_end,
+                 stabs, rf, accs):
             pkt = src.launch_batch(source, stabs, grid, seed_key, history,
-                                   n_src)
+                                   n_src, hist_end=hist_end)
             pkt = pkt._replace(lum=pkt.lum * lum_weight,
                                lum0=pkt.lum0 * lum_weight)
             return lc.life_cycle(grid, med, opts, cfgs, tabs, rfb,
@@ -152,7 +157,7 @@ class Simulation:
                                  sweep_tabs=self._sweep_tabs,
                                  emission_phase=emission_phase)
 
-        fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(5, 6))
+        fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(6, 7))
         self._seg_cache[key] = fn
         return fn
 
@@ -165,10 +170,11 @@ class Simulation:
             opts = dataclasses.replace(opts, emission_doppler=True)
         run = self._segment_runner(source, opts, seg_key)
         nb = -(-n_packets // B)
+        hist_end = jnp.int32(hist_base + n_packets)
         for b in range(nb):
             history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
             rf, accs = run(n_packets, float(lum_weight), seed_key, history,
-                           stabs, rf, accs)
+                           hist_end, stabs, rf, accs)
         return rf, accs
 
     def _init_rf(self):

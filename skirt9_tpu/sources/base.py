@@ -143,17 +143,21 @@ def _sample_wavelength(tabs, keys, lum, sed, lam0, xi):
 
 
 def launch_batch(source, tabs: dict, grid, seed_key: jax.Array,
-                 history: jax.Array, n_total: int) -> PacketBatch:
+                 history: jax.Array, n_total: int,
+                 hist_end: "jax.Array | int | None" = None) -> PacketBatch:
     """Assemble a full PacketBatch from a source launch.
 
-    history: (B,) absolute history indices (int32); packets beyond n_total
-    (padding of the last batch) launch dead.
+    history: (B,) absolute history indices (int32); n_total is THIS source's
+    packet count (normalizes per-packet luminosity). Histories are globally
+    unique across sources (RNG decorrelation), so the validity cutoff for
+    last-batch padding is hist_end = hist_base + n_total, not n_total
+    (ref: SourceSystem.cpp:75 history-index ranges per source).
     """
     hkeys = rng.history_keys(seed_key, history)
     keys0 = rng.event_keys(hkeys, rng.LAUNCH_EVENT)  # launch-time stream
     f = source.launch(tabs, keys0, n_total)
     pos, cell, _ = grid.move_inside(f["pos"], f["dir"])
-    valid = history < n_total
+    valid = history < (n_total if hist_end is None else hist_end)
     B = history.shape[0]
     return PacketBatch(
         lam=f["lam"],
