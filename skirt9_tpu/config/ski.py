@@ -246,26 +246,25 @@ def build_mix(el) -> mx.MixTables:
                                              if "centroid" in a else 100e-9,
                                              _f(a, "width", 0.4))
                 else:
+                    # ref stores a positive exponent: dn/da ~ a^-exponent
+                    # (PowerLawGrainSizeDistribution, default 3.5)
                     sd = gr.power_law_sizes(amin, amax,
-                                            -_f(a, "exponent", -3.5))
+                                            _f(a, "exponent", 3.5))
                 nbins = int(_f(p_el.attrib, "numSizes", 6))
                 mass = _q(p_el.attrib, "dustMassPerHydrogenAtom", "mass") \
                     if "dustMassPerHydrogenAtom" in p_el.attrib else 1e-29
                 pops.append(gr.GrainPopulation(comp, sd, nbins, mass))
             mg = gr.build_multi_grain(pops)
-        # MixTables is a frozen dataclass; the size-bin payload for the
-        # stochastic calculator is carried in a side table keyed by identity
-        _MULTIGRAIN_CACHE[id(mg.mix)] = mg
+        # MixTables is a frozen (but slot-less) dataclass; carry the
+        # size-bin payload for the stochastic calculator on the object
+        # itself so its lifetime is tied to the mix (no global cache)
+        object.__setattr__(mg.mix, "_multigrain", mg)
         return mg.mix
     raise NotImplementedError(f"material mix '{t}' not supported yet")
 
 
-# maps id(MixTables) -> MultiGrainTables for stochastic emission wiring
-_MULTIGRAIN_CACHE: dict = {}
-
-
 def multigrain_for(mix) -> "object | None":
-    return _MULTIGRAIN_CACHE.get(id(mix))
+    return getattr(mix, "_multigrain", None)
 
 
 def build_medium_normalization(el, geom, mix):
@@ -315,17 +314,29 @@ def build_grid(el):
         return int(m.attrib.get("numBins", default)) if m is not None \
             else default
 
+    def _mesh_is_log(name):
+        # ref Mesh family (LogMesh/PowMesh/...); we honor LogMesh for
+        # radial meshes and reject meshes we would silently linearize
+        m = _child(el, name)
+        if m is None or m.tag == "LinMesh":
+            return False
+        if m.tag == "LogMesh":
+            return True
+        raise NotImplementedError(f"{m.tag} for {name} not supported yet")
+
     if t == "Sphere1DSpatialGrid":
         from ..grids.sphere import make_sphere1d
         return make_sphere1d(_q(a, "maxRadius", "length"),
                              _mesh_bins("meshRadial", 32),
                              r_min=_q(a, "minRadius", "length")
-                             if "minRadius" in a else 0.0)
+                             if "minRadius" in a else 0.0,
+                             log=_mesh_is_log("meshRadial"))
     if t == "Sphere2DSpatialGrid":
         from ..grids.polar import make_sphere2d
         return make_sphere2d(_q(a, "maxRadius", "length"),
                              _mesh_bins("meshRadial", 32),
-                             _mesh_bins("meshPolar", 16))
+                             _mesh_bins("meshPolar", 16),
+                             log_r=_mesh_is_log("meshRadial"))
     if t == "Sphere3DSpatialGrid":
         from ..grids.polar import make_sphere3d
         return make_sphere3d(_q(a, "maxRadius", "length"),
@@ -501,10 +512,12 @@ def load_ski(path: str, num_packets: int | None = None,
     if de_opts is not None and \
             de_opts.attrib.get("dustEmissionType") == "Stochastic":
         ems_type = "Stochastic"
-    for _, mix_i, _ in components:
+    grain_component = 0
+    for h, (_, mix_i, _) in enumerate(components):
         mg_i = multigrain_for(mix_i)
         if mg_i is not None:
             grain_tables = mg_i
+            grain_component = h
             break
 
     max_steps = grid.max_steps() if hasattr(grid, "max_steps") else 128
@@ -515,7 +528,8 @@ def load_ski(path: str, num_packets: int | None = None,
         grid=grid, medium=medium, sources=sources, instruments=instruments,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
         num_packets=n_pk, batch_size=batch_size, seed=seed,
-        dust_emission_type=ems_type, grain_tables=grain_tables)
+        dust_emission_type=ems_type, grain_tables=grain_tables,
+        grain_component=grain_component)
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text

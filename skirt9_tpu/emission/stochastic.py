@@ -157,14 +157,17 @@ def state_distribution(tabs: StochasticTables, b: int,
 
 def cell_emission_spectra(tabs: StochasticTables, nd: np.ndarray,
                           u_lam: np.ndarray,
-                          chunk: int = 4096) -> np.ndarray:
+                          chunk: int = 4096,
+                          component: int = 0) -> np.ndarray:
     """Per-cell stochastic emission spectra eps (ncells, L) [W/m per unit
     volume], summed over size bins: eps = sum_b n_H N_b * (P_b @ M_b).
+    `component` is the medium-component index that holds the multi-grain
+    dust (nd may carry several media components).
     Drop-in replacement for equilibrium.cell_emission_spectra
     (ref: DustEmissionOptions 'dustEmissionType Stochastic')."""
     nd = np.asarray(nd, np.float64)
     if nd.ndim == 2:
-        nd = nd[:, 0]
+        nd = nd[:, component]
     ncells = u_lam.shape[0]
     L = tabs.lam_ems.size
     eps = np.zeros((ncells, L))

@@ -108,9 +108,11 @@ class Sphere1DGrid(NamedTuple):
 def make_sphere1d(r_max: float, nr: int, r_min: float = 0.0,
                   log: bool = False) -> Sphere1DGrid:
     if log and r_min > 0:
-        rb = np.concatenate([[0.0] if r_min == 0 else [],
-                             np.geomspace(max(r_min, r_max * 1e-6), r_max,
-                                          nr + 1)])
+        rb = np.geomspace(r_min, r_max, nr + 1)
+    elif log:
+        # innermost border pinned to 0; log spacing from a small inner radius
+        rb = np.concatenate([[0.0],
+                             np.geomspace(r_max * 1e-4, r_max, nr)])
     else:
         rb = np.linspace(r_min, r_max, nr + 1)
     return Sphere1DGrid(rb=jnp.asarray(rb, jnp.float32))

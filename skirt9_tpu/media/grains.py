@@ -230,8 +230,9 @@ def _mie_composition(name: str, nk_fn, rho: float, amass: float,
         for i in range(a.size):
             qe[i], qs[i], gg[i] = mie_q(m, xc[i])
         big = x > 100.0
+        # geometric-optics limit: Q_ext -> 2; Q_sca keeps its value computed
+        # at the capped x=100 (a reasonable large-x plateau for these n,k)
         qe = np.where(big, 2.0, qe)
-        qs = np.where(big, qs, qs)
         qa = np.maximum(qe - qs, 0.0)
         return qa, qs, gg
 

@@ -75,6 +75,8 @@ class Simulation:
     # per-size-bin cross sections + enthalpies)
     dust_emission_type: str = "Equilibrium"
     grain_tables: object = None
+    # medium-component index holding the multi-grain dust (for stochastic)
+    grain_component: int = 0
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -307,7 +309,8 @@ class Simulation:
             u_lam = st.u_lambda_from_rf(rf, np.asarray(self.rf_borders),
                                         vols, self.rf_scale)
             eps = st.cell_emission_spectra(self._stoch_tabs,
-                                           np.asarray(med.nd), u_lam)
+                                           np.asarray(med.nd), u_lam,
+                                           component=self.grain_component)
         else:
             p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
             T = eq.equilibrium_temperature(etabs, p_abs)
