@@ -129,6 +129,58 @@ class Simulation:
         lum_weights = np.ones(m)
         return counts, lum_weights
 
+    def _strata_for(self, source, opts):
+        """Wavelength strata for bin-pure sweep deposits (or None).
+
+        Returns (borders (R_g+1,), bin_map tuple) partitioning the source's
+        SED support into the RF bins it overlaps plus edge strata outside
+        the RF grid (bin -1, transported but not deposited). See
+        transport/sweep.py scope notes."""
+        if (self._sweep_tabs is None or self.rf_borders is None
+                or not opts.store_rf):
+            return None
+        R = len(self.rf_borders) - 1
+        if R <= 1:
+            return None
+        sed = getattr(source, "sed", None)
+        if sed is None:
+            return None
+        lmin = float(np.asarray(sed.lam)[0])
+        lmax = float(np.asarray(sed.lam)[-1])
+        rb = np.asarray(self.rf_borders, np.float64)
+        borders = [lmin]
+        bin_map = []
+        if lmin < rb[0]:
+            borders.append(min(rb[0], lmax))
+            bin_map.append(-1)
+        for b in range(R):
+            hi = min(rb[b + 1], lmax)
+            if hi > borders[-1]:
+                borders.append(hi)
+                bin_map.append(b)
+        if lmax > borders[-1]:
+            borders.append(lmax)
+            bin_map.append(-1)
+        if len(bin_map) < 1:
+            return None
+        return np.asarray(borders, np.float64), tuple(bin_map)
+
+    def _mono_rf_bin(self, source, opts):
+        """Static RF bin of a monochromatic source in a multi-bin RF run."""
+        if (self._sweep_tabs is None or self.rf_borders is None
+                or not opts.store_rf):
+            return -1
+        R = len(self.rf_borders) - 1
+        if R <= 1 or getattr(source, "sed", None) is not None:
+            return -1
+        lam0 = getattr(source, "lam0", None)
+        if lam0 is None:
+            return -1
+        b = int(np.searchsorted(np.asarray(self.rf_borders), lam0,
+                                side="right")) - 1
+        # out-of-range deposits are masked to zero anyway; clamp the index
+        return min(max(b, 0), R - 1)
+
     def _segment_runner(self, source, opts: lc.TransportOptions, key):
         """Jitted runner for one (source-kind, options) combination; source
         device tables flow through as traced arguments so per-iteration
@@ -170,6 +222,20 @@ class Simulation:
         if getattr(source, "emits_with_velocity", False) and \
                 not opts.emission_doppler:
             opts = dataclasses.replace(opts, emission_doppler=True)
+        # bin-pure batch layout for wavelength-binned sweep deposits
+        strata = self._strata_for(source, opts)
+        if strata is not None:
+            borders, bin_map = strata
+            R_g = len(bin_map)
+            opts = dataclasses.replace(opts, rf_strata=R_g,
+                                       rf_bin_map=bin_map)
+            B = max(1, round(B / (128 * R_g))) * 128 * R_g
+            stabs = dict(stabs)
+            stabs["strata"] = jnp.asarray(borders, jnp.float32)
+        else:
+            mono_bin = self._mono_rf_bin(source, opts)
+            if mono_bin >= 0:
+                opts = dataclasses.replace(opts, rf_mono_bin=mono_bin)
         run = self._segment_runner(source, opts, seg_key)
         nb = -(-n_packets // B)
         hist_end = jnp.int32(hist_base + n_packets)

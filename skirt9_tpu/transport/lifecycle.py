@@ -99,6 +99,16 @@ class TransportOptions:
     # sources at parsec scales, beyond f32 max). Choose
     # rf_scale ~ (L_total/num_packets) * grid diagonal.
     rf_scale: float = 1.0
+    # panchromatic sweep support: when > 0, the batch is laid out in
+    # rf_strata contiguous bin-pure lane groups (stratified launch, see
+    # sources.base._sample_wavelength_stratified) and the sweep engine
+    # deposits wavelength-binned radiation fields; rf_bin_map maps each
+    # group to its RF bin (-1 = outside the RF grid, deposits dropped)
+    rf_strata: int = 0
+    rf_bin_map: tuple = ()
+    # monochromatic source inside a multi-bin RF simulation: all lanes
+    # deposit into this single static bin (-1 = not monochromatic)
+    rf_mono_bin: int = -1
 
 
 # ----------------------------------------------------------------- ray marches
@@ -351,20 +361,30 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     opt = msys.optics_at(med, pkt.lam)
     # slab-sweep fast path (Pallas kernels, see transport/sweep.py): active
     # when the grid/medium support it and no per-cell wavelength shifts are
-    # in play (the per-lane cross section must be constant along the path)
+    # in play (the per-lane cross sections must be constant along the path).
+    # Wavelength-binned radiation fields need the batch in bin-pure lane
+    # groups: rf_strata > 0 (stratified launch) or rf_mono_bin >= 0 (single
+    # static bin for a monochromatic source).
     B_lanes = int(pkt.lam.shape[0])
+    rf_nbins = (rf.shape[1] if (rf is not None and opts.store_rf) else 0)
+    n_groups = 1
+    if rf_nbins > 1:
+        if opts.rf_strata > 0:
+            n_groups = opts.rf_strata
+        elif opts.rf_mono_bin < 0:
+            rf_nbins = -1  # multi-bin RF without a bin-pure layout: no sweep
     use_sweep = (sweep_tabs is not None
                  and not opts.explicit_absorption and not opts.kinematics
                  and not opts.lya and not opts.compton
-                 and B_lanes % 128 == 0
-                 and (rf is None or not opts.store_rf or rf.shape[1] == 1))
+                 and B_lanes % max(128 * n_groups, 128) == 0
+                 and rf_nbins >= 0)
     if use_sweep:
         from . import sweep as _sw
-        sigma_lane = opt.sigma_ext[:, 0]
+        sigma_lanes = opt.sigma_ext.T  # (H, B)
 
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
             return jnp.sum(_sw.sweep_dtau(sweep_tabs, pos, kdir,
-                                          o.sigma_ext[:, 0], mask), axis=0)
+                                          o.sigma_ext.T, mask), axis=0)
     else:
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
             return trace_tau(grid, med, o, pos, kdir, cell, opts.max_steps,
@@ -451,7 +471,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
         if use_sweep:
             dtau_slab = _sw.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
-                                       sigma_lane, active)
+                                       sigma_lanes, active)
             grp = jnp.argmax(jnp.abs(pkt.dir), axis=-1)
             dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
             tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
@@ -508,10 +528,20 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) * inv_sqrt
             rel_slab = tau_int[None, :] - tb_slab
             rf_delta, s_int, icell, found = _sw.sweep_deposit(
-                sweep_tabs, pkt.pos, pkt.dir, sigma_lane, active,
-                scale_slab, rel_slab)
+                sweep_tabs, pkt.pos, pkt.dir, sigma_lanes, active,
+                scale_slab, rel_slab, n_groups=n_groups)
             if use_rf:
-                rf = rf + rf_delta[:, None]
+                if rf.shape[1] == 1:
+                    rf = rf + rf_delta[0][:, None]
+                elif n_groups == 1:
+                    # monochromatic source in a multi-bin RF table
+                    rf = rf.at[:, opts.rf_mono_bin].add(rf_delta[0])
+                elif tuple(opts.rf_bin_map) == tuple(range(rf.shape[1])):
+                    rf = rf + rf_delta.T
+                else:
+                    for gi, bi in enumerate(opts.rf_bin_map):
+                        if bi >= 0:
+                            rf = rf.at[:, bi].add(rf_delta[gi])
             ipos = pkt.pos + s_int[:, None] * pkt.dir
             found = found & active_int
             idx = frac = None

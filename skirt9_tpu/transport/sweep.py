@@ -37,11 +37,15 @@ Two kernels:
                            cell) + exact interaction-point resolution given
                            the sampled interaction optical depth.
 
-Scope (v1): `UniformCartesianGrid`, single-component media with per-lane
-scalar cross sections (monochromatic or per-packet sigma), no per-cell
-kinematic wavelength shifts.  Everything else falls back to the general
-scan-based march in `lifecycle.py`.  Minor-plane sizes up to 32*128 = 4096
-cells per slab and grids up to ~96^3 fit the VMEM budget.
+Scope (v2): `UniformCartesianGrid`, up to ~4 medium components (per-lane
+per-component sigma, constant along the path — panchromatic is fine, no
+per-cell kinematic wavelength shifts), and wavelength-binned radiation
+fields via bin-pure lane groups (stratified launch, see
+sources.base stratified sampling + Simulation batch layout): each group's
+deposits accumulate into a separate slab block selected by a static
+program-id map.  Everything else falls back to the general scan-based march
+in `lifecycle.py`.  Grids up to ~72^3 (3*minor_rows <= 128) fit the deposit
+row encoding and VMEM budget.
 """
 
 from __future__ import annotations
@@ -62,7 +66,7 @@ LANE_BLOCK = 8192          # default lanes per kernel program: (64, 128)
 class SweepTables(NamedTuple):
     """Per-axis-major slab density tables + static grid geometry."""
 
-    rho: jax.Array          # (3, n_major_max, rows, 128) f32 number density
+    rho: jax.Array          # (C, 3, n_major_max, rows, 128) f32 number density
     # static python metadata (hashable; the kernels close over it)
     n: tuple                # (nx, ny, nz)
     lo: tuple               # (x0, y0, z0) floats
@@ -70,9 +74,13 @@ class SweepTables(NamedTuple):
     nmax: int               # padded slab count
     rows: int               # minor-plane rows of 128
 
+    @property
+    def ncomp(self) -> int:
+        return self.rho.shape[0]
+
 
 def supports_sweep(grid, med) -> bool:
-    """True when (grid, medium) fits the v1 sweep kernel."""
+    """True when (grid, medium) fits the sweep kernels."""
     import os
 
     from ..grids.cartesian import UniformCartesianGrid
@@ -84,33 +92,40 @@ def supports_sweep(grid, med) -> bool:
         return False
     if not isinstance(grid, UniformCartesianGrid):
         return False
-    if med.ncomp != 1:
-        return False
     nx, ny, nz = grid.shape
     minor = max(ny * nz, nx * nz, nx * ny)
-    if minor > 42 * 128:
+    if 3 * (-(-minor // 128)) > 128:
         # the deposit matmul encodes (axis, minor-row) in 128 output rows
         return False
     if max(nx, ny, nz) > 256:
+        return False
+    # VMEM budget: per-component slab tables + one bin group's accumulator
+    nmax = max(nx, ny, nz)
+    rows = -(-minor // 128)
+    vmem = (med.ncomp * 3 + 3) * nmax * rows * 128 * 4
+    if med.ncomp > 4 or vmem > 10 * 2**20:
         return False
     return True
 
 
 def build_tables(grid, med) -> SweepTables:
-    """Build the three axis-major slab layouts of the density field."""
+    """Build the three axis-major slab layouts of the density field,
+    one set per medium component."""
     nx, ny, nz = grid.shape
-    rho3d = np.asarray(med.nd[:, 0]).reshape(nx, ny, nz)
+    C = med.ncomp
     nmax = max(nx, ny, nz)
     minor = max(ny * nz, nx * nz, nx * ny)
     rows = -(-minor // 128)
-    tab = np.zeros((3, nmax, rows * 128), np.float32)
-    tab[0, :nx, : ny * nz] = rho3d.reshape(nx, ny * nz)
-    tab[1, :ny, : nx * nz] = rho3d.transpose(1, 0, 2).reshape(ny, nx * nz)
-    tab[2, :nz, : nx * ny] = rho3d.transpose(2, 0, 1).reshape(nz, nx * ny)
+    tab = np.zeros((C, 3, nmax, rows * 128), np.float32)
+    for c in range(C):
+        rho3d = np.asarray(med.nd[:, c]).reshape(nx, ny, nz)
+        tab[c, 0, :nx, : ny * nz] = rho3d.reshape(nx, ny * nz)
+        tab[c, 1, :ny, : nx * nz] = rho3d.transpose(1, 0, 2).reshape(ny, nx * nz)
+        tab[c, 2, :nz, : nx * ny] = rho3d.transpose(2, 0, 1).reshape(nz, nx * ny)
     lo = np.asarray(grid.lo, np.float64)
     h = np.asarray(grid.h, np.float64)
     return SweepTables(
-        rho=jnp.asarray(tab.reshape(3, nmax, rows, 128)),
+        rho=jnp.asarray(tab.reshape(C, 3, nmax, rows, 128)),
         n=(nx, ny, nz),
         lo=(float(lo[0]), float(lo[1]), float(lo[2])),
         h=(float(h[0]), float(h[1]), float(h[2])),
@@ -125,8 +140,9 @@ def _sel3(a, x0, x1, x2):
     return jnp.where(a == 0, x0, jnp.where(a == 1, x1, x2))
 
 
-def _lookup(rho_ref, a, t, m, rows):
-    """Per-lane density lookup from the (3, nmax, rows, 128) slab tables.
+def _lookup(rho_ref, c, a, t, m, rows):
+    """Per-lane density lookup from the (C, 3, nmax, rows, 128) slab tables
+    for component c.
 
     The lane-wise take_along_axis select-loop replaces a serialized XLA
     gather (measured ~16 Gelem/s vs 0.15).  m is the flat minor index.
@@ -138,9 +154,18 @@ def _lookup(rho_ref, a, t, m, rows):
     for aa in range(3):
         amask = a == aa
         for r in range(rows):
-            rv = jnp.broadcast_to(rho_ref[aa, t, r, :].reshape(1, 128), shape)
+            rv = jnp.broadcast_to(rho_ref[c, aa, t, r, :].reshape(1, 128),
+                                  shape)
             g = jnp.take_along_axis(rv, col, axis=1)
             acc = acc + jnp.where(amask & (row == r), g, 0.0)
+    return acc
+
+
+def _nd_dot_sig(rho_ref, sig_ref, a, t, m, rows, C):
+    """Total extinction coefficient sum_c nd_c(cell) * sigma_c(lane)."""
+    acc = _lookup(rho_ref, 0, a, t, m, rows) * sig_ref[0]
+    for c in range(1, C):
+        acc = acc + _lookup(rho_ref, c, a, t, m, rows) * sig_ref[c]
     return acc
 
 
@@ -209,13 +234,13 @@ def _minor_crossing(g, iu, iv):
 # ------------------------------------------------------------------ kernels
 
 def _dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
-                 rho_ref, out_ref, *, n, lo, h, nmax, rows, lb):
+                 rho_ref, out_ref, *, n, lo, h, nmax, rows, lb, C):
     a = grp_ref[...]
     pos = (pos_ref[0], pos_ref[1], pos_ref[2])
     dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
     smin = smin_ref[...]
     smax = smax_ref[...]
-    sig = sig_ref[...]
+    sig = tuple(sig_ref[c] for c in range(C))
     g = _axis_geometry(a, pos, dirn, n, lo, h)
 
     def slab(t, _):
@@ -230,15 +255,15 @@ def _dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             m = iu * g["nv"] + iv
-            nd = _lookup(rho_ref, a, t, m, rows)
-            dtau = dtau + nd * ds
+            k = _nd_dot_sig(rho_ref, sig, a, t, m, rows, C)
+            dtau = dtau + k * ds
             cross_u = su <= sv
             iu = jnp.clip(iu + jnp.where(cross_u, jnp.where(g["du"] > 0, 1, -1), 0),
                           0, g["nu"] - 1)
             iv = jnp.clip(iv + jnp.where(cross_u, 0, jnp.where(g["dv"] > 0, 1, -1)),
                           0, g["nv"] - 1)
             s_cur = s_nxt
-        out_ref[t] = dtau * sig
+        out_ref[t] = dtau
         return 0
 
     jax.lax.fori_loop(0, nmax, slab, 0)
@@ -247,10 +272,11 @@ def _dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
 def _deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
                     scale_ref, rel_ref, rho_ref,
                     acc_ref, sint_ref, icell_ref, found_ref,
-                    *, n, lo, h, nmax, rows, lb):
+                    *, n, lo, h, nmax, rows, lb, C, ppb):
     gidx = pl.program_id(0)
 
-    @pl.when(gidx == 0)
+    # one accumulator block per bin group (ppb consecutive programs share it)
+    @pl.when(gidx % ppb == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -259,7 +285,7 @@ def _deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
     dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
     smin = smin_ref[...]
     smax = smax_ref[...]
-    sig = sig_ref[...]
+    sig = tuple(sig_ref[c] for c in range(C))
     g = _axis_geometry(a, pos, dirn, n, lo, h)
 
     sint_ref[...] = jnp.zeros_like(smin)
@@ -290,8 +316,8 @@ def _deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             m = iu * g["nv"] + iv
-            nd = _lookup(rho_ref, a, t, m, rows)
-            dtau = nd * sig * ds
+            k = _nd_dot_sig(rho_ref, sig, a, t, m, rows, C)
+            dtau = k * ds
             # ---- RF deposit: exact integral of L e^-tau over the segment
             small = dtau < 1e-3
             # NB expm1 is not lowerable in Mosaic; the small-dtau branch
@@ -312,7 +338,7 @@ def _deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             A = jnp.where(sub == rf_, contrib.reshape(1, lb), 0.0)
             tile = jax.lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-            acc_ref[t] += tile[: 3 * rows]
+            acc_ref[0, t] += tile[: 3 * rows]
             # ---- interaction point: first sub-segment where the local
             # cumulative tau crosses rel (= tau_int - tau_before_slab)
             rem = rel - tau_loc
@@ -340,16 +366,30 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _lane_block(NB: int) -> int:
-    """Largest supported lanes-per-program dividing the batch."""
-    for lb in (LANE_BLOCK, 4096, 2048, 1024, 512, 256, 128):
-        if (NB * 128) % lb == 0 and lb <= NB * 128:
-            return lb
-    raise ValueError(f"batch of {NB*128} lanes not divisible into lane blocks")
+def _lane_block(NB: int, n_groups: int = 1) -> int:
+    """Largest supported lanes-per-program dividing a bin group.
+
+    With n_groups bin-pure lane groups (stratified panchromatic launch),
+    every group of NB//n_groups rows is covered by an integral number of
+    programs so the per-program accumulator block maps 1:1 onto bins.
+    """
+    if NB % n_groups:
+        raise ValueError(f"{NB} row batch not divisible into {n_groups} groups")
+    grows = NB // n_groups
+    # largest divisor of the group's rows within the VMEM-friendly bound
+    cap = LANE_BLOCK // 128
+    best = grows
+    for d in range(1, grows + 1):
+        if grows % d == 0 and d <= cap:
+            best = d
+    return best * 128
 
 
 def _prep(tabs: SweepTables, pos, dirn, sigma, active):
-    """XLA-side per-lane setup: dominant axis, in-grid parameter range."""
+    """XLA-side per-lane setup: dominant axis, in-grid parameter range.
+
+    sigma: (B,) or (C, B) per-lane per-component cross sections.
+    """
     B = pos.shape[0]
     lo = jnp.asarray(tabs.lo, jnp.float32)
     hi = lo + jnp.asarray(tabs.n, jnp.float32) * jnp.asarray(tabs.h, jnp.float32)
@@ -366,10 +406,13 @@ def _prep(tabs: SweepTables, pos, dirn, sigma, active):
     def tile(x, dt=jnp.float32):
         return x.astype(dt).reshape(NB, 128)
 
+    if sigma.ndim == 1:
+        sigma = sigma[None, :]
+    sig3 = sigma.astype(jnp.float32).reshape(sigma.shape[0], NB, 128)
     pos3 = jnp.stack([tile(pos[:, i]) for i in range(3)])      # (3,NB,128)
     dir3 = jnp.stack([tile(dirn[:, i]) for i in range(3)])
     return (pos3, dir3, tile(group, jnp.int32), tile(smin), tile(smax),
-            tile(sigma), NB)
+            sig3, NB)
 
 
 def sweep_dtau(tabs: SweepTables, pos, dirn, sigma, active):
@@ -379,10 +422,11 @@ def sweep_dtau(tabs: SweepTables, pos, dirn, sigma, active):
     `lifecycle.march_record` (pass 1) for supported grids.
     """
     pos3, dir3, grp, smin, smax, sig, NB = _prep(tabs, pos, dirn, sigma, active)
+    C = sig.shape[0]
     lb = _lane_block(NB)
     lbr = lb // 128
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=tabs.nmax, rows=tabs.rows,
-                lb=lb)
+                lb=lb, C=C)
     kern = functools.partial(_dtau_kernel, **meta)
     G = NB // lbr
     out = pl.pallas_call(
@@ -394,9 +438,9 @@ def sweep_dtau(tabs: SweepTables, pos, dirn, sigma, active):
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tabs.nmax, tabs.rows, 128), lambda g: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, lbr, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3, tabs.nmax, tabs.rows, 128),
+                         lambda g: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tabs.nmax, lbr, 128), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
@@ -407,22 +451,31 @@ def sweep_dtau(tabs: SweepTables, pos, dirn, sigma, active):
 
 
 def sweep_deposit(tabs: SweepTables, pos, dirn, sigma, active,
-                  scale_slab, rel_slab):
+                  scale_slab, rel_slab, n_groups: int = 1):
     """Pass 2: RF deposits + interaction resolution.
 
     scale_slab, rel_slab: (nmax, B) — L·exp(-tau_before) per slab and
     (tau_int - tau_before) per slab, both in ray order (built densely in XLA
     from pass 1's table).
 
-    Returns (rf_delta (ncells,), s_int (B,), icell (B,), found (B,) bool).
+    n_groups: number of contiguous bin-pure lane groups in the batch layout
+    (stratified panchromatic launch); each group accumulates into its own
+    radiation-field slab block, selected by a static program-id map, so the
+    per-bin deposit costs no extra VMEM and no extra matmuls.
+
+    Returns (rf_delta (n_groups, ncells), s_int (B,), icell (B,),
+    found (B,) bool).
     """
     pos3, dir3, grp, smin, smax, sig, NB = _prep(tabs, pos, dirn, sigma, active)
-    lb = _lane_block(NB)
+    C = sig.shape[0]
+    lb = _lane_block(NB, n_groups)
     lbr = lb // 128
     nmax, rows = tabs.nmax, tabs.rows
-    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=nmax, rows=rows, lb=lb)
-    kern = functools.partial(_deposit_kernel, **meta)
     G = NB // lbr
+    ppb = G // n_groups  # programs per bin group
+    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=nmax, rows=rows, lb=lb,
+                C=C, ppb=ppb)
+    kern = functools.partial(_deposit_kernel, **meta)
     scale3 = scale_slab.reshape(nmax, NB, 128)
     rel3 = rel_slab.reshape(nmax, NB, 128)
     acc, s_int, icell, found = pl.pallas_call(
@@ -434,21 +487,21 @@ def sweep_deposit(tabs: SweepTables, pos, dirn, sigma, active,
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, lbr, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nmax, lbr, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nmax, lbr, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, nmax, rows, 128), lambda g: (0, 0, 0, 0),
+            pl.BlockSpec((C, 3, nmax, rows, 128), lambda g: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((nmax, 3 * rows, 128), lambda g: (0, 0, 0),
+            pl.BlockSpec((1, nmax, 3 * rows, 128), lambda g: (g // ppb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nmax, 3 * rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, nmax, 3 * rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((NB, 128), jnp.float32),
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
@@ -457,14 +510,16 @@ def sweep_deposit(tabs: SweepTables, pos, dirn, sigma, active,
     )(pos3, dir3, grp, smin, smax, sig, scale3, rel3, tabs.rho)
 
     nx, ny, nz = tabs.n
+    R = n_groups
     # split the combined accumulator (row = axis*rows + minor_row) and
-    # recombine the three axis-major layouts into the flat cell table
-    acc3 = acc.reshape(nmax, 3, rows * 128).transpose(1, 0, 2)
-    rf = acc3[0, :nx, : ny * nz].reshape(nx, ny, nz)
-    rf = rf + acc3[1, :ny, : nx * nz].reshape(ny, nx, nz).transpose(1, 0, 2)
-    rf = rf + acc3[2, :nz, : nx * ny].reshape(nz, nx, ny).transpose(1, 2, 0)
+    # recombine the three axis-major layouts into the flat cell table,
+    # batched over the bin groups
+    acc3 = acc.reshape(R, nmax, 3, rows * 128).transpose(2, 0, 1, 3)
+    rf = acc3[0][:, :nx, : ny * nz].reshape(R, nx, ny, nz)
+    rf = rf + acc3[1][:, :ny, : nx * nz].reshape(R, ny, nx, nz).transpose(0, 2, 1, 3)
+    rf = rf + acc3[2][:, :nz, : nx * ny].reshape(R, nz, nx, ny).transpose(0, 2, 3, 1)
     B = NB * 128
-    return (rf.reshape(-1), s_int.reshape(B), icell.reshape(B),
+    return (rf.reshape(R, -1), s_int.reshape(B), icell.reshape(B),
             found.reshape(B) != 0)
 
 
