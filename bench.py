@@ -1,11 +1,12 @@
-"""Benchmark: photon packets/s on the scattering uniform-sphere problem.
+"""Benchmark: photon packets/s, headline = panchromatic dust emission.
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+north-star metric (BASELINE.json: packets/s on a panchromatic dust-emission
+run), with the monochromatic config-1 rate as an extra diagnostic field.
 
-The baseline denominator is SKIRT9's measured multi-core CPU packets/s on the
-equivalent problem (BASELINE.md); until that reference measurement lands,
-vs_baseline is reported against the recorded value in BENCH_BASELINE if
-present, else 1.0.
+The baseline denominators are SKIRT9's measured multi-core CPU packets/s on
+the equivalent problems (BASELINE.md / BENCH_BASELINE.json), using the same
+MRN mean dust table exported by tools/export_dustmix.py on both sides.
 """
 
 import json
@@ -20,11 +21,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jaxcache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+HERE = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def bench_config1():
+    """Monochromatic scattering uniform sphere (BASELINE.md config 1)."""
     from skirt9_tpu.grids.cartesian import make_cartesian
     from skirt9_tpu.instruments import distant as dinst
     from skirt9_tpu.media import system as msys
@@ -51,29 +52,66 @@ def main():
                      sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
                      instruments=[inst], options=opts,
                      rf_borders=np.array([0.5e-6, 0.6e-6]),
-                     num_packets=1 << 17, batch_size=1 << 17, seed=0)
-
+                     num_packets=1 << 20, batch_size=1 << 17, seed=0)
     # warmup (compile) at the same packet count as the timed run: the
-    # per-source launch count is a static jit argument, so warming at a
-    # different count would put a recompile inside the timed region
-    sim.num_packets = 1 << 20
+    # per-source launch count is a static jit argument
     sim.run_primary(verbose=False)
-    # timed
     t0 = time.perf_counter()
-    rf, accs = sim.run_primary(verbose=False)
+    sim.run_primary(verbose=False)
     dt = time.perf_counter() - t0
-    rate = sim.num_packets / dt
+    return sim.num_packets / dt
 
-    baseline = None
-    if os.path.exists("BENCH_BASELINE.json"):
-        with open("BENCH_BASELINE.json") as f:
-            baseline = json.load(f).get("packets_per_s")
-    vs = rate / baseline if baseline else 1.0
+
+def bench_config2():
+    """Panchromatic MRN dust emission (the north-star workload): the exact
+    bench2.ski the reference binary runs (tests/golden/bench2.ski), through
+    the ski loader -> stratified sweep engine -> secondary emission."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench2.ski")
+    n_pk = 1 << 20
+
+    def build():
+        sim = load_ski(ski, batch_size=1 << 17, max_events=24,
+                       num_packets=n_pk)
+        sim.seed = 0
+        return sim
+
+    # warmup/compile run
+    sim = build()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    # timed run (fresh object: no cached emission tables)
+    sim = build()
+    t0 = time.perf_counter()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    dt = time.perf_counter() - t0
+    total_packets = n_pk * (1 + info["iterations"]
+                            + (1 if info["L_dust"] > 0 else 0))
+    return total_packets / dt, info
+
+
+def main():
+    rate2, info = bench_config2()
+    rate1 = bench_config1()
+
+    base1 = base2 = None
+    bp = os.path.join(HERE, "BENCH_BASELINE.json")
+    if os.path.exists(bp):
+        with open(bp) as f:
+            b = json.load(f)
+        base1 = b.get("packets_per_s")
+        base2 = b.get("config2_packets_per_s")
+    vs = rate2 / base2 if base2 else 1.0
     print(json.dumps({
-        "metric": "photon packets/s (uniform-sphere tau=1 albedo=0.6, 32^3 grid, peel-off imaging)",
-        "value": round(rate, 1),
+        "metric": "photon packets/s, panchromatic MRN dust-emission "
+                  "(BB source, tau_V=2 sphere, 32^3 grid, 25-bin RF, "
+                  "64x64 imaging + 40-bin SED, self-absorption iterations)",
+        "value": round(rate2, 1),
         "unit": "packets/s",
         "vs_baseline": round(vs, 3),
+        "config1_packets_per_s": round(rate1, 1),
+        "config1_vs_baseline": round(rate1 / base1, 3) if base1 else 1.0,
+        "iterations": info["iterations"],
     }))
 
 

@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -191,7 +192,7 @@ def build_source(el):
 
 # --------------------------------------------------------------------- mixes
 
-def build_mix(el) -> mx.MixTables:
+def build_mix(el, base_dir: str = ".") -> mx.MixTables:
     t = el.tag
     if t == "TrivialGasMix":
         a = el.attrib
@@ -209,7 +210,13 @@ def build_mix(el) -> mx.MixTables:
     if t == "ElectronMix":
         return mx.electron_mix()
     if t == "MeanFileDustMix":
-        return mx.from_file(el.attrib["filename"])
+        # input files resolve relative to the ski file's directory
+        # (ref: FilePaths input path handling)
+        import os as _os
+        fn = el.attrib["filename"]
+        if not _os.path.isabs(fn):
+            fn = _os.path.join(base_dir, fn)
+        return mx.from_file(fn)
     if t in ("MRNDustMix", "DraineLiDustMix", "ZubkoDustMix",
              "WeingartnerDraineDustMix", "ThemisDustMix",
              "ConfigurableDustMix"):
@@ -367,13 +374,13 @@ def build_wavelength_grid(el) -> np.ndarray:
     t = el.tag
     a = el.attrib
     if t == "LogWavelengthGrid":
-        return wl.log_borders(_q(a, "minWavelength", "wavelength"),
-                              _q(a, "maxWavelength", "wavelength"),
-                              int(a["numWavelengths"]))
+        return wl.log_borders_skirt(_q(a, "minWavelength", "wavelength"),
+                                    _q(a, "maxWavelength", "wavelength"),
+                                    int(a["numWavelengths"]))
     if t == "LinWavelengthGrid":
-        return wl.lin_borders(_q(a, "minWavelength", "wavelength"),
-                              _q(a, "maxWavelength", "wavelength"),
-                              int(a["numWavelengths"]))
+        return wl.lin_borders_skirt(_q(a, "minWavelength", "wavelength"),
+                                    _q(a, "maxWavelength", "wavelength"),
+                                    int(a["numWavelengths"]))
     if t == "ListWavelengthGrid":
         lams = U.parse_list("wavelength", a["wavelengths"])
         return wl.oligo_borders(lams)
@@ -427,6 +434,8 @@ def load_ski(path: str, num_packets: int | None = None,
     if mcs is None:
         raise ValueError("not a SKIRT 9 ski file (no MonteCarloSimulation)")
     mode = mcs.attrib.get("simulationMode", "ExtinctionOnly")
+    iterate_secondary = mcs.attrib.get("iterateSecondaryEmission",
+                                       "false") == "true"
     oligo = mode.startswith("Oligo")
     n_pk = num_packets or int(float(mcs.attrib.get("numPackets", 1e6)))
 
@@ -447,6 +456,15 @@ def load_ski(path: str, num_packets: int | None = None,
         if "minWavelength" in a:
             src_range = (U.parse("wavelength", a["minWavelength"]),
                          U.parse("wavelength", a["maxWavelength"]))
+    if src_range is not None and not oligo:
+        # the reference normalizes SEDs and samples wavelengths over the
+        # source range (ref: SourceSystem min/maxWavelength +
+        # IntegratedLuminosityNormalization wavelengthRange="Source")
+        import dataclasses as _dc
+        sources = [
+            _dc.replace(s, sed=sedlib.clipped(s.sed, *src_range))
+            if getattr(s, "sed", None) is not None else s
+            for s in sources]
 
     # media + grid
     med_sys = mcs.find("mediumSystem/MediumSystem")
@@ -458,7 +476,8 @@ def load_ski(path: str, num_packets: int | None = None,
             if m_el.tag != "GeometricMedium":
                 raise NotImplementedError(f"medium '{m_el.tag}' not supported yet")
             geom = build_geometry(_child(m_el, "geometry"))
-            mix = build_mix(_child(m_el, "materialMix"))
+            mix = build_mix(_child(m_el, "materialMix"),
+                            base_dir=os.path.dirname(os.path.abspath(path)))
             norm = build_medium_normalization(m_el, geom, mix)
             components.append((geom, mix, norm))
         grid_el = list(med_sys.find("grid"))[0]
@@ -485,9 +504,9 @@ def load_ski(path: str, num_packets: int | None = None,
         lams = U.parse_list("wavelength", src_sys.attrib["wavelengths"])
         default_wlg = wl.oligo_borders(lams)
     elif src_range is None:
-        default_wlg = wl.log_borders(0.1e-6, 10e-6, 25)
+        default_wlg = wl.log_borders_skirt(0.1e-6, 10e-6, 25)
     else:
-        default_wlg = wl.log_borders(src_range[0], src_range[1], 25)
+        default_wlg = wl.log_borders_skirt(src_range[0], src_range[1], 25)
     inst_sys = mcs.find("instrumentSystem/InstrumentSystem")
     instruments = []
     if inst_sys is not None:
@@ -499,9 +518,23 @@ def load_ski(path: str, num_packets: int | None = None,
             instruments.append(build_instrument(i_el, default_wlg))
 
     with_emission = mode in ("DustEmission", "DustAndGasEmission")
-    rf_borders = wl.log_borders(0.05e-6, 10e-6, 25) if (
-        with_emission or mode.startswith("Iterate")) else None
-    ems_borders = wl.log_borders(1e-6, 2000e-6, 40) if with_emission else None
+    # radiation-field / dust-emission wavelength grids: explicit items in
+    # the ski override the defaults (ref: RadiationFieldOptions.hpp:30,
+    # DustEmissionOptions dustEmissionWLG)
+    rf_borders = None
+    ems_borders = None
+    rf_el = mcs.find(".//radiationFieldOptions/RadiationFieldOptions/"
+                     "radiationFieldWLG")
+    if rf_el is not None and len(rf_el):
+        rf_borders = build_wavelength_grid(list(rf_el)[0])
+    de_wlg_el = mcs.find(".//dustEmissionOptions/DustEmissionOptions/"
+                         "dustEmissionWLG")
+    if de_wlg_el is not None and len(de_wlg_el):
+        ems_borders = build_wavelength_grid(list(de_wlg_el)[0])
+    if rf_borders is None and (with_emission or mode.startswith("Iterate")):
+        rf_borders = wl.log_borders_skirt(*(src_range or (0.05e-6, 10e-6)), 25)
+    if ems_borders is None and with_emission:
+        ems_borders = wl.log_borders_skirt(1e-6, 2000e-6, 40)
 
     # dust emission type (ref: DustEmissionOptions dustEmissionType); the
     # stochastic calculator needs the multi-grain size-bin tables of the
@@ -529,7 +562,7 @@ def load_ski(path: str, num_packets: int | None = None,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
         num_packets=n_pk, batch_size=batch_size, seed=seed,
         dust_emission_type=ems_type, grain_tables=grain_tables,
-        grain_component=grain_component)
+        grain_component=grain_component, iterate_secondary=iterate_secondary)
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text

@@ -227,7 +227,9 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
     else:
         borders = np.asarray(cfg.wave_borders, np.float64)
         dlam = np.diff(borders)
-        pivots = 0.5 * (borders[1:] + borders[:-1])
+        # geometric bin centers == the characteristic wavelengths of a
+        # SKIRT log grid (ref: DisjointWavelengthGrid log-midpoint borders)
+        pivots = np.sqrt(borders[1:] * borders[:-1])
     d2 = cfg.distance**2
     sed = np.asarray(acc["sed"], np.float64)
     out = {"wavelength": pivots}

@@ -137,10 +137,18 @@ def tabulated(lam, sigma_ext, albedo, g, mu: float = 0.0) -> MixTables:
 
 
 def from_file(path: str) -> MixTables:
-    """Four-column text file: lam [m], sigma_ext [m2], albedo, g
-    (ref: MeanFileDustMix)."""
+    """MeanFileDustMix text format: four columns — wavelength [micron],
+    extinction mass coefficient kappa_ext [m2/kg], albedo, asymmetry g —
+    using the reference's fixed arbitrary dust mass per hydrogen atom
+    mu = 1.5e-29 kg/H to set the cross-section scale
+    (ref: MeanFileDustMix.hpp:18-36)."""
     d = np.loadtxt(path)
-    return tabulated(d[:, 0], d[:, 1], d[:, 2], d[:, 3])
+    mu = 1.5e-29
+    lam = d[:, 0] * 1e-6
+    if lam[0] > lam[-1]:  # decreasing order is allowed
+        d = d[::-1]
+        lam = lam[::-1]
+    return tabulated(lam, d[:, 1] * mu, d[:, 2], d[:, 3], mu=mu)
 
 
 def stack(mixes: list[MixTables], lam_grid: np.ndarray | None = None):

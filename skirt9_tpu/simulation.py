@@ -65,6 +65,11 @@ class Simulation:
     # dust emission configuration (ref: DustEmissionOptions.hpp:30-66)
     ems_borders: np.ndarray | None = None
     spatial_bias: float = 0.5
+    # self-absorption iterations only when requested, like the reference's
+    # iterateSecondaryEmission flag (ref: MonteCarloSimulation.hpp:238-242,
+    # mode table :143-156 — plain DustEmission runs primary + one secondary
+    # segment with no iteration)
+    iterate_secondary: bool = False
     min_iterations: int = 1
     max_iterations: int = 10
     max_fraction_of_primary: float = 0.01
@@ -229,7 +234,8 @@ class Simulation:
             R_g = len(bin_map)
             opts = dataclasses.replace(opts, rf_strata=R_g,
                                        rf_bin_map=bin_map)
-            B = max(1, round(B / (128 * R_g))) * 128 * R_g
+            # bin groups need 8-row-aligned lane blocks (f32 sublane tiling)
+            B = max(1, round(B / (1024 * R_g))) * 1024 * R_g
             stabs = dict(stabs)
             stabs["strata"] = jnp.asarray(borders, jnp.float32)
         else:
@@ -313,7 +319,7 @@ class Simulation:
         L_abs_prev = 0.0
         iterations = 0
         # --- self-absorption iterations (no peel-off) ---------------------
-        for it in range(self.max_iterations):
+        for it in range(self.max_iterations if self.iterate_secondary else 0):
             src2 = self._make_secondary(etabs, rf_total)
             if src2.luminosity <= 0:
                 break

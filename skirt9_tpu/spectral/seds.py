@@ -65,6 +65,21 @@ def from_file(path: str, lam_unit: float = 1.0, s_unit: float = 1.0) -> Tabulate
     return TabulatedSED(lam=data[:, 0] * lam_unit, s=data[:, 1] * s_unit)
 
 
+def clipped(sed: TabulatedSED, lam_min: float, lam_max: float) -> TabulatedSED:
+    """Restrict the SED support to [lam_min, lam_max] with exact endpoint
+    samples (ref: sources normalize and sample over the SourceSystem
+    wavelength range)."""
+    lam = np.asarray(sed.lam, np.float64)
+    s = np.asarray(sed.s, np.float64)
+    lo = max(lam_min, lam[0])
+    hi = min(lam_max, lam[-1])
+    if lo >= hi:
+        raise ValueError("source range does not overlap the SED support")
+    inner = lam[(lam > lo) & (lam < hi)]
+    grid = np.concatenate([[lo], inner, [hi]])
+    return TabulatedSED(lam=grid, s=np.interp(grid, lam, s))
+
+
 def integrate(sed: TabulatedSED, lam_min=None, lam_max=None) -> float:
     """Integrated luminosity over a range (for normalizations;
     ref: SED::integratedLuminosity)."""

@@ -20,8 +20,35 @@ def lin_borders(lam_min: float, lam_max: float, n: int) -> np.ndarray:
 
 
 def log_borders(lam_min: float, lam_max: float, n: int) -> np.ndarray:
-    """(ref: LogWavelengthGrid)"""
+    """n+1 borders with lam_min/lam_max as OUTER borders (internal use)."""
     return np.geomspace(lam_min, lam_max, n + 1)
+
+
+def log_borders_skirt(lam_min: float, lam_max: float, n: int) -> np.ndarray:
+    """SKIRT LogWavelengthGrid semantics: lam_min/lam_max are the first and
+    last CHARACTERISTIC wavelengths of n bins; borders sit at the log
+    midpoints, with the outer borders extended half a step
+    (ref: DisjointWavelengthGrid::setWavelengthRange, logScale branch,
+    DisjointWavelengthGrid.cpp:47-58)."""
+    lam = np.geomspace(lam_min, lam_max, n)
+    if n == 1:
+        return np.array([lam_min * 0.999, lam_min * 1.001])
+    inner = np.sqrt(lam[:-1] * lam[1:])
+    b0 = np.sqrt(lam[0] ** 3 / lam[1])
+    bn = np.sqrt(lam[-1] ** 3 / lam[-2])
+    return np.concatenate([[b0], inner, [bn]])
+
+
+def lin_borders_skirt(lam_min: float, lam_max: float, n: int) -> np.ndarray:
+    """SKIRT LinWavelengthGrid semantics (linear-midpoint borders,
+    ref: DisjointWavelengthGrid.cpp:60-67)."""
+    lam = np.linspace(lam_min, lam_max, n)
+    if n == 1:
+        return np.array([lam_min * 0.999, lam_min * 1.001])
+    inner = 0.5 * (lam[:-1] + lam[1:])
+    b0 = 1.5 * lam[0] - 0.5 * lam[1]
+    bn = 1.5 * lam[-1] - 0.5 * lam[-2]
+    return np.concatenate([[b0], inner, [bn]])
 
 
 def resolution_borders(lam_min: float, lam_max: float, R: float) -> np.ndarray:

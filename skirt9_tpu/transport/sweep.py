@@ -376,12 +376,21 @@ def _lane_block(NB: int, n_groups: int = 1) -> int:
     if NB % n_groups:
         raise ValueError(f"{NB} row batch not divisible into {n_groups} groups")
     grows = NB // n_groups
-    # largest divisor of the group's rows within the VMEM-friendly bound
+    # largest divisor of the group's rows within the VMEM-friendly bound;
+    # Mosaic requires the sublane block dim divisible by 8 (f32 tiling)
+    # unless it equals the full array dim
     cap = LANE_BLOCK // 128
-    best = grows
+    best = None
     for d in range(1, grows + 1):
-        if grows % d == 0 and d <= cap:
+        if grows % d == 0 and d <= cap and (d % 8 == 0 or d == NB):
             best = d
+    if best is None:
+        if grows == NB:
+            best = grows  # single block spanning the array dim
+        else:
+            raise ValueError(
+                f"bin group of {grows} lane-rows has no 8-divisible block; "
+                f"round the batch to a multiple of 1024*n_groups")
     return best * 128
 
 
