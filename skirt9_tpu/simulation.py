@@ -238,6 +238,20 @@ class Simulation:
             B = max(1, round(B / (1024 * R_g))) * 1024 * R_g
             stabs = dict(stabs)
             stabs["strata"] = jnp.asarray(borders, jnp.float32)
+            # per-stratum valid-lane counts over ALL batches: last-batch
+            # history padding (history >= hist_base + n_packets -> lum 0)
+            # can starve whole strata, which would skew the stratified
+            # estimator (it assumes equal valid lanes per stratum); correct
+            # each stratum's weight by (N_total/R)/n_valid_r
+            nb_ = -(-n_packets // B)
+            lane_strata = (np.arange(B, dtype=np.int64) * R_g) // B
+            n_valid = np.zeros(R_g, np.int64)
+            for b_ in range(nb_):
+                valid = (b_ * B + np.arange(B)) < n_packets
+                n_valid += np.bincount(lane_strata[valid], minlength=R_g)
+            corr = np.where(n_valid > 0,
+                            (n_packets / R_g) / np.maximum(n_valid, 1), 0.0)
+            stabs["strata_w"] = jnp.asarray(corr, jnp.float32)
         else:
             mono_bin = self._mono_rf_bin(source, opts)
             if mono_bin >= 0:

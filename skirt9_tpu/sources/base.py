@@ -135,7 +135,7 @@ def _sample_wavelength(tabs, keys, lum, sed, lam0, xi):
     sedt = tabs["sed"]
     if "strata" in tabs:
         return _sample_wavelength_stratified(sedt, tabs["strata"], keys, lum,
-                                             xi)
+                                             xi, tabs.get("strata_w"))
     u = rng.uniform(keys, rng.LAUNCH_WAVELENGTH)
     lam_sed = sampling.sample_cdf_loglog(u, sedt["lam"], sedt["cdf"])
     if xi <= 0:
@@ -167,7 +167,8 @@ def _cdf_at(sedt, x):
     return S
 
 
-def _sample_wavelength_stratified(sedt, borders, keys, lum, xi):
+def _sample_wavelength_stratified(sedt, borders, keys, lum, xi,
+                                  strata_w=None):
     """Composite-bias sampling conditioned on per-lane wavelength strata.
 
     borders: (R+1,) stratum borders covering the SED support. Lane i is in
@@ -207,6 +208,13 @@ def _sample_wavelength_stratified(sedt, borders, keys, lum, xi):
     b = 1.0 / (lam * logw)
     q = jnp.maximum((1.0 - xi) * s + xi * b, 1e-37)
     w = jnp.where(Q > 0, (R * Q) * s / q, 0.0)
+    # per-stratum lane-count correction: the estimator assumes B/R VALID
+    # lanes per stratum, but last-batch history padding can invalidate whole
+    # strata (lanes with history >= hist_end get lum=0 in launch_batch);
+    # the host supplies (N_total/R)/n_valid_r per stratum to restore the
+    # exact expectation (see Simulation._run_segment)
+    if strata_w is not None:
+        w = w * strata_w[stratum]
     return lam, lum * w
 
 

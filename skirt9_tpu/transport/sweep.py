@@ -387,6 +387,11 @@ def _lane_block(NB: int, n_groups: int = 1) -> int:
     if best is None:
         if grows == NB:
             best = grows  # single block spanning the array dim
+        elif _interpret():
+            # interpret mode (CPU tests) has no Mosaic sublane-tiling rule;
+            # any divisor of the group works
+            best = max(d for d in range(1, grows + 1)
+                       if grows % d == 0 and d <= cap)
         else:
             raise ValueError(
                 f"bin group of {grows} lane-rows has no 8-divisible block; "
