@@ -130,6 +130,12 @@ class CartesianGrid(NamedTuple):
         already = self.locate(pos) >= 0
         t_entry = jnp.where(already, 0.0, jnp.maximum(tmin, 0.0) * (1.0 + 1e-6))
         newpos = pos + t_entry[..., None] * dirn
+        # rays entering exactly on the hi face (t_entry==0 there, e.g. a
+        # subdomain ray starting on a slab border) would locate outside;
+        # clamp entries just inside the box (~10 f32 ulps of the box size)
+        eps = 1e-6 * (hi - lo)
+        newpos = jnp.where(already[..., None], newpos,
+                           jnp.clip(newpos, lo, hi - eps))
         cell = jnp.where(already | hits, self.locate(newpos), -1)
         return newpos, cell.astype(jnp.int32), t_entry
 
@@ -275,6 +281,10 @@ class UniformCartesianGrid(NamedTuple):
         t_entry = jnp.where(already, 0.0,
                             jnp.maximum(tmin, 0.0) * (1.0 + 1e-6))
         newpos = pos + t_entry[..., None] * dirn
+        # clamp hi-face entries just inside (see CartesianGrid.move_inside)
+        eps = 1e-6 * (self.hi - self.lo)
+        newpos = jnp.where(already[..., None], newpos,
+                           jnp.clip(newpos, self.lo, self.hi - eps))
         cell = jnp.where(already | hits, self.locate(newpos), -1)
         return newpos, cell.astype(jnp.int32), t_entry
 

@@ -1,0 +1,395 @@
+"""Spatial domain decomposition: grid tables sharded over the device mesh.
+
+This is the capability the reference explicitly lacks: SKIRT9 replicates the
+full spatial grid and all per-cell tables on every MPI rank and rejects the
+`-d` data-parallel flag ("not supported at this time",
+ref: SKIRT/main/SkirtCommandLineHandler.cpp:329-332). Its communication
+backend (ref: SKIRT/mpi/ProcessManager.cpp:206-259) only offers whole-table
+allreduce. Here the two large per-cell tables — the medium number densities
+`nd[cell, h]` and the radiation field `rf[cell, bin]` — are sharded into
+axis-aligned x-slabs over the mesh, so grids larger than one chip's HBM
+become possible.
+
+TPU-native design decision — packets do NOT migrate. A naive translation of
+"domain decomposition" would move packets between devices whenever they
+cross a subdomain face (alltoall rebatching). That fights the hardware:
+variable-size exchanges need dynamic shapes, and the packet population per
+subdomain is wildly unbalanced (sources concentrate packets). Instead the
+decomposition inverts the data flow:
+
+  * packets stay on their launch device (history-index DP, perfectly
+    balanced);
+  * each transport event `all_gather`s the compact ray states (position,
+    direction, per-lane cross sections — a few floats per packet) over the
+    mesh; every device then ray-marches ALL gathered rays through ITS OWN
+    slab only. A slab holds 1/n of the cells along x, so each device does
+    (n rays) x (steps/n) ~ constant work — the total march work equals the
+    replicated-grid engine's;
+  * per-slab partial optical depths are `all_gather`ed (n_slabs, N) and
+    combined into ray-ordered prefix sums with a masked reduction over the
+    slab axis (slabs are crossed monotonically in x);
+  * radiation-field deposits land directly in the device-local RF shard —
+    the reference's per-segment whole-table MPI_Allreduce disappears;
+  * interaction points / per-cell medium state found inside a slab return
+    to the owning device via a masked `psum` (exactly one slab finds each
+    interaction);
+  * observer-direction (peel-off) optical depths are `psum`s of per-slab
+    partial taus.
+
+The collectives are all_gather + psum riding ICI; there is no host round
+trip and no dynamic shape anywhere.
+
+Scope of this first engine: uniform Cartesian grids, forced scattering with
+composite path-length bias, HG scattering, multi-component media, binned
+radiation fields, distant-instrument peel-off — the config-1/2 benchmark
+envelope. RNG draws reuse the exact per-(history, event, purpose) streams of
+transport/lifecycle.py, so a decomposed run statistically matches the
+replicated engine draw for draw (verified in tests/test_domain.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..grids.cartesian import UniformCartesianGrid
+from ..instruments import distant as dinst
+from ..media import system as msys
+from ..ops import phase as phs
+from ..ops import rng
+from ..sources import base as src
+from ..transport import lifecycle as lc
+from ..transport.lifecycle import (_TAG_PATH_CHOICE, _TAG_PATH_TAU_EXP,
+                                   _TAG_PATH_TAU_UNI, _TAG_SCATTER_COMP,
+                                   _TAG_SCATTER_CT, _TAG_SCATTER_PHI)
+
+DD_AXIS = "dd"
+
+
+class SlabDecomposition(NamedTuple):
+    """Static description of an x-slab partition of a uniform Cartesian grid."""
+
+    n_slabs: int
+    nx_local: int
+    ny: int
+    nz: int
+    slab_lohi: np.ndarray   # (n_slabs, 6) [lo_xyz, hi_xyz] per slab
+    h: np.ndarray           # (3,) global cell size
+
+    @property
+    def ncells_local(self) -> int:
+        return self.nx_local * self.ny * self.nz
+
+    @property
+    def max_steps_local(self) -> int:
+        # one straight path can cross at most nx_local + ny + nz cells of a
+        # slab (+ slack); rays nearly parallel to the slab still pay the
+        # transverse bound — the fixed-scan-length cost of slab partitioning
+        return self.nx_local + self.ny + self.nz + 3
+
+
+def decompose_slabs(grid, n_slabs: int) -> SlabDecomposition:
+    """Partition a UniformCartesianGrid into n equal x-slabs.
+
+    Cell ordering is x-major, so slab s owns the contiguous global cell
+    block [s*ncells_local, (s+1)*ncells_local) — per-cell tables shard with
+    a plain PartitionSpec along axis 0.
+    """
+    if not isinstance(grid, UniformCartesianGrid):
+        raise NotImplementedError(
+            "slab decomposition currently supports uniform Cartesian grids")
+    if grid.nx % n_slabs:
+        raise ValueError(f"nx={grid.nx} not divisible into {n_slabs} slabs")
+    nx_l = grid.nx // n_slabs
+    lo = np.asarray(grid.lo, np.float64)
+    hi = np.asarray(grid.hi, np.float64)
+    h = np.asarray(grid.h, np.float64)
+    lohi = np.empty((n_slabs, 6), np.float64)
+    for s in range(n_slabs):
+        lohi[s, :3] = (lo[0] + s * nx_l * h[0], lo[1], lo[2])
+        lohi[s, 3:] = (lo[0] + (s + 1) * nx_l * h[0], hi[1], hi[2])
+    # exact global borders at the outer faces (avoid accumulation drift)
+    lohi[0, 0] = lo[0]
+    lohi[-1, 3] = hi[0]
+    return SlabDecomposition(n_slabs=n_slabs, nx_local=nx_l,
+                             ny=grid.ny, nz=grid.nz,
+                             slab_lohi=lohi, h=h)
+
+
+def _local_grid(dec: SlabDecomposition, lohi_row: jax.Array):
+    """Per-device slab grid from its (6,) bounds row (traced values, static
+    shape ints)."""
+    lo = lohi_row[:3]
+    hi = lohi_row[3:]
+    h = jnp.asarray(dec.h, jnp.float32)
+    return UniformCartesianGrid(
+        lo=lo.astype(jnp.float32), hi=hi.astype(jnp.float32),
+        inv_h=(1.0 / h).astype(jnp.float32), h=h,
+        nx=dec.nx_local, ny=dec.ny, nz=dec.nz)
+
+
+def _slab_march(grid_loc, nd_local, pos, dirn, sigma, mask, max_steps):
+    """March all N gathered rays through the local slab.
+
+    Returns (entry_pos, cells_local, ds, dtau): per-step tables (S, N).
+    Rays that never enter the slab contribute ds = 0 everywhere.
+    """
+    p0, c0, _ = grid_loc.move_inside(pos, dirn)
+    m = mask & (c0 >= 0)
+    cells, ds = lc.march_geometry(grid_loc, p0, dirn, c0, max_steps, m)
+    nd_steps = nd_local[cells]                       # (S, N, H)
+    dtau = jnp.einsum("snh,nh->sn", nd_steps, sigma) * ds
+    return p0, cells, ds, dtau
+
+
+def _tau_before_slab(ptau_all: jax.Array, d: jax.Array, dx: jax.Array):
+    """Ray-ordered optical depth accumulated in slabs crossed BEFORE slab d.
+
+    ptau_all: (n_slabs, N) per-slab partial taus; dx: (N,) ray x-direction.
+    Slabs are crossed in increasing index for dx>0, decreasing for dx<0.
+    """
+    n = ptau_all.shape[0]
+    iota = jnp.arange(n)
+    up = jnp.sum(jnp.where((iota < d)[:, None], ptau_all, 0.0), axis=0)
+    dn = jnp.sum(jnp.where((iota > d)[:, None], ptau_all, 0.0), axis=0)
+    return jnp.where(dx > 0, up, dn)
+
+
+def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
+               opts: lc.TransportOptions, inst_cfgs, inst_tabs,
+               rf_borders, source, source_tabs, n_total: int):
+    """Build a jitted shard_mapped segment runner on the decomposed grid.
+
+    Returns run(seed_key, history, nd_sharded, rf_sharded, accs) ->
+    (rf_sharded, accs): `history` is the global (n*B,) batch sharded over
+    the mesh; `nd_sharded`/`rf_sharded` are the (ncells, ...) tables sharded
+    along cells; accs are replicated instrument accumulators, psum-reduced
+    at segment end.
+    """
+    n_dev = dec.n_slabs
+    S_loc = dec.max_steps_local
+    lohi_dev = jnp.asarray(dec.slab_lohi, jnp.float32)   # (n, 6), sharded
+    use_rf = opts.store_rf and rf_borders is not None
+    nrf = (rf_borders.shape[0] - 1) if use_rf else 1
+    inv_sqrt = 1.0 / float(np.sqrt(opts.rf_scale))
+    groups = lc._observer_groups(inst_cfgs)
+    kind_direct = (dinst.KIND_PRIMARY_DIRECT if opts.primary
+                   else dinst.KIND_SECONDARY_DIRECT)
+    kind_scat = (dinst.KIND_PRIMARY_SCATTERED if opts.primary
+                 else dinst.KIND_SECONDARY_SCATTERED)
+
+    def per_device(lohi_row, seed_key, history, nd_local, rf_local, accs):
+        d = jax.lax.axis_index(DD_AXIS)
+        grid_loc = _local_grid(dec, lohi_row[0])
+        nc_loc = dec.ncells_local
+        B = history.shape[0]
+
+        pkt = src.launch_batch(source, source_tabs, grid, seed_key, history,
+                               n_total)
+        opt = msys.optics_at(med, pkt.lam)               # (B, H) replicated tables
+        if use_rf:
+            rf_bin = jnp.clip(
+                jnp.searchsorted(rf_borders, pkt.lam, side="right") - 1,
+                0, nrf - 1).astype(jnp.int32)
+            rf_in = (pkt.lam >= rf_borders[0]) & (pkt.lam < rf_borders[-1])
+        else:
+            rf_bin = jnp.zeros((B,), jnp.int32)
+            rf_in = jnp.zeros((B,), bool)
+
+        def gather(x):
+            return jax.lax.all_gather(x, DD_AXIS, tiled=True)
+
+        def my_block(x):
+            return jax.lax.dynamic_slice_in_dim(x, d * B, B, axis=0)
+
+        def peel_tau(pos, dirn_obs, sigma, mask):
+            """Observer-direction tau for OWN rays: psum of per-slab parts."""
+            gp, gk, gs, gm = gather(pos), gather(dirn_obs), gather(sigma), \
+                gather(mask)
+            _, _, _, dtau = _slab_march(grid_loc, nd_local, gp, gk, gs, gm,
+                                        S_loc)
+            part = jnp.sum(dtau, axis=0)
+            return my_block(jax.lax.psum(part, DD_AXIS))
+
+        def do_peel(accs, pos, contrib_fn, kind, active, transparent=False):
+            accs = list(accs)
+            for g in groups:
+                kobs = inst_tabs[g[0]]["kobs"]
+                kdir = jnp.broadcast_to(kobs, (B, 3))
+                tau_obs = peel_tau(pos, kdir, opt.sigma_ext, active)
+                att = jnp.exp(-tau_obs)
+                for i in g:
+                    per_sr = contrib_fn(inst_tabs[i]["kobs"])
+                    accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i],
+                                           accs[i], pkt.lam, pos,
+                                           per_sr * att, kind, active)
+                    if transparent:
+                        accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i],
+                                               accs[i], pkt.lam, pos, per_sr,
+                                               dinst.KIND_TRANSPARENT, active)
+            return accs
+
+        # ---- emission peel-off (ref: MonteCarloSimulation::peelOffEmission)
+        if inst_cfgs and opts.peel_off:
+            iso = 1.0 / (4.0 * jnp.pi)
+            accs = do_peel(accs, pkt.pos, lambda k: pkt.lum * iso,
+                           kind_direct, pkt.alive, transparent=True)
+
+        # ---- scattering-event loop (fixed bound; lanes mask out) ---------
+        def event(ev, carry):
+            pkt, rf_local, accs = carry
+            keys = rng.event_keys(pkt.hkey, ev)
+            active = pkt.alive
+            rf_mask = (active & rf_in) if use_rf else jnp.zeros_like(active)
+
+            # pass 1: per-slab partial taus for ALL gathered rays
+            gpos, gdir = gather(pkt.pos), gather(pkt.dir)
+            gsig, gmask = gather(opt.sigma_ext), gather(active | rf_mask)
+            p0, cells_l, ds, dtau = _slab_march(grid_loc, nd_local, gpos,
+                                                gdir, gsig, gmask, S_loc)
+            ptau = jnp.sum(dtau, axis=0)                       # (N,)
+            ptau_all = jax.lax.all_gather(ptau, DD_AXIS)       # (n, N)
+            tau_path = my_block(jnp.sum(ptau_all, axis=0))     # (B,)
+
+            # forced scattering with composite path-length bias — identical
+            # draws to the replicated engine (same purpose tags)
+            xi = opts.path_length_bias
+            one_minus_exp = -jnp.expm1(-tau_path)
+            if xi > 0:
+                u_choice = rng.uniform(keys, _TAG_PATH_CHOICE)
+                tau_uni = rng.uniform(keys, _TAG_PATH_TAU_UNI) * tau_path
+                tau_exp = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+                tau_int = jnp.where(u_choice < xi, tau_uni, tau_exp)
+                p = jnp.exp(-tau_int) / jnp.maximum(one_minus_exp, 1e-30)
+                q = (1.0 - xi) * p + xi / jnp.maximum(tau_path, 1e-30)
+                w_bias = one_minus_exp * p / jnp.maximum(q, 1e-30)
+            else:
+                tau_int = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+                w_bias = one_minus_exp
+            active_int = active & (tau_path > 1e-6)
+
+            # pass 2 (local): deposits + interaction inside this slab, for
+            # all N rays, against global cumulative tau
+            tb_slab = _tau_before_slab(ptau_all, d, gdir[:, 0])   # (N,)
+            gtau_int = gather(tau_int)
+            glum_half = gather((pkt.lum * rf_mask) * inv_sqrt)
+            grfbin = gather(rf_bin)
+            cum_before = tb_slab[None, :] + jnp.cumsum(dtau, axis=0) - dtau
+            if use_rf:
+                small = dtau < 1e-4
+                expfac = jnp.where(
+                    small, ds * (1.0 - 0.5 * dtau),
+                    -jnp.expm1(-dtau) * ds / jnp.maximum(dtau, 1e-37))
+                contrib = (glum_half[None, :] * jnp.exp(-cum_before)) \
+                    * (expfac * inv_sqrt)
+                flat = cells_l * nrf + grfbin[None, :]
+                rf_local = rf_local.reshape(-1).at[flat.reshape(-1)].add(
+                    contrib.reshape(-1)).reshape(rf_local.shape)
+
+            # interaction: unique slab where global cumulative tau crosses
+            hit = (cum_before + dtau >= gtau_int[None, :]) & (dtau > 0)
+            found_l = (jnp.any(hit, axis=0)
+                       & (tb_slab < gtau_int)
+                       & (tb_slab + ptau >= gtau_int))
+            idx = jnp.argmax(hit, axis=0)
+            take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+            frac = jnp.clip((gtau_int - take(cum_before))
+                            / jnp.maximum(take(dtau), 1e-37), 0.0, 1.0)
+            s_before = jnp.cumsum(ds, axis=0) - ds
+            s_loc = take(s_before) + frac * take(ds)
+            ipos_l = p0 + s_loc[:, None] * gdir
+            icell_l = take(cells_l)
+            nd_at_l = nd_local[icell_l]                          # (N, H)
+            icell_g = icell_l + d * nc_loc
+
+            # return interaction data to the owning device (one slab finds
+            # each interaction -> a masked psum is an exact exchange)
+            fm = found_l.astype(jnp.float32)
+            ipos = my_block(jax.lax.psum(ipos_l * fm[:, None], DD_AXIS))
+            icell = my_block(jax.lax.psum(
+                jnp.where(found_l, icell_g, 0), DD_AXIS))
+            nd_at = my_block(jax.lax.psum(nd_at_l * fm[:, None], DD_AXIS))
+            found = my_block(jax.lax.psum(found_l.astype(jnp.int32),
+                                          DD_AXIS)) > 0
+            active_int = active_int & found
+
+            ke = jnp.sum(nd_at * opt.sigma_ext, axis=-1)
+            ks = jnp.sum(nd_at * opt.sigma_sca, axis=-1)
+            albedo = jnp.where(ke > 0, ks / jnp.maximum(ke, 1e-30), 0.0)
+            lum_at = pkt.lum * w_bias
+            pkt = pkt._replace(
+                pos=jnp.where(active_int[:, None], ipos, pkt.pos),
+                cell=jnp.where(active_int, icell, pkt.cell),
+                lum=jnp.where(active_int, lum_at, pkt.lum))
+
+            # component selection + HG scattering (same streams as lifecycle)
+            u_comp = rng.uniform(keys, _TAG_SCATTER_COMP)
+            w = nd_at * opt.sigma_sca
+            wsum = jnp.sum(w, axis=-1, keepdims=True)
+            w = w / jnp.maximum(wsum, 1e-30)
+            cdf = jnp.cumsum(w, axis=-1)
+            h = jnp.argmax(cdf >= u_comp[:, None], axis=-1).astype(jnp.int32)
+
+            if inst_cfgs and opts.peel_off:
+                def per_sr(kobs):
+                    ct = jnp.sum(pkt.dir * kobs, axis=-1)
+                    ph = jnp.sum(w * phs.hg_phase(opt.g, ct[..., None]),
+                                 axis=-1)
+                    return pkt.lum * albedo * ph
+                accs = do_peel(accs, pkt.pos, per_sr, kind_scat, active_int)
+
+            g_sel = jnp.take_along_axis(opt.g, h[:, None], axis=-1)[:, 0]
+            ct = phs.hg_sample_costheta(g_sel,
+                                        rng.uniform(keys, _TAG_SCATTER_CT))
+            phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+            newdir = phs.rotate_direction(pkt.dir, ct, phi)
+
+            lum_new = pkt.lum * albedo
+            nscat_new = pkt.nscat + 1
+            survive = (lum_new * opts.min_weight_reduction > pkt.lum0) | \
+                      (nscat_new < opts.min_scatt_events)
+            pkt = pkt._replace(
+                dir=jnp.where(active_int[:, None], newdir, pkt.dir),
+                lum=jnp.where(active_int, lum_new, pkt.lum),
+                nscat=jnp.where(active_int, nscat_new, pkt.nscat),
+                alive=active_int & survive & (lum_new > 0))
+            return (pkt, rf_local, accs)
+
+        pkt, rf_local, accs = jax.lax.fori_loop(
+            0, opts.max_events, event, (pkt, rf_local, accs))
+        accs = jax.tree.map(lambda a: jax.lax.psum(a, DD_AXIS), accs)
+        return rf_local, accs
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(DD_AXIS), P(), P(DD_AXIS), P(DD_AXIS), P(DD_AXIS), P()),
+        out_specs=(P(DD_AXIS), P()),
+        check_vma=False,
+    )
+
+    def run(seed_key, history, nd_sharded, rf_sharded, accs):
+        return shard(lohi_dev, seed_key, history, nd_sharded, rf_sharded,
+                     accs)
+
+    return jax.jit(run)
+
+
+def make_dd_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (DD_AXIS,))
+
+
+def shard_tables(mesh: Mesh, dec: SlabDecomposition, med: msys.MediumTables,
+                 nrf: int):
+    """Place the big per-cell tables sharded over the mesh; returns
+    (nd_sharded, rf_sharded)."""
+    spec = NamedSharding(mesh, P(DD_AXIS))
+    nd = jax.device_put(med.nd, spec)
+    rf = jax.device_put(
+        jnp.zeros((med.nd.shape[0], nrf), jnp.float32), spec)
+    return nd, rf

@@ -1,0 +1,138 @@
+"""Spatial domain decomposition vs the replicated-grid engine.
+
+The decomposed engine (parallel/domain.py) shards the density and
+radiation-field tables into x-slabs over the device mesh. With the
+counter-based RNG, a decomposed run consumes the exact same random streams
+as the replicated single-device engine, so the results must agree up to
+f32 summation-order noise — checked here on an 8-slab CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skirt9_tpu.grids.cartesian import make_cartesian
+from skirt9_tpu.instruments import distant as dinst
+from skirt9_tpu.media import system as msys
+from skirt9_tpu.parallel import domain as dom
+from skirt9_tpu.sources import base as src
+from skirt9_tpu.transport import lifecycle as lc
+
+PC = 3.0857e16
+
+
+def _problem(ncomp=1, nrf=1):
+    R = PC
+    box = 1.2 * R
+    n = 16
+    grid = make_cartesian(((-box, box),) * 3, (n,) * 3)
+    sigma = 1e-24
+    nd = msys.uniform_density_sphere(grid, 1.0, sigma, R)
+    lam_t = np.array([0.4e-6, 0.7e-6])
+    if ncomp == 1:
+        med = msys.make_medium(grid, nd, lam_t,
+                               sigma_ext=np.array([[sigma, sigma]]),
+                               albedo=np.full((1, 2), 0.6),
+                               g=np.full((1, 2), 0.5))
+    else:
+        nd2 = np.stack([nd, 0.5 * nd[::-1]], axis=1)
+        med = msys.make_medium(grid, nd2, lam_t,
+                               sigma_ext=np.array([[sigma, sigma],
+                                                   [0.5 * sigma, 2 * sigma]]),
+                               albedo=np.array([[0.6, 0.6], [0.3, 0.3]]),
+                               g=np.array([[0.5, 0.5], [-0.2, -0.2]]))
+    inst = dinst.DistantInstrumentCfg(
+        name="i0", wave_borders=tuple(np.linspace(0.5e-6, 0.6e-6, nrf + 1)),
+        distance=100 * PC, npx=8, npy=8, fovx=4 * PC, fovy=4 * PC)
+    source = src.PointSource(position=(0.3 * PC, 0.1 * PC, -0.2 * PC),
+                             luminosity=1.0, lam0=0.55e-6)
+    rfb = jnp.asarray(np.linspace(0.5e-6, 0.6e-6, nrf + 1), jnp.float32)
+    return grid, med, source, inst, rfb
+
+
+def _run_replicated(grid, med, source, inst, rfb, opts, N, seed=0):
+    tabs = [dinst.device_tables(inst)]
+    stabs = source.tables()
+    history = jnp.arange(N, dtype=jnp.int32)
+    pkt = src.launch_batch(source, stabs, grid, jax.random.PRNGKey(seed),
+                           history, N)
+    rf = jnp.zeros((grid.ncells, rfb.shape[0] - 1), jnp.float32)
+    accs = [dinst.init_accumulators(inst)]
+    rf, accs = jax.jit(
+        lambda p, r, a: lc.life_cycle(grid, med, opts, (inst,), tabs, rfb,
+                                      p, r, a))(pkt, rf, accs)
+    return np.asarray(rf, np.float64), jax.device_get(accs)
+
+
+def _run_decomposed(grid, med, source, inst, rfb, opts, N, n_dev=8, seed=0):
+    devices = jax.devices()[:n_dev]
+    mesh = dom.make_dd_mesh(devices)
+    dec = dom.decompose_slabs(grid, n_dev)
+    tabs = [dinst.device_tables(inst)]
+    stabs = source.tables()
+    nd_sh, rf_sh = dom.shard_tables(mesh, dec, med, rfb.shape[0] - 1)
+    accs = [dinst.init_accumulators(inst)]
+    run = dom.dd_segment(mesh, dec, grid, med, opts, (inst,), tabs, rfb,
+                         source, stabs, N)
+    history = jnp.arange(N, dtype=jnp.int32)
+    rf_sh, accs = run(jax.random.PRNGKey(seed), history, nd_sh, rf_sh, accs)
+    return np.asarray(rf_sh, np.float64), jax.device_get(accs)
+
+
+@pytest.mark.parametrize("ncomp", [1, 2])
+def test_single_event_matches_replicated(ncomp):
+    """One forced-scattering event: deposits, interaction points, peel-off
+    must match the replicated engine to f32 round-off."""
+    grid, med, source, inst, rfb = _problem(ncomp=ncomp)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=1,
+                               rf_scale=1.0)
+    N = 1024
+    rf_a, accs_a = _run_replicated(grid, med, source, inst, rfb, opts, N)
+    rf_b, accs_b = _run_decomposed(grid, med, source, inst, rfb, opts, N)
+
+    assert rf_b.shape == rf_a.shape
+    scale = rf_a.max()
+    assert np.abs(rf_b - rf_a).max() < 3e-4 * scale
+    sa = np.asarray(accs_a[0]["sed"], np.float64)
+    sb = np.asarray(accs_b[0]["sed"], np.float64)
+    assert np.abs(sb - sa).max() < 1e-3 * max(sa.max(), 1e-30)
+    fa = np.asarray(accs_a[0]["frame"], np.float64)
+    fb = np.asarray(accs_b[0]["frame"], np.float64)
+    assert np.abs(fb - fa).max() < 1e-3 * max(fa.max(), 1e-30)
+
+
+def test_multi_event_statistical():
+    """Eight events: per-lane round-off can relocate rare interactions
+    across cell borders, so compare totals within tight statistical
+    tolerance rather than elementwise."""
+    grid, med, source, inst, rfb = _problem()
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=8,
+                               rf_scale=1.0)
+    N = 4096
+    rf_a, accs_a = _run_replicated(grid, med, source, inst, rfb, opts, N)
+    rf_b, accs_b = _run_decomposed(grid, med, source, inst, rfb, opts, N)
+
+    assert abs(rf_b.sum() / rf_a.sum() - 1.0) < 2e-3
+    # nearly all cells agree elementwise (a handful may shift a border)
+    scale = rf_a.max()
+    frac_close = np.mean(np.abs(rf_b - rf_a) < 1e-3 * scale)
+    assert frac_close > 0.995
+    sa = np.asarray(accs_a[0]["sed"], np.float64)
+    sb = np.asarray(accs_b[0]["sed"], np.float64)
+    assert np.allclose(sb, sa, rtol=5e-3, atol=1e-6 * max(sa.max(), 1e-30))
+
+
+def test_rf_sharding_layout():
+    """The RF shard of slab s holds exactly the global cells
+    [s*nc_loc, (s+1)*nc_loc): reassembly is a plain reshape."""
+    grid, med, source, inst, rfb = _problem(nrf=2)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=2,
+                               rf_scale=1.0)
+    N = 1024
+    rf_b, _ = _run_decomposed(grid, med, source, inst, rfb, opts, N)
+    rf_a, _ = _run_replicated(grid, med, source, inst, rfb, opts, N)
+    # x-profile of deposits matches (each slab contributed its own block)
+    pa = rf_a.sum(axis=1).reshape(16, -1).sum(axis=1)
+    pb = rf_b.sum(axis=1).reshape(16, -1).sum(axis=1)
+    assert np.allclose(pb, pa, rtol=5e-3, atol=1e-5 * pa.max())
