@@ -42,8 +42,14 @@ def history_keys(seed_key: jax.Array, history: jax.Array) -> jax.Array:
 
 
 def event_keys(hkeys: jax.Array, event: jax.Array | int) -> jax.Array:
-    """Fold the scattering-event counter into per-packet keys."""
-    return jax.vmap(lambda k: jax.random.fold_in(k, event))(hkeys)
+    """Fold the scattering-event counter into per-packet keys.
+
+    `event` may be a scalar (all lanes at the same event) or a per-lane
+    (B,) array (mixed-age batches under lane refill — a lane's nscat equals
+    its event count while alive, so refilled batches draw the exact same
+    streams as unrefilled ones)."""
+    ev = jnp.broadcast_to(jnp.asarray(event), (hkeys.shape[0],))
+    return jax.vmap(lambda k, e: jax.random.fold_in(k, e))(hkeys, ev)
 
 
 def purpose_key(keys: jax.Array, tag: int) -> jax.Array:

@@ -82,6 +82,11 @@ class Simulation:
     grain_tables: object = None
     # medium-component index holding the multi-grain dust (for stochastic)
     grain_component: int = 0
+    # lane refill (SURVEY hard part 1): run K-event generations and refill
+    # dead lanes in place with fresh histories, keeping batch occupancy high
+    # when packet lifetimes vary wildly (high optical depth + high albedo).
+    # 0 = off (single full-batch life cycle per launch, the default).
+    refill_events: int = 0
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -256,6 +261,10 @@ class Simulation:
             mono_bin = self._mono_rf_bin(source, opts)
             if mono_bin >= 0:
                 opts = dataclasses.replace(opts, rf_mono_bin=mono_bin)
+        if self.refill_events > 0 and strata is None:
+            return self._run_segment_refilled(
+                source, stabs, opts, n_packets, seed_key, rf, accs,
+                hist_base, lum_weight, seg_key, B)
         run = self._segment_runner(source, opts, seg_key)
         nb = -(-n_packets // B)
         hist_end = jnp.int32(hist_base + n_packets)
@@ -263,6 +272,84 @@ class Simulation:
             history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
             rf, accs = run(n_packets, float(lum_weight), seed_key, history,
                            hist_end, stabs, rf, accs)
+        return rf, accs
+
+    def _run_segment_refilled(self, source, stabs, opts, n_packets, seed_key,
+                              rf, accs, hist_base, lum_weight, seg_key, B):
+        """Generation loop with in-place lane refill (SURVEY §7 hard part 1).
+
+        Each generation runs up to refill_events scattering events on the
+        resident batch, then dead lanes are relaunched with the next
+        histories. Per-lane RNG event counters (pkt.nscat) keep every
+        packet's streams identical to an unrefilled run, and emission
+        peel-off fires only for freshly launched lanes. This replaces the
+        reference's MIMD adaptivity (each CPU thread simply moves on to the
+        next packet, ref: MonteCarloSimulation.cpp:538 per-index loop) on
+        lockstep vector hardware.
+        """
+        key = ("refill", seg_key, B)
+        hist_end = jnp.int32(hist_base + n_packets)
+        if key not in self._seg_cache:
+            grid = self.grid
+            med = self.medium
+            cfgs = tuple(self.instruments)
+            tabs = self._inst_tabs
+            rfb = self._rf_borders_dev
+            opts_k = dataclasses.replace(opts,
+                                         max_events=self.refill_events)
+            emission_phase = getattr(source, "emission_phase", None)
+            if emission_phase is None and getattr(source, "angular", None) \
+                    is not None:
+                ang = source.angular
+                emission_phase = lambda kobs, pos: ang.phase(kobs)
+
+            def gen(n_tot: int, lum_w: float, seed_key, next_hist, hist_end,
+                    pkt, stabs, rf, accs):
+                dead = ~pkt.alive
+                rank = jnp.cumsum(dead) - 1
+                new_hist = next_hist + rank.astype(jnp.int32)
+                refill = dead & (new_hist < hist_end)
+                pkt_new = src.launch_batch(
+                    source, stabs, grid, seed_key,
+                    jnp.where(refill, new_hist, hist_end), n_tot,
+                    hist_end=hist_end)
+                pkt_new = pkt_new._replace(lum=pkt_new.lum * lum_w,
+                                           lum0=pkt_new.lum0 * lum_w)
+                sel = lambda a, b: jnp.where(
+                    refill.reshape(refill.shape + (1,) * (a.ndim - 1)), a, b)
+                pkt = jax.tree.map(sel, pkt_new, pkt)
+                out = lc.life_cycle(grid, med, opts_k, cfgs, tabs, rfb,
+                                    pkt, rf, accs, mueller=self.mueller,
+                                    sweep_tabs=self._sweep_tabs,
+                                    emission_phase=emission_phase,
+                                    emit_mask=refill, return_state=True)
+                rf, accs, pkt = out
+                nh = next_hist + jnp.sum(refill).astype(jnp.int32)
+                return pkt, nh, rf, accs, jnp.sum(pkt.alive)
+
+            self._seg_cache[key] = jax.jit(gen, static_argnums=(0, 1),
+                                           donate_argnums=(5, 7, 8))
+        gen = self._seg_cache[key]
+        # initial state: an all-dead batch (history >= hist_end)
+        pkt = src.launch_batch(source, stabs, self.grid, seed_key,
+                               jnp.full((B,), hist_end, jnp.int32),
+                               n_packets, hist_end=hist_end)
+        next_hist = jnp.int32(hist_base)
+        # generation guard: lanes die by weight cutoff; allow generous but
+        # finite lifetimes (pure-scattering albedo=1 media would otherwise
+        # spin forever)
+        K = max(self.refill_events, 1)
+        max_gens = (n_packets // B + 2) * (
+            max(4 * self.options.max_events, 64) // K + 2)
+        for _ in range(max_gens):
+            pkt, next_hist, rf, accs, n_alive = gen(
+                n_packets, float(lum_weight), seed_key, next_hist, hist_end,
+                pkt, stabs, rf, accs)
+            if int(next_hist) >= hist_base + n_packets and int(n_alive) == 0:
+                break
+        else:
+            print("[skirt9_tpu] warning: refill generation cap reached "
+                  f"({max_gens}); {int(n_alive)} lanes abandoned")
         return rf, accs
 
     def _init_rf(self):

@@ -348,15 +348,21 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                pkt: PacketBatch, rf: jax.Array | None, accs: list[dict],
                emission_phase: Callable[[jax.Array], jax.Array] | None = None,
                mueller: "stk.MuellerTables | None" = None,
-               sweep_tabs=None):
+               sweep_tabs=None, emit_mask: jax.Array | None = None,
+               return_state: bool = False):
     """Run the complete life cycle of one launched packet batch.
 
     Equivalent of performLifeCycle for the whole batch: emission peel-off,
-    then up to max_events forced-scattering cycles. Returns (rf, accs).
+    then up to max_events forced-scattering cycles. Returns (rf, accs), or
+    (rf, accs, pkt) when return_state is set (lane-refill generations).
 
     emission_phase(kobs, pos) -> (B,) angular emission probability per sr
     toward the observer (pos enables surface sources whose phase depends on
     the packet's local normal); None means isotropic (1/4pi).
+
+    emit_mask: lanes whose emission peel-off should be recorded this call
+    (defaults to all alive lanes); under lane refill only the freshly
+    launched lanes emit — surviving lanes already did in a prior call.
     """
     opt = msys.optics_at(med, pkt.lam)
     # slab-sweep fast path (Pallas kernels, see transport/sweep.py): active
@@ -419,6 +425,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
     do_peel = bool(inst_cfgs) and opts.peel_off
 
+    emit = pkt.alive if emit_mask is None else (emit_mask & pkt.alive)
+
     # ---- emission peel-off (ref: MonteCarloSimulation::peelOffEmission :617)
     if do_peel:
         iso = 1.0 / (4.0 * jnp.pi)
@@ -445,7 +453,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                            [inst_tabs[i] for i in dist_ids],
                            [accs[i] for i in dist_ids],
                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
-                           opts.max_steps, pkt.alive, transparent_too=True,
+                           opts.max_steps, emit, transparent_too=True,
                            lam_march=lam_march0, lam_fn=emis_lam_fn,
                            tracer=tracer)
             accs = _stitch(accs, dist_ids, sub)
@@ -455,14 +463,17 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                  [inst_tabs[i] for i in local_ids],
                                  [accs[i] for i in local_ids],
                                  pkt.lam, pkt.pos, pkt.cell, per_sr,
-                                 kind_direct, opts.max_steps, pkt.alive,
+                                 kind_direct, opts.max_steps, emit,
                                  lam_march=lam_march0, tracer=tracer)
             accs = _stitch(accs, local_ids, sub)
 
     # ---- scattering-event loop
     def event(carry, ev):
         pkt, rf, accs = carry
-        keys = rng.event_keys(pkt.hkey, ev)
+        # per-lane event counter: nscat == #events survived for alive lanes
+        # (identical streams to the scalar counter without refill; allows
+        # mixed-age batches under lane refill)
+        keys = rng.event_keys(pkt.hkey, pkt.nscat)
         active = pkt.alive
         opt_ev = opt  # wavelength unchanged by scattering (no Compton/Lya yet)
 
@@ -838,4 +849,6 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
     _, (pkt, rf, accs) = jax.lax.while_loop(
         cond, body, (jnp.int32(0), (pkt, rf, accs)))
+    if return_state:
+        return rf, accs, pkt
     return rf, accs
