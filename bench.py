@@ -90,17 +90,67 @@ def bench_config2():
     return total_packets / dt, info
 
 
+def bench_config1h():
+    """High optical depth (radial tau=10, albedo 0.9) with lane refill —
+    packet lifetimes ~90 events (BASELINE.md config 1h)."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench1h.ski")
+    n_pk = 1 << 19
+
+    def build():
+        sim = load_ski(ski, batch_size=1 << 17, max_events=16,
+                       num_packets=n_pk)
+        sim.seed = 0
+        sim.refill_events = 16
+        return sim
+
+    sim = build()
+    sim.run_primary(verbose=False)      # warmup/compile
+    sim = build()
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return n_pk / (time.perf_counter() - t0)
+
+
+def bench_config3():
+    """Octree + dust self-absorption iterations (BASELINE.md config 3)."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench3.ski")
+    n_pk = 1 << 18
+
+    def build():
+        sim = load_ski(ski, batch_size=1 << 16, max_events=24,
+                       num_packets=n_pk)
+        sim.seed = 0
+        return sim
+
+    sim = build()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    sim = build()
+    t0 = time.perf_counter()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    dt = time.perf_counter() - t0
+    total = n_pk * (1 + info["iterations"] + (1 if info["L_dust"] > 0 else 0))
+    return total / dt
+
+
 def main():
     rate2, info = bench_config2()
     rate1 = bench_config1()
+    rate1h = bench_config1h()
+    rate3 = bench_config3()
 
-    base1 = base2 = None
+    base1 = base2 = base1h = base3 = None
     bp = os.path.join(HERE, "BENCH_BASELINE.json")
     if os.path.exists(bp):
         with open(bp) as f:
             b = json.load(f)
         base1 = b.get("packets_per_s")
         base2 = b.get("config2_packets_per_s")
+        base1h = b.get("config1h_packets_per_s")
+        base3 = b.get("config3_packets_per_s")
     vs = rate2 / base2 if base2 else 1.0
     print(json.dumps({
         "metric": "photon packets/s, panchromatic MRN dust-emission "
@@ -111,6 +161,10 @@ def main():
         "vs_baseline": round(vs, 3),
         "config1_packets_per_s": round(rate1, 1),
         "config1_vs_baseline": round(rate1 / base1, 3) if base1 else 1.0,
+        "config1h_tau10_packets_per_s": round(rate1h, 1),
+        "config1h_vs_baseline": round(rate1h / base1h, 3) if base1h else 1.0,
+        "config3_octree_packets_per_s": round(rate3, 1),
+        "config3_vs_baseline": round(rate3 / base3, 3) if base3 else 1.0,
         "iterations": info["iterations"],
     }))
 
