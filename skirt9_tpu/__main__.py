@@ -39,28 +39,35 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from .config.ski import load_ski
+    from .utils import log as logmod
 
     os.makedirs(args.outdir, exist_ok=True)
     for ski in args.skifiles:
         prefix = os.path.splitext(os.path.basename(ski))[0]
+        # file log next to the outputs (ref: FileLog; <prefix>_log.txt)
+        log = logmod.configure(prefix, args.outdir,
+                               level="info" if not args.m else "info")
         t0 = time.perf_counter()
-        print(f"[skirt9_tpu] loading {ski}")
-        sim = load_ski(ski, num_packets=args.packets, batch_size=args.batch,
-                       seed=args.seed)
+        log.info(f"Constructing a simulation from ski file {ski}...")
+        with log.timed("setup"):
+            sim = load_ski(ski, num_packets=args.packets,
+                           batch_size=args.batch, seed=args.seed)
         if args.emulate:
-            print(f"[skirt9_tpu] emulation: setup OK, "
-                  f"{sim.grid.ncells} cells, {len(sim.sources)} sources, "
-                  f"{len(sim.instruments)} instruments")
+            log.success(f"emulation: setup OK, {sim.grid.ncells} cells, "
+                        f"{len(sim.sources)} sources, "
+                        f"{len(sim.instruments)} instruments")
             continue
-        if sim.ems_borders is not None:
-            rf, accs, info = sim.run_with_dust_emission()
-        else:
-            rf, accs = sim.run_primary()
-        paths = sim.write_outputs(accs, prefix, args.outdir)
-        print(f"[skirt9_tpu] finished {ski} in "
-              f"{time.perf_counter() - t0:.1f} s; wrote:")
+        with log.timed(f"simulation {prefix}"):
+            if sim.ems_borders is not None:
+                rf, accs, info = sim.run_with_dust_emission()
+            else:
+                rf, accs = sim.run_primary()
+        with log.timed("final output"):
+            paths = sim.write_outputs(accs, prefix, args.outdir)
+        log.success(f"finished {ski} in {time.perf_counter() - t0:.1f} s")
         for p in paths:
-            print(f"  {p}")
+            log.info(f"  wrote {p}")
+        log.memory()
     return 0
 
 

@@ -18,6 +18,7 @@ import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..geometries import analytic as ga
 from ..geometries import axial as gax
@@ -187,7 +188,78 @@ def build_source(el):
         sed = build_sed(sed_el) if sed_el is not None else None
         return GeometricSource(geometry=geom,
                                luminosity=source_luminosity(el), sed=sed)
+    if t == "ParticleSource":
+        return ("particle_source", el)  # resolved in load_ski (needs paths
+        #                                 and the source wavelength range)
     raise NotImplementedError(f"source type '{t}' not supported yet")
+
+
+def build_particle_source(el, base_dir: str, lam_range):
+    """ParticleSource with an SEDFamily: text columns x y z h [vx vy vz]
+    + family parameters (ref: ParticleSource.hpp, ImportedSource.hpp:75-105;
+    column order/units per SnapshotParameter defaults — Minit in Msun,
+    Z dimensionless, age in yr, BlackBody radius in km, T in K)."""
+    from ..imports import snapshots as snap
+    from ..spectral import sedfamily as sf
+
+    fn = el.attrib["filename"]
+    if not os.path.isabs(fn):
+        fn = os.path.join(base_dir, fn)
+    import_v = el.attrib.get("importVelocity", "false") == "true"
+    fam_el = _child(el, "sedFamily")
+    ft = fam_el.tag if fam_el is not None else "BlackBodySEDFamily"
+
+    cols = [("x", "length", "pc"), ("y", "length", "pc"),
+            ("z", "length", "pc"), ("h", "length", "pc")]
+    if import_v:
+        cols += [("vx", "velocity", "km/s"), ("vy", "velocity", "km/s"),
+                 ("vz", "velocity", "km/s")]
+    if ft == "BlackBodySEDFamily":
+        cols += [("R", "length", "km"), ("T", "temperature", "K")]
+    elif ft == "FileSSPSEDFamily":
+        cols += [("Minit", "mass", "Msun"), ("Z", "", ""),
+                 ("t", "time", "yr")]
+    elif ft == "FileIndexedSEDFamily":
+        cols += [("L", "", ""), ("index", "", "")]
+    else:
+        raise NotImplementedError(f"SED family '{ft}' not supported yet")
+    d = snap.read_column_file(fn, cols)
+
+    n = len(d["x"])
+    pos = np.stack([d["x"], d["y"], d["z"]], axis=-1)
+    vel = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
+           if import_v else None)
+    ps = snap.ParticleSnapshot(positions=pos, h=d["h"],
+                               mass=np.ones(n), velocity=vel)
+
+    if ft == "BlackBodySEDFamily":
+        lam_grid = np.geomspace(max(lam_range[0] * 0.5, 1e-9),
+                                lam_range[1] * 2.0, 600)
+        Tgrid = np.geomspace(max(d["T"].min() * 0.9, 1.0),
+                             d["T"].max() * 1.1, 48)
+        fam = sf.blackbody_family(Tgrid, lam_grid)
+        scales = 4.0 * np.pi * d["R"] ** 2  # area scale: L = 4 pi^2 R^2 B
+        params = d["T"][:, None]
+    elif ft == "FileSSPSEDFamily":
+        sfn = fam_el.attrib["filename"]
+        if not os.path.isabs(sfn):
+            sfn = os.path.join(base_dir, sfn)
+        fam = sf.load_ssp_family(sfn)
+        # the stored table is per Msun of initial mass; the column import
+        # converts Msun -> kg, so scale back to Msun
+        scales = d["Minit"] / sf.M_SUN
+        params = np.stack([d["Z"], d["t"]], axis=-1)
+    else:  # FileIndexedSEDFamily
+        sfn = fam_el.attrib["filename"]
+        if not os.path.isabs(sfn):
+            sfn = os.path.join(base_dir, sfn)
+        fam = sf.load_indexed_family(sfn)
+        scales = d["L"]
+        params = d["index"][:, None]
+
+    tabs = sf.FamilyTables(fam, lam_range=lam_range)
+    return snap.FamilyParticleSource(snapshot=ps, family_tables=tabs,
+                                     scales=scales, params=params)
 
 
 # --------------------------------------------------------------------- mixes
@@ -208,7 +280,14 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
     if t == "MeanInterstellarDustMix":
         return mx.mean_interstellar_approx()
     if t == "ElectronMix":
-        return mx.electron_mix()
+        emix = mx.electron_mix()
+        if el.attrib.get("includePolarization", "false") == "true":
+            # Thomson scattering has an exact analytic Mueller matrix
+            # (ref: ElectronMix.hpp:60 includePolarization,
+            # DipolePhaseFunction.cpp applyMueller)
+            from ..ops import stokes as stk
+            object.__setattr__(emix, "_mueller", stk.electron_mueller())
+        return emix
     if t == "MeanFileDustMix":
         # input files resolve relative to the ski file's directory
         # (ref: FilePaths input path handling)
@@ -272,6 +351,47 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
 
 def multigrain_for(mix) -> "object | None":
     return getattr(mix, "_multigrain", None)
+
+
+def build_vector_field(el):
+    """Build a VectorField item (ref: VectorField.hpp:25 and concrete
+    classes); evaluated host-side at cell centers during setup."""
+    from ..geometries import vectorfield as vf
+    t = el.tag
+    a = el.attrib
+    if t == "RadialVectorField":
+        return vf.RadialVectorField(
+            unity_radius=_q(a, "unityRadius", "length", 0.0),
+            exponent=_f(a, "exponent", 1.0))
+    if t == "CylindricalVectorField":
+        return vf.CylindricalVectorField(
+            unity_radius=_q(a, "unityRadius", "length", 0.0),
+            exponent=_f(a, "exponent", 1.0))
+    if t == "HollowRadialVectorField":
+        return vf.HollowRadialVectorField(
+            zero_radius=_q(a, "zeroRadius", "length", 0.0),
+            exponent=_f(a, "exponent", 0.0))
+    if t == "HubbleRadialVectorField":
+        return vf.HubbleRadialVectorField(
+            turnover_radius=_q(a, "turnoverRadius", "length"),
+            max_radius=_q(a, "maxRadius", "length"))
+    if t == "UnidirectionalVectorField":
+        return vf.UnidirectionalVectorField(
+            direction=(_f(a, "fieldX", 0.0), _f(a, "fieldY", 0.0),
+                       _f(a, "fieldZ", 1.0)))
+    if t == "RotateVectorFieldDecorator":
+        return vf.RotateVectorFieldDecorator(
+            child=build_vector_field(_child(el, "vectorField")),
+            alpha=_q(a, "eulerAlpha", "angle", 0.0),
+            beta=_q(a, "eulerBeta", "angle", 0.0),
+            gamma=_q(a, "eulerGamma", "angle", 0.0))
+    if t == "OffsetVectorFieldDecorator":
+        return vf.OffsetVectorFieldDecorator(
+            child=build_vector_field(_child(el, "vectorField")),
+            offset=(_q(a, "offsetX", "length", 0.0),
+                    _q(a, "offsetY", "length", 0.0),
+                    _q(a, "offsetZ", "length", 0.0)))
+    raise NotImplementedError(f"vector field '{t}' not supported yet")
 
 
 def build_medium_normalization(el, geom, mix):
@@ -400,6 +520,7 @@ def build_instrument(el, default_wlg):
         azimuth=_q(a, "azimuth", "angle", 0.0),
         roll=_q(a, "roll", "angle", 0.0),
         distance=_q(a, "distance", "distance", 10 * 3.0857e16),
+        record_polarization=a.get("recordPolarization", "false") == "true",
     )
     if t == "SEDInstrument":
         return dinst.DistantInstrumentCfg(**common)
@@ -413,6 +534,41 @@ def build_instrument(el, default_wlg):
             centerx=_q(a, "centerX", "length", 0.0),
             centery=_q(a, "centerY", "length", 0.0),
         )
+    if t == "PerspectiveInstrument":
+        from ..instruments import perspective as persp
+        return persp.PerspectiveInstrumentCfg(
+            name=a.get("instrumentName", t), wave_borders=tuple(borders),
+            npx=int(a.get("numPixelsX", 250)),
+            npy=int(a.get("numPixelsY", 250)),
+            width=_q(a, "width", "length"),
+            view=(_q(a, "viewX", "length"), _q(a, "viewY", "length"),
+                  _q(a, "viewZ", "length")),
+            cross=(_q(a, "crossX", "length", 0.0),
+                   _q(a, "crossY", "length", 0.0),
+                   _q(a, "crossZ", "length", 0.0)),
+            up=(_f(a, "upX", 0.0), _f(a, "upY", 0.0), _f(a, "upZ", 1.0)),
+            focal=_q(a, "focal", "length"))
+    if t in ("AllSkyInstrument", "HEALPixSkyInstrument"):
+        from ..instruments import allsky as asky
+        obs = (_q(a, "observerX", "length", 0.0),
+               _q(a, "observerY", "length", 0.0),
+               _q(a, "observerZ", "length", 0.0))
+        cross = (_q(a, "crossX", "length", 0.0),
+                 _q(a, "crossY", "length", 0.0),
+                 _q(a, "crossZ", "length", 0.0))
+        up = (_f(a, "upX", 0.0), _f(a, "upY", 0.0), _f(a, "upZ", 1.0))
+        if t == "HEALPixSkyInstrument":
+            return asky.AllSkyInstrumentCfg(
+                name=a.get("instrumentName", t), wave_borders=tuple(borders),
+                position=obs, projection="healpix",
+                order=int(a.get("order", 5)), crosshair=cross, up=up)
+        proj_el = _child(el, "projection")
+        proj = ("hammer" if proj_el is not None
+                and "Hammer" in proj_el.tag else "mollweide")
+        return asky.AllSkyInstrumentCfg(
+            name=a.get("instrumentName", t), wave_borders=tuple(borders),
+            position=obs, projection=proj,
+            npx=2 * int(a.get("numPixelsY", 125)), crosshair=cross, up=up)
     raise NotImplementedError(f"instrument '{t}' not supported yet")
 
 
@@ -456,6 +612,12 @@ def load_ski(path: str, num_packets: int | None = None,
         if "minWavelength" in a:
             src_range = (U.parse("wavelength", a["minWavelength"]),
                          U.parse("wavelength", a["maxWavelength"]))
+    # resolve deferred imported sources (need the source range + base dir)
+    _base_dir = os.path.dirname(os.path.abspath(path))
+    sources = [build_particle_source(s[1], _base_dir,
+                                     src_range or (1e-8, 1e-3))
+               if isinstance(s, tuple) and s[0] == "particle_source" else s
+               for s in sources]
     if src_range is not None and not oligo:
         # the reference normalizes SEDs and samples wavelengths over the
         # source range (ref: SourceSystem min/maxWavelength +
@@ -471,6 +633,7 @@ def load_ski(path: str, num_packets: int | None = None,
     grid = None
     medium = None
     components = []
+    velocity_fields = []  # (component index, field, magnitude [m/s])
     if med_sys is not None:
         for m_el in med_sys.find("media"):
             if m_el.tag != "GeometricMedium":
@@ -479,6 +642,12 @@ def load_ski(path: str, num_packets: int | None = None,
             mix = build_mix(_child(m_el, "materialMix"),
                             base_dir=os.path.dirname(os.path.abspath(path)))
             norm = build_medium_normalization(m_el, geom, mix)
+            vd_el = _child(m_el, "velocityDistribution")
+            if vd_el is not None:
+                vmag = _q(m_el.attrib, "velocityMagnitude", "velocity", 0.0)
+                if vmag != 0.0:
+                    velocity_fields.append((len(components),
+                                            build_vector_field(vd_el), vmag))
             components.append((geom, mix, norm))
         grid_el = list(med_sys.find("grid"))[0]
         grid = build_grid(grid_el)
@@ -488,12 +657,28 @@ def load_ski(path: str, num_packets: int | None = None,
             grid = build_octree(ext, geom0.density_np, max_level=maxl,
                                 min_level=minl, max_fraction=max(maxfrac, 1e-4))
         medium = gm.build_medium(grid, components)
+        if velocity_fields:
+            # per-cell aggregate bulk velocity: number-density-weighted
+            # average over moving components, evaluated at cell centers
+            # (ref: MediumSystem.cpp:109-119 PropertyInCellSampler
+            # bulkVelocity with numPropertySamples=1, and :339 the
+            # density-weighted aggregate over components)
+            centers = np.asarray(grid.cell_centers(), np.float64)
+            nd_np = np.asarray(medium.nd, np.float64)  # (ncells, H)
+            vsum = np.zeros((len(centers), 3))
+            nsum = np.zeros(len(centers))
+            for h, fld, vmag in velocity_fields:
+                vsum += nd_np[:, h:h + 1] * (vmag * fld.field(centers))
+                nsum += nd_np[:, h]
+            bulk_v = np.where(nsum[:, None] > 0, vsum
+                              / np.maximum(nsum, 1e-300)[:, None], 0.0)
+            medium = medium._replace(
+                bulk_v=jnp.asarray(bulk_v, jnp.float32))
 
     if grid is None:
         # no medium: trivial one-cell empty grid spanning the sources
         R = 3.0857e17
         grid = make_cartesian(((-R, R), (-R, R), (-R, R)), (1, 1, 1))
-        import jax.numpy as jnp
         from ..media import system as msys
         medium = msys.make_medium(grid, np.zeros(1), np.array([1e-8, 1e-3]),
                                   np.zeros((1, 2)), np.zeros((1, 2)),
@@ -553,16 +738,49 @@ def load_ski(path: str, num_packets: int | None = None,
             grain_component = h
             break
 
+    # polarization: any material mix carrying Mueller tables switches the
+    # photon cycle to Stokes-tracking scattering (ref: Configuration.cpp
+    # hasPolarization derived from MaterialMix::ScatteringMode)
+    mueller = None
+    for _, mix_i, _ in components:
+        mt = getattr(mix_i, "_mueller", None)
+        if mt is not None:
+            mueller = mt
+            break
+
+    # photon-cycle knobs (ref: PhotonPacketOptions.hpp defaults)
+    pp_el = mcs.find(".//photonPacketOptions/PhotonPacketOptions")
+    pa = pp_el.attrib if pp_el is not None else {}
+    force_scattering = pa.get("forceScattering", "true") == "true"
+    path_length_bias = _f(pa, "pathLengthBias", 0.5)
+    kinematics = bool(velocity_fields) and not oligo
+    if kinematics and force_scattering and path_length_bias > 0.0:
+        # moving media invalidate path-length stretching (the stretched
+        # path samples Doppler-shifted opacities incorrectly); the
+        # reference forces the bias off (ref: Configuration.cpp:493-497)
+        path_length_bias = 0.0
+
     max_steps = grid.max_steps() if hasattr(grid, "max_steps") else 128
     opts = lc.TransportOptions(max_steps=min(max_steps, 256),
                                max_events=max_events,
-                               store_rf=rf_borders is not None)
+                               store_rf=rf_borders is not None,
+                               force_scattering=force_scattering,
+                               path_length_bias=path_length_bias,
+                               min_weight_reduction=_f(
+                                   pa, "minWeightReduction", 1e4),
+                               min_scatt_events=int(
+                                   _f(pa, "minScattEvents", 0)),
+                               explicit_absorption=pa.get(
+                                   "explicitAbsorption", "false") == "true",
+                               kinematics=kinematics,
+                               polarization=mueller is not None)
     sim = Simulation(
         grid=grid, medium=medium, sources=sources, instruments=instruments,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
         num_packets=n_pk, batch_size=batch_size, seed=seed,
         dust_emission_type=ems_type, grain_tables=grain_tables,
-        grain_component=grain_component, iterate_secondary=iterate_secondary)
+        grain_component=grain_component, iterate_secondary=iterate_secondary,
+        mueller=mueller)
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text

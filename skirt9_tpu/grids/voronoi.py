@@ -12,10 +12,11 @@ design:
     bisector planes (the reference's loop over cell faces);
   * point location uses a coarse Cartesian lookup table of nearest sites
     plus a monotone neighbor walk (replaces the reference's BoxSearch tree);
-  * cell volumes are Monte-Carlo estimated on the host (the reference gets
-    exact volumes from Voro++; exact clipped-polyhedron volumes are a later
-    refinement — the estimate converges as 1/sqrt(samples/cell) and only
-    feeds diagnostics and emission-spectrum normalization).
+  * cell volumes are exact clipped-polyhedron volumes: interior cells from
+    the Qhull Voronoi region vertices, wall cells by halfspace intersection
+    of the bisector planes with the box faces (matches the reference's
+    exact Voro++ volumes, VoronoiMeshSnapshot.cpp:557-580); a Monte-Carlo
+    estimate remains as fallback for degenerate cells.
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ class VoronoiGrid(NamedTuple):
     box_lo: jax.Array      # (3,)
     box_hi: jax.Array      # (3,)
     lookup: jax.Array      # (G,G,G) int32 nearest-site table for locate
-    volumes_mc: jax.Array  # (N,) f32 MC-estimated cell volumes [m^3]
+    cell_volumes: jax.Array  # (N,) f32 exact cell volumes as fractions of
+                             # the box volume (raw m^3 overflows f32)
     walk_steps: int        # static: locate walk iteration bound
 
     @property
@@ -123,7 +125,9 @@ class VoronoiGrid(NamedTuple):
     # ------------------------------------------------------------------- misc
 
     def volumes(self) -> np.ndarray:
-        return np.asarray(self.volumes_mc, np.float64)
+        lo = np.asarray(self.box_lo, np.float64)
+        hi = np.asarray(self.box_hi, np.float64)
+        return np.asarray(self.cell_volumes, np.float64) * np.prod(hi - lo)
 
     def cell_centers(self) -> jax.Array:
         return self.sites
@@ -174,13 +178,16 @@ def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
     _, owner = kdt.query(pts)
     lookup = owner.astype(np.int32).reshape(G, G, G)
 
-    # MC volume estimate
-    rs = np.random.default_rng(seed)
-    samp = lo + rs.uniform(size=(volume_samples, 3)) * (hi - lo)
-    _, which = kdt.query(samp)
-    counts = np.bincount(which, minlength=n).astype(np.float64)
-    box_vol = float(np.prod(hi - lo))
-    vols = counts / volume_samples * box_vol
+    # exact clipped-polyhedron volume fractions, MC fallback for
+    # degenerate cells
+    vols = exact_volumes(sites, neighbors, lo, hi)
+    bad = ~np.isfinite(vols) | (vols <= 0)
+    if bad.any():
+        rs = np.random.default_rng(seed)
+        samp = lo + rs.uniform(size=(volume_samples, 3)) * (hi - lo)
+        _, which = kdt.query(samp)
+        counts = np.bincount(which, minlength=n).astype(np.float64)
+        vols = np.where(bad, counts / volume_samples, vols)
 
     if walk_steps is None:
         walk_steps = max(8, int(2 * np.ceil(n ** (1 / 3))))
@@ -191,9 +198,58 @@ def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
         box_lo=jnp.asarray(lo, jnp.float32),
         box_hi=jnp.asarray(hi, jnp.float32),
         lookup=jnp.asarray(lookup),
-        volumes_mc=jnp.asarray(vols, jnp.float32),
+        cell_volumes=jnp.asarray(vols, jnp.float32),
         walk_steps=walk_steps,
     )
+
+
+def exact_volumes(sites: np.ndarray, neighbors: np.ndarray,
+                  lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Exact box-clipped Voronoi cell volumes.
+
+    Interior cells whose Qhull region vertices all lie inside the box get
+    the convex-hull volume of those vertices directly; wall cells are
+    clipped by intersecting their bisector halfspaces with the box faces
+    (scipy HalfspaceIntersection == the reference's Voro++ cell clipping,
+    ref: VoronoiMeshSnapshot.cpp:557-580). Work happens in box-normalized
+    coordinates for Qhull conditioning and returns volumes as FRACTIONS of
+    the box volume (raw m^3 volumes overflow f32 at astrophysical scales).
+    Returns NaN for cells where Qhull fails (caller falls back to MC).
+    """
+    from scipy.spatial import ConvexHull, HalfspaceIntersection, Voronoi
+
+    n = len(sites)
+    span = hi - lo
+    s = (sites - lo) / span  # normalized to the unit box
+    scale = 1.0  # unit-box fractions
+    vor = Voronoi(s)
+    vols = np.full(n, np.nan)
+    eps = 1e-9
+    for i in range(n):
+        reg = vor.regions[vor.point_region[i]]
+        if reg and -1 not in reg:
+            verts = vor.vertices[reg]
+            if np.all((verts > -eps) & (verts < 1 + eps)):
+                try:
+                    vols[i] = ConvexHull(verts).volume * scale
+                except Exception:
+                    pass
+                continue
+        # wall cell (or region escaping the box): halfspace clipping
+        nbs = neighbors[i]
+        nbs = nbs[nbs >= 0]
+        p = s[i]
+        d = s[nbs] - p                          # plane normals
+        mid = 0.5 * (s[nbs] + p)
+        # halfspaces A x + b <= 0: bisectors + the 6 box faces
+        A = np.vstack([d, np.eye(3), -np.eye(3)])
+        b = np.concatenate([-(d * mid).sum(1), -np.ones(3), np.zeros(3)])
+        try:
+            hsi = HalfspaceIntersection(np.hstack([A, b[:, None]]), p)
+            vols[i] = ConvexHull(hsi.intersections).volume * scale
+        except Exception:
+            pass
+    return vols
 
 
 def density_sites(density_fn, extent, n_sites: int, seed: int = 3,

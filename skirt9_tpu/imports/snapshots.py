@@ -185,6 +185,10 @@ class ParticleSource:
     temperatures: np.ndarray   # (N,) [K]
 
     @property
+    def emits_with_velocity(self) -> bool:
+        return self.snapshot.velocity is not None
+
+    @property
     def luminosity(self) -> float:
         return float(np.sum(self.luminosities))
 
@@ -216,11 +220,73 @@ class ParticleSource:
         # wavelength from the particle's blackbody temperature
         u_lam = rng.uniform(keys, rng.LAUNCH_WAVELENGTH)
         lam = sample_planck_wavelength(u_lam, tabs["T"][p])
-        # first-order Doppler shift from the particle velocity
+        # first-order Doppler shift from the particle velocity; v_emit lets
+        # the peel-off re-shift into each observer direction
         inv_c = 1.0 / c.C_LIGHT
-        lam = lam * (1.0 + jnp.sum(dirn * tabs["v"][p], axis=-1) * inv_c)
+        v = tabs["v"][p]
+        lam = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * inv_c)
         lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
-        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn,
+                "v_emit": v}
+
+
+@dataclasses.dataclass(frozen=True)
+class FamilyParticleSource:
+    """Imported source whose per-particle spectra come from an SEDFamily
+    (ref: ImportedSource.hpp:104 sedFamily + ParticleSource; SED families
+    in spectral/sedfamily.py). Wavelengths are sampled by the family's
+    corner-mixture tables; luminosity allocation integrates the family
+    over the source range per entity."""
+
+    snapshot: ParticleSnapshot
+    family_tables: object      # spectral.sedfamily.FamilyTables
+    scales: np.ndarray         # (N,) linear scale param (Minit/area/L)
+    params: np.ndarray         # (N,P) family parameters per entity
+
+    @property
+    def emits_with_velocity(self) -> bool:
+        return self.snapshot.velocity is not None
+
+    @property
+    def luminosity(self) -> float:
+        return float(np.sum(self.family_tables.entity_luminosities(
+            self.scales, self.params)))
+
+    def tables(self) -> dict:
+        ft = self.family_tables
+        L = ft.entity_luminosities(self.scales, self.params)
+        cdf = np.cumsum(L) / max(L.sum(), 1e-300)
+        cidx, ccdf = ft.corner_tables(self.params)
+        return {
+            "cdf": jnp.asarray(cdf, jnp.float32),
+            "pos": jnp.asarray(self.snapshot.positions, jnp.float32),
+            "h": jnp.asarray(self.snapshot.h, jnp.float32),
+            "corner_idx": cidx,
+            "corner_cdf": ccdf,
+            "v": jnp.asarray(self.snapshot.velocity
+                             if self.snapshot.velocity is not None
+                             else np.zeros_like(self.snapshot.positions),
+                             jnp.float32),
+        }
+
+    def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
+        B = keys.shape[0]
+        u_sel = rng.uniform(keys, rng.LAUNCH_SOURCE)
+        p = jnp.clip(jnp.searchsorted(tabs["cdf"], u_sel, side="right"),
+                     0, tabs["cdf"].shape[0] - 1).astype(jnp.int32)
+        u_r = rng.uniform(keys, rng.LAUNCH_POSITION)
+        q = sample_kernel_radius(u_r)
+        dirn_r = rng.isotropic_direction(keys, rng.LAUNCH_POSITION + 60)
+        pos = tabs["pos"][p] + (q * tabs["h"][p])[..., None] * dirn_r
+        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        lam = self.family_tables.sample_wavelength(
+            keys, p, tabs["corner_idx"], tabs["corner_cdf"])
+        inv_c = 1.0 / c.C_LIGHT
+        v = tabs["v"][p]
+        lam = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * inv_c)
+        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn,
+                "v_emit": v}
 
 
 def read_column_file(path: str, columns: list[tuple[str, str, str]]):

@@ -88,15 +88,20 @@ class DistantInstrumentCfg:
         return self.npx > 0 and self.npy > 0
 
     def frame_axes(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(k_obs, e_x, e_y): line of sight and image-plane axes."""
+        """(k_obs, e_x, e_y): line of sight and image-plane axes.
+
+        Roll sense matches the reference detector transform
+        xp = cos(omega)*xpp - sin(omega)*ypp, yp = sin(omega)*xpp +
+        cos(omega)*ypp (ref: FrameInstrument.cpp:52-55), and e_y equals
+        the reference's bfky up direction (DistantInstrument.cpp:49)."""
         ct, st = np.cos(self.inclination), np.sin(self.inclination)
         cp, sp = np.cos(self.azimuth), np.sin(self.azimuth)
         cw, sw = np.cos(self.roll), np.sin(self.roll)
         kobs = np.array([st * cp, st * sp, ct])
         ex0 = np.array([-sp, cp, 0.0])
         ey0 = np.cross(kobs, ex0)
-        ex = cw * ex0 + sw * ey0
-        ey = -sw * ex0 + cw * ey0
+        ex = cw * ex0 - sw * ey0
+        ey = sw * ex0 + cw * ey0
         return kobs, ex, ey
 
 

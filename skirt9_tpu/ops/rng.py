@@ -30,6 +30,7 @@ SCATTER_AZIMUTH = 9
 LAUNCH_CELL = 10
 EMISSION_LAMBDA = 11
 LAUNCH_TIME = 12
+LAUNCH_FAMILY_CORNER = 13
 
 # event-counter value reserved for launch-time draws (scattering events use
 # 0..max_events-1, so any large constant is collision-free)

@@ -33,11 +33,17 @@ from .utils import fits as fitsio
 
 
 def _inst_tables(cfg):
+    if getattr(cfg, "is_perspective", False):
+        from .instruments import perspective as persp
+        return persp.device_tables(cfg)
     return (asky.device_tables(cfg) if getattr(cfg, "is_local", False)
             else dinst.device_tables(cfg))
 
 
 def _inst_accumulators(cfg):
+    if getattr(cfg, "is_perspective", False):
+        from .instruments import perspective as persp
+        return persp.init_accumulators(cfg)
     return (asky.init_accumulators(cfg) if getattr(cfg, "is_local", False)
             else dinst.init_accumulators(cfg))
 
@@ -268,10 +274,13 @@ class Simulation:
         run = self._segment_runner(source, opts, seg_key)
         nb = -(-n_packets // B)
         hist_end = jnp.int32(hist_base + n_packets)
+        from .utils.log import default as _log
         for b in range(nb):
             history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
             rf, accs = run(n_packets, float(lum_weight), seed_key, history,
                            hist_end, stabs, rf, accs)
+            # five-second heartbeat (ref: Log.hpp:89-103 infoIfElapsed)
+            _log().progress(min((b + 1) * B, n_packets), n_packets)
         return rf, accs
 
     def _run_segment_refilled(self, source, stabs, opts, n_packets, seed_key,
@@ -348,8 +357,9 @@ class Simulation:
             if int(next_hist) >= hist_base + n_packets and int(n_alive) == 0:
                 break
         else:
-            print("[skirt9_tpu] warning: refill generation cap reached "
-                  f"({max_gens}); {int(n_alive)} lanes abandoned")
+            from .utils.log import default as _log
+            _log().warning(f"refill generation cap reached ({max_gens}); "
+                           f"{int(n_alive)} lanes abandoned")
         return rf, accs
 
     def _init_rf(self):
@@ -387,8 +397,9 @@ class Simulation:
         self._block(rf, accs)
         dt = time.perf_counter() - t0
         if verbose:
-            print(f"[skirt9_tpu] primary emission: {launched} packets in "
-                  f"{dt:.2f} s ({launched/dt:,.0f} packets/s)")
+            from .utils.log import default as _log
+            _log().success(f"primary emission: {launched:,} packets in "
+                           f"{dt:.2f} s ({launched/dt:,.0f} packets/s)")
         self.last_rate = launched / dt
         return rf, accs
 
@@ -434,7 +445,8 @@ class Simulation:
                 med, etabs, rf_seco, self.rf_scale)))
             iterations += 1
             if verbose:
-                print(f"[skirt9_tpu] dust self-absorption iter {it+1}: "
+                from .utils.log import default as _log
+                _log().info(f"dust self-absorption iter {it+1}: "
                       f"L_abs(seco)={L_abs:.4e} W (prim {L_prim_abs:.4e} W)")
             # convergence (ref: DustAbsorptionConvergence,
             # MonteCarloSimulation.cpp:180): secondary absorption small vs
@@ -459,7 +471,8 @@ class Simulation:
         self._block(rf_total, accs)
         if verbose:
             dt = time.perf_counter() - t_all
-            print(f"[skirt9_tpu] dust emission done in {dt:.1f} s "
+            from .utils.log import default as _log
+            _log().success(f"dust emission done in {dt:.1f} s "
                   f"({iterations} iterations, L_dust={src2.luminosity:.4e} W)")
         return rf_total, accs, info
 
@@ -517,14 +530,26 @@ class Simulation:
         the analog of InstrumentSystem::write (root-only in the reference)."""
         import os
         paths = []
-        # exact-configuration round-trip next to the outputs
-        # (ref: SkirtCommandLineHandler.cpp:342-347)
+        # regenerated-configuration record next to the outputs: the parsed
+        # hierarchy with engine defaults materialized, not an input echo
+        # (ref: SkirtCommandLineHandler.cpp:342-347 + XmlHierarchyWriter)
         if getattr(self, "ski_text", None):
+            from .config import skiwriter
             p0 = os.path.join(outdir, f"{prefix}_parameters.xml")
             with open(p0, "w", encoding="utf-8") as f:
-                f.write(self.ski_text)
+                f.write(skiwriter.regenerate(self.ski_text))
             paths.append(p0)
         for cfg, acc in zip(self.instruments, accs):
+            if getattr(cfg, "is_perspective", False):
+                from .instruments import perspective as persp
+                cube = persp.calibrate(cfg, jax.device_get(acc))
+                p2 = os.path.join(outdir, f"{prefix}_{cfg.name}_total.fits")
+                fitsio.write_fits(p2, cube.astype(np.float32),
+                                  {"BUNIT": "W/m2/m/sr",
+                                   "CDELT1": cfg.pixel_size,
+                                   "CDELT2": cfg.pixel_size})
+                paths.append(p2)
+                continue
             if getattr(cfg, "is_local", False):
                 cube = asky.calibrate(cfg, jax.device_get(acc))
                 p2 = os.path.join(outdir, f"{prefix}_{cfg.name}_allsky.fits")

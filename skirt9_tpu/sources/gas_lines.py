@@ -62,7 +62,7 @@ class GasLineSource:
         g3 = jax.vmap(lambda k: jax.random.normal(k, (3,)))(
             rng.purpose_key(keys, rng.EMISSION_LAMBDA))
         v_emit = tabs["v"][cell] + (vth * 0.7071067811865476)[:, None] * g3
-        lam = self.lam0 * (1.0 + jnp.sum(dirn * v_emit, axis=-1) / c.C_LIGHT)
+        lam = self.lam0 * (1.0 - jnp.sum(dirn * v_emit, axis=-1) / c.C_LIGHT)
         return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn,
                 "v_emit": v_emit}
 

@@ -146,7 +146,7 @@ def opacity_on_path(med: msys.MediumTables, opt: msys.Optics,
     """
     if lya:
         v = med.bulk_v[cells]                                  # (S,B,3)
-        lam_c = lam[None, :] * (1.0 - jnp.sum(dirn[None, :, :] * v, axis=-1)
+        lam_c = lam[None, :] / (1.0 - jnp.sum(dirn[None, :, :] * v, axis=-1)
                                 * _INV_C)
         T = jnp.maximum(med.temperature[cells], 1.0)
         k = med.nd[cells, 0] * lyo.cross_section(lam_c, T)
@@ -156,7 +156,7 @@ def opacity_on_path(med: msys.MediumTables, opt: msys.Optics,
         nd = med.nd[cells]                                     # (S,B,H)
         return jnp.einsum("sbh,bh->sb", nd, sig) * ds
     v = med.bulk_v[cells]
-    lam_c = lam[None, :] * (1.0 - jnp.sum(dirn[None, :, :] * v, axis=-1)
+    lam_c = lam[None, :] / (1.0 - jnp.sum(dirn[None, :, :] * v, axis=-1)
                             * _INV_C)
     o = msys.optics_at(med, lam_c.reshape(-1))
     sig_t = o.sigma_sca if scattering else o.sigma_ext
@@ -336,8 +336,13 @@ def peel_off_local(grid, med, opt, cfgs, tabs, accs, lam, pos, cell,
             tau_obs = trace_tau(grid, med, opt, pos, k, cell, max_steps,
                                 active, lam=lam_march)
         contrib = per_sr * jnp.exp(-tau_obs) / jnp.maximum(dist * dist, 1e-30)
-        accs[i] = asky.detect(cfg, tab, accs[i], lam, -k, contrib, kind,
-                              active)
+        if getattr(cfg, "is_perspective", False):
+            from ..instruments import perspective as persp
+            accs[i] = persp.detect(cfg, tab, accs[i], lam, pos, dist,
+                                   contrib, kind, active)
+        else:
+            accs[i] = asky.detect(cfg, tab, accs[i], lam, -k, contrib, kind,
+                                  active)
     return accs
 
 
@@ -439,13 +444,13 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if opts.emission_doppler:
             # rest wavelength from the launch-direction Doppler factor, then
             # re-shift toward each observer
-            lam_rest = pkt.lam / (1.0 + jnp.sum(pkt.dir * pkt.v_emit,
+            lam_rest = pkt.lam / (1.0 - jnp.sum(pkt.dir * pkt.v_emit,
                                                 axis=-1) * _INV_C)
 
             def emis_lam_fn(ko):
                 B = pkt.lam.shape[0]
                 kb = jnp.broadcast_to(ko, (B, 3))
-                return lam_rest * (1.0 + jnp.sum(kb * pkt.v_emit, axis=-1)
+                return lam_rest * (1.0 - jnp.sum(kb * pkt.v_emit, axis=-1)
                                    * _INV_C)
         if dist_ids:
             sub = peel_off(grid, med, opt,
@@ -569,7 +574,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             # wavelength perceived in the interaction cell's rest frame
             # (ref: PhotonPacket::perceivedWavelength)
             v_int = med.bulk_v[jnp.maximum(icell, 0)]
-            lam_cell = pkt.lam * (1.0 - jnp.sum(pkt.dir * v_int, axis=-1)
+            lam_cell = pkt.lam / (1.0 - jnp.sum(pkt.dir * v_int, axis=-1)
                                   * _INV_C)
             opt_int = msys.optics_at(med, lam_cell)
         else:
@@ -713,7 +718,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                 lam_march1 = pkt.lam if opts.kinematics else None
                 if opts.kinematics:
                     lam_fn = lambda ko: lam_cell * (
-                        1.0 + jnp.sum(ko * v_int, axis=-1) * _INV_C)
+                        1.0 - jnp.sum(ko * v_int, axis=-1) * _INV_C)
                 if dist_ids:
                     sub = peel_off(grid, med, opt_int,
                                    [inst_cfgs[i] for i in dist_ids],
@@ -753,13 +758,18 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                         2 * jnp.pi * s11n * jnp.maximum(pkt.stokes[..., 0],
                                                         1e-30), 1e-30)
                     contrib = pkt.lum * albedo * phase
-                    # rotate Q/U reference from the plane normal to the
-                    # instrument north (ey projected perpendicular to kobs)
+                    # rotate the Q/U reference from the scattering-plane
+                    # normal into the instrument frame: the detection
+                    # normal is cross(kobs, ky) with ky the instrument
+                    # up direction (ref: StokesVector::rotateIntoPlane
+                    # via MonteCarloSimulation.cpp:629 rotateIntoPlane
+                    # (bfkobs, bfky) -> nNew = cross(k, knew))
                     north = tab["ey"] - jnp.sum(tab["ey"] * kobs) * kobs
                     north = north / jnp.maximum(jnp.linalg.norm(north), 1e-30)
-                    cosb = jnp.sum(pn * north, axis=-1)
+                    n_det = jnp.cross(kobs, north)
+                    cosb = jnp.sum(pn * n_det, axis=-1)
                     sinb = jnp.sum(jnp.cross(pn, jnp.broadcast_to(
-                        north, pn.shape)) * ko, axis=-1)
+                        n_det, pn.shape)) * ko, axis=-1)
                     beta = jnp.arctan2(sinb, cosb)
                     st_final = stk.rotate_stokes(st_obs, beta)
                     return contrib, st_final[..., 1:]
@@ -813,7 +823,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             )
 
         if opts.kinematics and not opts.lya:
-            lam_new = lam_cell * (1.0 + jnp.sum(newdir * v_int, axis=-1)
+            lam_new = lam_cell * (1.0 - jnp.sum(newdir * v_int, axis=-1)
                                   * _INV_C)
             pkt = pkt._replace(
                 lam=jnp.where(active_int, lam_new, pkt.lam))

@@ -1,8 +1,9 @@
 """Kinematic (Doppler) transfer: moving media shift line opacities.
 
-A medium moving at bulk velocity v sees photons of model-frame wavelength
-lam at lam' = lam (1 - k.v/c). With a narrow absorption line centered at
-the shifted wavelength, absorption happens ONLY when kinematics is on —
+A medium moving at bulk velocity v perceives photons of model-frame
+wavelength lam at lam' = lam / (1 - k.v/c) (receding medium sees them
+redshifted; ref: PhotonPacket::shiftedReceptionWavelength). With a narrow
+absorption line centered at the shifted wavelength, absorption happens ONLY when kinematics is on —
 a crisp discriminator (the physics of the reference's kinematic line
 transfer, ref: PhotonPacket::perceivedWavelength + MediumSystem
 per-cell perceived-wavelength opacity, MediumSystem.cpp:860-900).
@@ -29,7 +30,7 @@ def run(kinematics, v_kms=300.0, n=12, npackets=4096):
     grid = make_cartesian(((-box, box),) * 3, (n,) * 3)
     # absorption line centered at the wavelength the moving medium perceives
     v = v_kms * 1e3
-    lam_line = LAM0 * (1 - v / C)
+    lam_line = LAM0 / (1 - v / C)
     width = LAM0 * (v / C) / 8  # much narrower than the shift
     lam_t = np.sort(np.concatenate([
         np.geomspace(0.4e-6, 0.7e-6, 40),

@@ -30,8 +30,25 @@ def test_locate_matches_nearest_site():
 
 def test_volumes_tile_box():
     g = make_grid()
-    assert g.volumes().sum() == pytest.approx(8.0, rel=1e-6)  # counts sum exactly
-    assert (g.volumes() >= 0).all()
+    assert g.volumes().sum() == pytest.approx(8.0, rel=1e-6)
+    assert (g.volumes() > 0).all()
+
+
+def test_exact_volumes_match_mc():
+    """Exact clipped-polyhedron volumes agree with a high-count MC estimate
+    per cell (the MC estimate converges as 1/sqrt(count))."""
+    g = make_grid(n_sites=100)
+    vols = g.volumes()
+    from scipy.spatial import cKDTree
+    kdt = cKDTree(np.asarray(g.sites, np.float64))
+    rs = np.random.default_rng(7)
+    nsamp = 2_000_000
+    samp = rs.uniform(-1, 1, (nsamp, 3))
+    _, which = kdt.query(samp)
+    mc = np.bincount(which, minlength=100) / nsamp * 8.0
+    # per-cell MC sigma ~ V/sqrt(count); allow 5 sigma
+    count = np.maximum(np.bincount(which, minlength=100), 1)
+    assert (np.abs(vols - mc) < 5 * mc / np.sqrt(count) + 1e-12).all()
 
 
 def test_traversal_chord_and_consistency():
