@@ -245,10 +245,13 @@ def build_particle_source(el, base_dir: str, lam_range):
         if not os.path.isabs(sfn):
             sfn = os.path.join(base_dir, sfn)
         fam = sf.load_ssp_family(sfn)
-        # the stored table is per Msun of initial mass; the column import
-        # converts Msun -> kg, so scale back to Msun
+        # the stored table is per Msun of initial mass with the age axis in
+        # years; the column import converts to SI, so scale back exactly
+        # like the reference does (ref: FileSSPSEDFamily.cpp:44-47
+        # parameters[0]/Msun, parameters[2]/year)
+        from ..utils import constants as _c
         scales = d["Minit"] / sf.M_SUN
-        params = np.stack([d["Z"], d["t"]], axis=-1)
+        params = np.stack([d["Z"], d["t"] / _c.YEAR], axis=-1)
     else:  # FileIndexedSEDFamily
         sfn = fam_el.attrib["filename"]
         if not os.path.isabs(sfn):
@@ -634,8 +637,49 @@ def load_ski(path: str, num_packets: int | None = None,
     medium = None
     components = []
     velocity_fields = []  # (component index, field, magnitude [m/s])
+    voronoi_import = None  # (sites (N,3), density (N,) [kg/m^3], mix, v)
     if med_sys is not None:
         for m_el in med_sys.find("media"):
+            if m_el.tag == "VoronoiMeshMedium":
+                # imported Voronoi-mesh medium: one density value per site
+                # (ref: VoronoiMeshMedium + VoronoiMeshSnapshot; columns
+                # x,y,z in pc + mass density in Msun/pc3 by default)
+                if components or voronoi_import is not None:
+                    raise NotImplementedError(
+                        "mixing VoronoiMeshMedium with other media is not "
+                        "supported yet")
+                from ..imports.snapshots import read_column_file
+                a = m_el.attrib
+                fn = a["filename"]
+                base = os.path.dirname(os.path.abspath(path))
+                if not os.path.isabs(fn):
+                    fn = os.path.join(base, fn)
+                cols = [("x", "length", "pc"), ("y", "length", "pc"),
+                        ("z", "length", "pc")]
+                import_v = a.get("importVelocity", "false") == "true"
+                if import_v:
+                    cols += [("vx", "velocity", "km/s"),
+                             ("vy", "velocity", "km/s"),
+                             ("vz", "velocity", "km/s")]
+                mt = a.get("massType", "MassDensity")
+                if mt == "MassDensity":
+                    cols.append(("rho", "massvolumedensity", "Msun/pc3"))
+                elif mt == "NumberDensity":
+                    cols.append(("n", "numbervolumedensity", "1/cm3"))
+                else:
+                    raise NotImplementedError(f"massType '{mt}'")
+                d = read_column_file(fn, cols)
+                mix = build_mix(_child(m_el, "materialMix"), base_dir=base)
+                sites = np.stack([d["x"], d["y"], d["z"]], axis=-1)
+                nd_sites = (d["rho"] / mix.mu if mt == "MassDensity"
+                            else d["n"])
+                vel = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
+                       if import_v else None)
+                ext_box = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+                           (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+                           (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+                voronoi_import = (sites, nd_sites, mix, vel, ext_box)
+                continue
             if m_el.tag != "GeometricMedium":
                 raise NotImplementedError(f"medium '{m_el.tag}' not supported yet")
             geom = build_geometry(_child(m_el, "geometry"))
@@ -650,13 +694,34 @@ def load_ski(path: str, num_packets: int | None = None,
                                             build_vector_field(vd_el), vmag))
             components.append((geom, mix, norm))
         grid_el = list(med_sys.find("grid"))[0]
-        grid = build_grid(grid_el)
-        if isinstance(grid, tuple) and grid[0] == "octree":
-            _, ext, minl, maxl, maxfrac = grid
-            geom0 = components[0][0]
-            grid = build_octree(ext, geom0.density_np, max_level=maxl,
-                                min_level=minl, max_fraction=max(maxfrac, 1e-4))
-        medium = gm.build_medium(grid, components)
+        if voronoi_import is not None:
+            # grid from the imported mesh (ref: VoronoiMeshSpatialGrid
+            # policy ImportedMesh — the grid cells ARE the medium's sites)
+            from ..grids.voronoi import build_voronoi
+            if grid_el.tag != "VoronoiMeshSpatialGrid" or \
+                    grid_el.attrib.get("policy", "DustDensity") \
+                    != "ImportedMesh":
+                raise NotImplementedError(
+                    "VoronoiMeshMedium requires VoronoiMeshSpatialGrid "
+                    "with policy='ImportedMesh'")
+            sites, nd_sites, mix, vel, ext_box = voronoi_import
+            grid = build_voronoi(sites, ext_box)
+            from ..media import mixes as _mx
+            lam, se, al, gg = _mx.stack([mix])
+            from ..media import system as _msys
+            medium = _msys.make_medium(
+                grid, nd_sites.astype(np.float32), lam, se, al, gg,
+                bulk_v=vel.astype(np.float32) if vel is not None else None)
+            components = [(None, mix, None)]
+        else:
+            grid = build_grid(grid_el)
+            if isinstance(grid, tuple) and grid[0] == "octree":
+                _, ext, minl, maxl, maxfrac = grid
+                geom0 = components[0][0]
+                grid = build_octree(ext, geom0.density_np, max_level=maxl,
+                                    min_level=minl,
+                                    max_fraction=max(maxfrac, 1e-4))
+            medium = gm.build_medium(grid, components)
         if velocity_fields:
             # per-cell aggregate bulk velocity: number-density-weighted
             # average over moving components, evaluated at cell centers

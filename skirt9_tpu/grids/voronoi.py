@@ -38,6 +38,8 @@ class VoronoiGrid(NamedTuple):
     lookup: jax.Array      # (G,G,G) int32 nearest-site table for locate
     cell_volumes: jax.Array  # (N,) f32 exact cell volumes as fractions of
                              # the box volume (raw m^3 overflows f32)
+    aabb_lo: jax.Array     # (N,3) f32 exact per-cell bounding boxes
+    aabb_hi: jax.Array     # (N,3)
     walk_steps: int        # static: locate walk iteration bound
 
     @property
@@ -141,6 +143,12 @@ class VoronoiGrid(NamedTuple):
         # ~ sites crossed by a straight chord, with slack
         return int(4 * np.ceil(self.ncells ** (1 / 3))) + 16
 
+    def cell_bounds(self):
+        """Exact per-cell AABBs (for in-cell position sampling,
+        ref: VoronoiMeshSnapshot::generatePosition bounding boxes)."""
+        return (np.asarray(self.aabb_lo, np.float64),
+                np.asarray(self.aabb_hi, np.float64))
+
 
 def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
                   volume_samples: int = 200_000, seed: int = 11,
@@ -178,9 +186,9 @@ def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
     _, owner = kdt.query(pts)
     lookup = owner.astype(np.int32).reshape(G, G, G)
 
-    # exact clipped-polyhedron volume fractions, MC fallback for
-    # degenerate cells
-    vols = exact_volumes(sites, neighbors, lo, hi)
+    # exact clipped-polyhedron volume fractions + per-cell AABBs,
+    # MC fallback for degenerate cells
+    vols, blo, bhi = exact_volumes(sites, neighbors, lo, hi)
     bad = ~np.isfinite(vols) | (vols <= 0)
     if bad.any():
         rs = np.random.default_rng(seed)
@@ -188,6 +196,12 @@ def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
         _, which = kdt.query(samp)
         counts = np.bincount(which, minlength=n).astype(np.float64)
         vols = np.where(bad, counts / volume_samples, vols)
+        blo = np.where(bad[:, None], sites - 0.5 * (hi - lo) / n ** (1 / 3),
+                       blo)
+        bhi = np.where(bad[:, None], sites + 0.5 * (hi - lo) / n ** (1 / 3),
+                       bhi)
+    blo = np.clip(blo, lo, hi)
+    bhi = np.clip(bhi, lo, hi)
 
     if walk_steps is None:
         walk_steps = max(8, int(2 * np.ceil(n ** (1 / 3))))
@@ -199,6 +213,8 @@ def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
         box_hi=jnp.asarray(hi, jnp.float32),
         lookup=jnp.asarray(lookup),
         cell_volumes=jnp.asarray(vols, jnp.float32),
+        aabb_lo=jnp.asarray(blo, jnp.float32),
+        aabb_hi=jnp.asarray(bhi, jnp.float32),
         walk_steps=walk_steps,
     )
 
@@ -224,6 +240,8 @@ def exact_volumes(sites: np.ndarray, neighbors: np.ndarray,
     scale = 1.0  # unit-box fractions
     vor = Voronoi(s)
     vols = np.full(n, np.nan)
+    blo = np.full((n, 3), np.nan)
+    bhi = np.full((n, 3), np.nan)
     eps = 1e-9
     for i in range(n):
         reg = vor.regions[vor.point_region[i]]
@@ -232,6 +250,8 @@ def exact_volumes(sites: np.ndarray, neighbors: np.ndarray,
             if np.all((verts > -eps) & (verts < 1 + eps)):
                 try:
                     vols[i] = ConvexHull(verts).volume * scale
+                    blo[i] = verts.min(axis=0)
+                    bhi[i] = verts.max(axis=0)
                 except Exception:
                     pass
                 continue
@@ -247,9 +267,11 @@ def exact_volumes(sites: np.ndarray, neighbors: np.ndarray,
         try:
             hsi = HalfspaceIntersection(np.hstack([A, b[:, None]]), p)
             vols[i] = ConvexHull(hsi.intersections).volume * scale
+            blo[i] = hsi.intersections.min(axis=0)
+            bhi[i] = hsi.intersections.max(axis=0)
         except Exception:
             pass
-    return vols
+    return (vols, blo * span + lo, bhi * span + lo)
 
 
 def density_sites(density_fn, extent, n_sites: int, seed: int = 3,

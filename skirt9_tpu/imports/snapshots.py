@@ -256,13 +256,15 @@ class FamilyParticleSource:
         ft = self.family_tables
         L = ft.entity_luminosities(self.scales, self.params)
         cdf = np.cumsum(L) / max(L.sum(), 1e-300)
-        cidx, ccdf = ft.corner_tables(self.params)
+        cidx, ccdf, cw, ratio = ft.corner_tables(self.params)
         return {
             "cdf": jnp.asarray(cdf, jnp.float32),
             "pos": jnp.asarray(self.snapshot.positions, jnp.float32),
             "h": jnp.asarray(self.snapshot.h, jnp.float32),
             "corner_idx": cidx,
             "corner_cdf": ccdf,
+            "corner_w": cw,
+            "lin_over_geo": ratio,
             "v": jnp.asarray(self.snapshot.velocity
                              if self.snapshot.velocity is not None
                              else np.zeros_like(self.snapshot.positions),
@@ -281,10 +283,15 @@ class FamilyParticleSource:
         dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
         lam = self.family_tables.sample_wavelength(
             keys, p, tabs["corner_idx"], tabs["corner_cdf"])
+        # importance correction: the linear corner mixture proposal ->
+        # the reference's geometric (log-interpolated) parameter mixture
+        wgt = self.family_tables.mixture_weight(
+            lam, p, tabs["corner_idx"], tabs["corner_w"],
+            tabs["lin_over_geo"])
         inv_c = 1.0 / c.C_LIGHT
         v = tabs["v"][p]
         lam = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * inv_c)
-        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
+        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32) * wgt
         return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn,
                 "v_emit": v}
 

@@ -181,27 +181,78 @@ class FamilyTables:
         tot = np.maximum(cum[:, -1], 1e-300)
         self.family = family
         self.lam_np = lam
+        self.L_np = L
         self.Ltot_np = cum[:, -1]  # integrated L_lambda per unit scale [W]
         self.lam = jnp.asarray(lam, jnp.float32)
         self.cdf = jnp.asarray(cum / tot[:, None], jnp.float32)
         self.node_Ltot = jnp.asarray(self.Ltot_np, jnp.float32)
+        # node log-spectra for geometric (log-log) parameter mixing: the
+        # reference's StoredTable interpolates log(Llambda) across the
+        # parameter axes when the quantity is log-scaled
+        # (ref: StoredTable.hpp value interpolation; FileSSPSEDFamily)
+        floor = np.maximum(L.max() * 1e-35, 1e-300)
+        self.logL = jnp.asarray(np.log(np.maximum(L, floor)), jnp.float32)
+        self._floor = floor
 
-    def entity_luminosities(self, scales: np.ndarray,
-                            params: np.ndarray) -> np.ndarray:
+    # The reference's parameter interpolation is GEOMETRIC (log value
+    # scale): L(lam; p) = exp(sum_c w_c ln L_c(lam)). Sampling draws from
+    # the cheap linear corner mixture and importance-corrects each packet
+    # by p_geo/p_lin, which reproduces the geometric mixture exactly.
+
+    def entity_luminosities(self, scales: np.ndarray, params: np.ndarray,
+                            chunk: int = 8192) -> np.ndarray:
         """(N,) integrated luminosity [W] of each entity over the clip
-        range: scale * multilinear(node integrals)."""
+        range: scale * integral of the geometric corner mixture."""
         idx, w = self.family._corners(params)
-        return np.asarray(scales, np.float64) * (w * self.Ltot_np[idx]).sum(1)
+        logL = np.log(np.maximum(self.L_np, self._floor))
+        n = len(idx)
+        out = np.empty(n)
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            Lg = np.exp(np.einsum("nc,nct->nt", w[a:b], logL[idx[a:b]]))
+            out[a:b] = np.trapezoid(Lg, self.lam_np, axis=1)
+        return np.asarray(scales, np.float64) * out
+
+    def entity_linear_luminosities(self, params: np.ndarray) -> np.ndarray:
+        """(N,) integral of the LINEAR corner mixture per unit scale (the
+        proposal distribution's normalization for importance weights)."""
+        idx, w = self.family._corners(params)
+        return (w * self.Ltot_np[idx]).sum(1)
 
     def corner_tables(self, params: np.ndarray):
-        """Host precompute for launch: per-entity corner node indices
-        (N, C) and the corner-selection cdf (N, C) proportional to
-        weight x corner integrated luminosity."""
+        """Host precompute for launch: corner node indices (N, C), the
+        corner-selection cdf (N, C) proportional to weight x corner
+        integrated luminosity, the raw multilinear weights (N, C), and the
+        per-entity ratio I_lin/I_geo used by the importance correction."""
         idx, w = self.family._corners(params)
         p = w * self.Ltot_np[idx]
         p = p / np.maximum(p.sum(1, keepdims=True), 1e-300)
+        Ilin = self.entity_linear_luminosities(params)
+        Igeo = self.entity_luminosities(np.ones(len(idx)), params)
+        ratio = Ilin / np.maximum(Igeo, 1e-300)
         return (jnp.asarray(idx, jnp.int32),
-                jnp.asarray(np.cumsum(p, axis=1), jnp.float32))
+                jnp.asarray(np.cumsum(p, axis=1), jnp.float32),
+                jnp.asarray(w, jnp.float32),
+                jnp.asarray(ratio, jnp.float32))
+
+    def mixture_weight(self, lam: jax.Array, entity: jax.Array,
+                       corner_idx: jax.Array, corner_w: jax.Array,
+                       lin_over_geo: jax.Array) -> jax.Array:
+        """Importance factor making linear-mixture samples follow the
+        geometric mixture: [L_geo(lam)/L_lin(lam)] * [I_lin/I_geo]."""
+        k = jnp.clip(jnp.searchsorted(self.lam, lam, side="right") - 1,
+                     0, self.lam.shape[0] - 2)
+        f = (lam - self.lam[k]) / jnp.maximum(self.lam[k + 1] - self.lam[k],
+                                              1e-30)
+        nodes = corner_idx[entity]                       # (B,C)
+        lo = self.logL[nodes, k[:, None]]                # (B,C)
+        hi = self.logL[nodes, k[:, None] + 1]
+        logLc = lo + f[:, None] * (hi - lo)
+        w = corner_w[entity]                             # (B,C)
+        lnLgeo = jnp.sum(w * logLc, axis=1)
+        Llin = jnp.sum(w * jnp.exp(logLc), axis=1)
+        return jnp.exp(lnLgeo) / jnp.maximum(Llin, 1e-37) \
+            * lin_over_geo[entity]
 
     def sample_wavelength(self, keys: jax.Array, entity: jax.Array,
                           corner_idx: jax.Array,

@@ -66,7 +66,9 @@ def test_family_tables_luminosity_and_sampling(tmp_path):
     assert (lums > 0).all()
 
     # sampled wavelengths follow the mixture spectrum
-    cidx, ccdf = tabs.corner_tables(params)
+    cidx, ccdf, cw, ratio = tabs.corner_tables(params)
+    # on an exact grid node the geometric and linear mixtures coincide
+    assert float(ratio[0]) == pytest.approx(1.0, rel=1e-5)
     B = 20000
     import jax
     keys = rng.event_keys(rng.history_keys(jax.random.PRNGKey(0),
