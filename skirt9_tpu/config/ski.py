@@ -291,6 +291,23 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
             from ..ops import stokes as stk
             object.__setattr__(emix, "_mueller", stk.electron_mueller())
         return emix
+    if t == "XRayAtomicGasMix":
+        # X-ray photo-absorption + electron scattering gas
+        # (ref: XRayAtomicGasMix.hpp:288; built-in Verner H+He fits, full
+        # 30-element data via user-supplied XRay_PA/FL tables)
+        from ..media import xray as xr
+        a = el.attrib
+        ab = None
+        if a.get("abundancies"):
+            ab = np.array([float(v) for v in
+                           a["abundancies"].replace(",", " ").split()])
+        lam = np.geomspace(2e-11, 5e-7, 512)  # ~60 keV .. 2.5 eV
+        scatter = {"None": "None", "Free": "Free",
+                   "FreeWithPolarization": "Free",
+                   "Good": "Free", "Exact": "Free"}.get(
+                       a.get("scatterBoundElectrons", "Good"), "Free")
+        tabs = xr.build_xray_tables(lam, abundances=ab, scatter=scatter)
+        return xr.as_mix_tables(tabs)
     if t == "MeanFileDustMix":
         # input files resolve relative to the ski file's directory
         # (ref: FilePaths input path handling)
