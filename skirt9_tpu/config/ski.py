@@ -541,9 +541,25 @@ def build_instrument(el, default_wlg):
         roll=_q(a, "roll", "angle", 0.0),
         distance=_q(a, "distance", "distance", 10 * 3.0857e16),
         record_polarization=a.get("recordPolarization", "false") == "true",
+        aperture=_q(a, "radius", "length", 0.0),
     )
     if t == "SEDInstrument":
         return dinst.DistantInstrumentCfg(**common)
+    if t in ("LightCurveInstrument", "SpectralTimeMapInstrument"):
+        # time-lag instruments (ref: TimeInstrument + TimeGrid; lag origin
+        # = a direct photon from the spatial origin)
+        tg = _child(el, "timeGrid")
+        ta = tg.attrib if tg is not None else {}
+        nt = int(ta.get("numTimes", 10))
+        t0 = _q(ta, "minTime", "time", 0.0)
+        t1 = _q(ta, "maxTime", "time", 1.0)
+        if tg is not None and tg.tag == "LogTimeGrid":
+            off = _q(ta, "offset", "time", 0.0)
+            tb = off + np.geomspace(max(t0 - off, 1e-30), t1 - off, nt + 1)
+        else:
+            tb = np.linspace(t0, t1, nt + 1)
+        return dinst.DistantInstrumentCfg(**common,
+                                          time_borders=tuple(tb))
     if t in ("FrameInstrument", "FullInstrument"):
         return dinst.DistantInstrumentCfg(
             **common,

@@ -76,6 +76,17 @@ class DistantInstrumentCfg:
     # normalization for the statistics power sums (set to the mean packet
     # contribution scale, e.g. L_total/num_packets; R and VOV are invariant)
     stats_scale: float = 1.0
+    # circular aperture radius [m] in the image plane, 0 = none
+    # (ref: ApertureInstrument.hpp:24)
+    aperture: float = 0.0
+    # time-lag bin borders [s] for LightCurve/SpectralTimeMap instruments;
+    # empty = no time axis (ref: TimeInstrument + TimeGrid; arrival-time
+    # origin = direct photon from the spatial origin)
+    time_borders: tuple = ()
+
+    @property
+    def ntime(self) -> int:
+        return max(len(self.time_borders) - 1, 0)
 
     @property
     def nbins(self) -> int:
@@ -117,16 +128,22 @@ def init_accumulators(cfg: DistantInstrumentCfg) -> dict:
         acc["stokes"] = jnp.zeros((3, nb), jnp.float32)
     if cfg.has_frame:
         acc["frame"] = jnp.zeros((NUM_KINDS, nb, cfg.npy, cfg.npx), jnp.float32)
+    if cfg.ntime > 0:
+        # timelag response cube (ref: FluxRecorder includeLightCurve /
+        # spectral-time map arrays)
+        acc["timecube"] = jnp.zeros((nb, cfg.ntime), jnp.float32)
     return acc
 
 
 def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
            lam: jax.Array, pos: jax.Array, contrib: jax.Array,
            kind: int, active: jax.Array,
-           stokes_quv: jax.Array | None = None) -> dict:
+           stokes_quv: jax.Array | None = None,
+           dist: jax.Array | None = None) -> dict:
     """Record a batch of peel-off contributions into the accumulators.
 
-    tables holds device copies of (kobs, ex, ey, wave_borders).
+    tables holds device copies of (kobs, ex, ey, wave_borders). dist is
+    the packet's cumulative path length for time-lag binning.
     """
     nb = cfg.nbins
     if cfg.bands:
@@ -135,8 +152,29 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     borders = tables["wave_borders"]
     b = jnp.searchsorted(borders, lam, side="right") - 1
     ok = active & (b >= 0) & (b < nb) & (contrib > 0)
+    if cfg.aperture > 0.0:
+        # circular aperture mask in the image plane
+        # (ref: ApertureInstrument::detect)
+        xp = pos @ tables["ex"] - cfg.centerx
+        yp = pos @ tables["ey"] - cfg.centery
+        ok = ok & (xp * xp + yp * yp <= cfg.aperture * cfg.aperture)
     bq = jnp.clip(b, 0, nb - 1)
     c = jnp.where(ok, contrib, 0.0)
+    if cfg.ntime > 0 and dist is not None and kind != KIND_TRANSPARENT:
+        # arrival-time lag: traveled path minus the straight-line head
+        # start toward the observer (ref: PhotonPacket peel-off _D =
+        # D - dot(k_obs, position); TimeGrid::binForDistance). The
+        # transparent component is a what-if diagnostic, not arriving
+        # flux, so it stays out of the timelag response.
+        lag = (dist - pos @ tables["kobs"]) * (1.0 / 2.99792458e8)
+        tb = tables["time_borders"]
+        t = jnp.searchsorted(tb, lag, side="right") - 1
+        okt = ok & (t >= 0) & (t < cfg.ntime)
+        tq = jnp.clip(t, 0, cfg.ntime - 1)
+        flat_t = bq * cfg.ntime + tq
+        acc = dict(acc)
+        acc["timecube"] = (acc["timecube"].reshape(-1).at[flat_t].add(
+            jnp.where(okt, contrib, 0.0))).reshape(nb, cfg.ntime)
 
     acc = dict(acc)
     # all bin accumulations go through the Pallas one-hot matmul scatter
@@ -215,6 +253,9 @@ def device_tables(cfg: DistantInstrumentCfg) -> dict:
     if cfg.bands:
         from ..spectral import bands as bnd
         t["bands"] = bnd.band_tables(list(cfg.bands))
+    if cfg.ntime > 0:
+        t["time_borders"] = jnp.asarray(np.asarray(cfg.time_borders),
+                                        jnp.float32)
     return t
 
 
@@ -255,6 +296,16 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
         out["R"] = np.where(w1 > 0, rel, 0.0)
         out["N"] = w[0]
     return out
+
+
+def calibrate_timecube(cfg: DistantInstrumentCfg, acc: dict) -> np.ndarray:
+    """Calibrated timelag response cube (nb, nt) [W/m^2/m per bin]: the
+    flux arriving in each (wavelength, lag) bin for a luminosity pulse
+    (ref: FluxRecorder light-curve / spectral-time-map calibration)."""
+    borders = np.asarray(cfg.wave_borders, np.float64)
+    dlam = np.diff(borders)[:, None]
+    d2 = cfg.distance ** 2
+    return np.asarray(acc["timecube"], np.float64) / (d2 * dlam)
 
 
 def calibrate_frame(cfg: DistantInstrumentCfg, acc: dict) -> np.ndarray:

@@ -580,4 +580,21 @@ class Simulation:
                     "CDELT2": cfg.fovy / cfg.npy,
                 })
                 paths.append(p2)
+            if getattr(cfg, "ntime", 0) > 0:
+                # light curve (lambda-integrated) + spectral-time map
+                # (ref: FluxRecorder lightcurve/STM outputs)
+                tc = dinst.calibrate_timecube(cfg, jax.device_get(acc))
+                tb = np.asarray(cfg.time_borders, np.float64)
+                tmid = 0.5 * (tb[1:] + tb[:-1])
+                dlam = np.diff(np.asarray(cfg.wave_borders, np.float64))
+                lc = (tc * dlam[:, None]).sum(axis=0)  # [W/m^2] per bin
+                p3 = os.path.join(outdir, f"{prefix}_{cfg.name}_lc.dat")
+                with open(p3, "w") as f:
+                    f.write("# light curve: time lag [s], flux [W/m2]\n")
+                    np.savetxt(f, np.column_stack([tmid, lc]))
+                paths.append(p3)
+                p4 = os.path.join(outdir, f"{prefix}_{cfg.name}_stm.fits")
+                fitsio.write_fits(p4, tc.astype(np.float32),
+                                  {"BUNIT": "W/m2/m"})
+                paths.append(p4)
         return paths

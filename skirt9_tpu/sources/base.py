@@ -248,4 +248,5 @@ def launch_batch(source, tabs: dict, grid, seed_key: jax.Array,
         stokes=jnp.zeros((B, 4), jnp.float32).at[:, 0].set(1.0),
         normal=jnp.zeros((B, 3), jnp.float32).at[:, 0].set(1.0),
         v_emit=f.get("v_emit", jnp.zeros((B, 3), jnp.float32)),
+        dist=jnp.zeros((B,), jnp.float32),
     )

@@ -284,7 +284,7 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
              kind: int, max_steps: int, active: jax.Array,
              transparent_too: bool = False, lam_fn=None, lam_march=None,
              march_uses_lam_fn: bool = False, lya: bool = False,
-             tracer=None):
+             tracer=None, dist=None):
     """Peel a batch of events off toward every instrument.
 
     contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
@@ -311,11 +311,13 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
             per_sr = contrib_per_sr(ko)
             lam_i = lam if lam_fn is None else lam_fn(ko)
             accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
-                                   lam_i, pos, per_sr * att, kind, active)
+                                   lam_i, pos, per_sr * att, kind, active,
+                                   dist=dist)
             if transparent_too:
                 accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
                                        lam_i, pos, per_sr,
-                                       dinst.KIND_TRANSPARENT, active)
+                                       dinst.KIND_TRANSPARENT, active,
+                                       dist=dist)
     return accs
 
 
@@ -460,7 +462,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
                            opts.max_steps, emit, transparent_too=True,
                            lam_march=lam_march0, lam_fn=emis_lam_fn,
-                           tracer=tracer)
+                           tracer=tracer, dist=pkt.dist)
             accs = _stitch(accs, dist_ids, sub)
         if local_ids:
             sub = peel_off_local(grid, med, opt,
@@ -595,11 +597,14 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if opts.lya:
             albedo = jnp.ones_like(lum_at)  # pure resonant scattering
 
-        # move packet to interaction point
+        # move packet to interaction point (accumulating the traveled
+        # path for time-lag instruments, ref: PhotonPacket::propagate)
+        step_len = jnp.linalg.norm(ipos - pkt.pos, axis=-1)
         pkt = pkt._replace(
             pos=jnp.where(active_int[..., None], ipos, pkt.pos),
             cell=jnp.where(active_int, icell, pkt.cell),
             lum=jnp.where(active_int, lum_at, pkt.lum),
+            dist=jnp.where(active_int, pkt.dist + step_len, pkt.dist),
         )
 
         # component selection (shared by both polarization modes)
@@ -666,7 +671,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                    kind_scat, opts.max_steps, active_int,
                                    lam_fn=lya_lam_fn,
                                    march_uses_lam_fn=True, lya=True,
-                                   tracer=tracer)
+                                   tracer=tracer, dist=pkt.dist)
                     accs = _stitch(accs, dist_ids, sub)
             pkt = pkt._replace(
                 lam=jnp.where(active_int, lam_new_lya, pkt.lam))
@@ -693,7 +698,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                pkt.lam, pkt.pos, pkt.cell, kn_per_sr,
                                kind_scat, opts.max_steps, active_int,
                                lam_fn=kn_lam_fn, march_uses_lam_fn=True,
-                               tracer=tracer)
+                               tracer=tracer, dist=pkt.dist)
                 accs = _stitch(accs, dist_ids, sub)
             mu_s = co.sample_costheta(rng.uniform(keys, _TAG_SCATTER_CT), x_c)
             phi_c = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
@@ -727,7 +732,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                    pkt.lam, pkt.pos, pkt.cell, per_sr,
                                    kind_scat, opts.max_steps, active_int,
                                    lam_fn=lam_fn, lam_march=lam_march1,
-                                   tracer=tracer)
+                                   tracer=tracer, dist=pkt.dist)
                     accs = _stitch(accs, dist_ids, sub)
                 if local_ids:
                     sub = peel_off_local(grid, med, opt_int,
@@ -788,7 +793,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                         accs2[i] = dinst.detect(
                             inst_cfgs[i], inst_tabs[i], accs2[i], pkt.lam,
                             pkt.pos, contrib * att, kind_scat, active_int,
-                            stokes_quv=quv)
+                            stokes_quv=quv, dist=pkt.dist)
                 accs = accs2
 
         # the scattering event proper (ref: MediumSystem::simulateScattering

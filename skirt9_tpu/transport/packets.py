@@ -32,6 +32,8 @@ class PacketBatch(NamedTuple):
     v_emit: jax.Array   # (B,3) emitter velocity [m/s] (line/kinematic
                         # sources: enables observer-frame emission
                         # wavelengths in peel-off)
+    dist: jax.Array     # (B,) cumulative path length since emission [m]
+                        # (time-lag bookkeeping; ref: PhotonPacket _D)
 
     @property
     def batch_size(self) -> int:
@@ -52,4 +54,5 @@ def empty_batch(batch: int, dtype=jnp.float32) -> PacketBatch:
         stokes=jnp.zeros((batch, 4), dtype).at[:, 0].set(1.0),
         normal=z3.at[:, 0].set(1.0),
         v_emit=z3,
+        dist=z,
     )
