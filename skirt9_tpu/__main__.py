@@ -57,6 +57,8 @@ def main(argv=None) -> int:
                         f"{len(sim.sources)} sources, "
                         f"{len(sim.instruments)} instruments")
             continue
+        from .probes.probes import run_probe_system
+        probe_paths = run_probe_system(sim, "Setup", prefix, args.outdir)
         with log.timed(f"simulation {prefix}"):
             if sim.ems_borders is not None:
                 rf, accs, info = sim.run_with_dust_emission()
@@ -64,6 +66,9 @@ def main(argv=None) -> int:
                 rf, accs = sim.run_primary()
         with log.timed("final output"):
             paths = sim.write_outputs(accs, prefix, args.outdir)
+            paths += run_probe_system(sim, "Run", prefix, args.outdir,
+                                      rf=rf)
+            paths += probe_paths
         log.success(f"finished {ski} in {time.perf_counter() - t0:.1f} s")
         for p in paths:
             log.info(f"  wrote {p}")

@@ -882,4 +882,36 @@ def load_ski(path: str, num_packets: int | None = None,
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text
+
+    # probe system with When hooks (ref: ProbeSystem.hpp:54-57 +
+    # Probe.hpp:40 probeAfter)
+    from ..probes.probes import ProbeSpec
+    probe_map = {
+        "SpatialCellPropertiesProbe": ("cellprops", "Setup"),
+        "DensityProbe": ("density", "Setup"),
+        "OpacityProbe": ("opacity", "Setup"),
+        "VelocityProbe": ("velocity", "Setup"),
+        "TemperatureProbe": ("temperature", "Run"),
+        "RadiationFieldProbe": ("radiationfield", "Run"),
+        "LuminosityProbe": ("luminosity", "Setup"),
+        "LaunchedPacketsProbe": ("luminosity", "Run"),
+        "InstrumentWavelengthGridProbe": ("wavelengths", "Setup"),
+        "RadiationFieldWavelengthGridProbe": ("wavelengths", "Setup"),
+        "SpatialGridPlotProbe": ("grid", "Setup"),
+        "OpticalDepthMapProbe": ("taumap", "Setup"),
+        "SpatialGridSourceDensityProbe": ("sourcedensity", "Setup"),
+    }
+    probes = []
+    plist = mcs.find("probeSystem/ProbeSystem/probes")
+    for p_el in (list(plist) if plist is not None else []):
+        if p_el.tag not in probe_map:
+            raise NotImplementedError(f"probe '{p_el.tag}' not supported yet")
+        kind, default_when = probe_map[p_el.tag]
+        when = p_el.attrib.get("probeAfter", default_when)
+        kw = {}
+        if "wavelength" in p_el.attrib:
+            kw["lam"] = _q(p_el.attrib, "wavelength", "wavelength")
+        probes.append(ProbeSpec(kind, p_el.attrib.get("probeName", kind),
+                                when=when, **kw))
+    sim.probes = probes
     return sim

@@ -209,3 +209,264 @@ def luminosity_probe(sim, prefix: str, outdir: str = "."):
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return [path]
+
+
+# ------------------------------------------------------------ more forms
+
+def parallel_projection_form(path: str, grid, per_cell: np.ndarray,
+                             inclination: float = 0.0, azimuth: float = 0.0,
+                             npix: int = 128, samples: int = 192) -> str:
+    """FITS map of a per-cell field integrated along parallel lines of
+    sight (ref: ParallelProjectionForm): the projection of field f is
+    integral f ds through the domain for each image pixel."""
+    import jax.numpy as jnp
+    lo = np.asarray(getattr(grid, "box_lo", None) if hasattr(grid, "box_lo")
+                    else [grid.xb[0], grid.yb[0], grid.zb[0]], np.float64)
+    hi = np.asarray(getattr(grid, "box_hi", None) if hasattr(grid, "box_hi")
+                    else [grid.xb[-1], grid.yb[-1], grid.zb[-1]], np.float64)
+    center = 0.5 * (lo + hi)
+    radius = 0.5 * float(np.linalg.norm(hi - lo))
+    ct, st = np.cos(inclination), np.sin(inclination)
+    cp, sp = np.cos(azimuth), np.sin(azimuth)
+    k = np.array([st * cp, st * sp, ct])
+    ex = np.array([-sp, cp, 0.0])
+    ey = np.cross(k, ex)
+    u = np.linspace(-radius, radius, npix)
+    U, V = np.meshgrid(u, u)
+    s = np.linspace(-radius, radius, samples)
+    ds = s[1] - s[0]
+    vals = jnp.asarray(np.asarray(per_cell, np.float32))
+    img = np.zeros(npix * npix)
+    base = (center[None, :] + U.ravel()[:, None] * ex[None, :]
+            + V.ravel()[:, None] * ey[None, :])
+    for si in s:  # chunk over depth to bound memory
+        pos = base + si * k[None, :]
+        c = np.asarray(grid.locate(jnp.asarray(pos, jnp.float32)))
+        img += np.where(c >= 0, np.asarray(vals)[np.maximum(c, 0)], 0.0) * ds
+    fitsio.write_fits(path, img.reshape(npix, npix).astype(np.float32),
+                      {"PROJ": "parallel", "INCL": inclination,
+                       "AZIM": azimuth})
+    return path
+
+
+def allsky_projection_form(path: str, grid, per_cell: np.ndarray,
+                           position=(0.0, 0.0, 0.0), npix: int = 128,
+                           samples: int = 192) -> str:
+    """Mollweide FITS map of a per-cell field integrated along rays from
+    an interior position (ref: AllSkyProjectionForm; e.g. all-sky optical
+    depth when fed an opacity field)."""
+    import jax.numpy as jnp
+    lo = np.asarray(getattr(grid, "box_lo", None) if hasattr(grid, "box_lo")
+                    else [grid.xb[0], grid.yb[0], grid.zb[0]], np.float64)
+    hi = np.asarray(getattr(grid, "box_hi", None) if hasattr(grid, "box_hi")
+                    else [grid.xb[-1], grid.yb[-1], grid.zb[-1]], np.float64)
+    radius = float(np.linalg.norm(hi - lo))
+    npy = npix // 2
+    # pixel-center directions via the inverse Mollweide mapping
+    xs = (np.arange(npix) + 0.5) / npix * 4.0 - 2.0
+    ys = (np.arange(npy) + 0.5) / npy * 2.0 - 1.0
+    X, Y = np.meshgrid(xs, ys)
+    t = np.arcsin(np.clip(Y, -1, 1))
+    lat = np.arcsin(np.clip((2 * t + np.sin(2 * t)) / np.pi, -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lon = np.pi * X / (2 * np.cos(t))
+    ok = np.abs(lon) <= np.pi
+    lon = np.where(ok, lon, 0.0)
+    k = np.stack([np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon),
+                  np.sin(lat)], axis=-1).reshape(-1, 3)
+    s = np.linspace(0.0, radius, samples)
+    ds = s[1] - s[0]
+    vals = np.asarray(per_cell, np.float64)
+    img = np.zeros(npix * npy)
+    p0 = np.asarray(position, np.float64)
+    for si in s:
+        pos = p0[None, :] + si * k
+        c = np.asarray(grid.locate(jnp.asarray(pos, jnp.float32)))
+        img += np.where(c >= 0, vals[np.maximum(c, 0)], 0.0) * ds
+    img = np.where(ok.ravel(), img, 0.0)
+    fitsio.write_fits(path, img.reshape(npy, npix).astype(np.float32),
+                      {"PROJ": "mollweide-integral"})
+    return path
+
+
+def at_positions_form(path: str, grid, per_cell: np.ndarray,
+                      positions: np.ndarray, unit_note: str = "") -> str:
+    """Sample a per-cell field at imported positions (ref: AtPositionsForm,
+    positions from a text column file)."""
+    import jax.numpy as jnp
+    pos = np.asarray(positions, np.float64)
+    c = np.asarray(grid.locate(jnp.asarray(pos, jnp.float32)))
+    vals = np.where(c >= 0, np.asarray(per_cell, np.float64)[
+        np.maximum(c, 0)], 0.0)
+    header = ("# skirt9_tpu at-positions probe\n# columns: x y z value"
+              + ("\n# " + unit_note if unit_note else ""))
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        np.savetxt(f, np.column_stack([pos, vals]))
+    return path
+
+
+def linear_cut_form(path: str, grid, per_cell: np.ndarray, p0, p1,
+                    npts: int = 512, unit_note: str = "") -> str:
+    """Field values along the line p0 -> p1 (ref: LinearCutForm)."""
+    import jax.numpy as jnp
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    f = np.linspace(0.0, 1.0, npts)
+    pos = p0[None, :] + f[:, None] * (p1 - p0)[None, :]
+    c = np.asarray(grid.locate(jnp.asarray(pos, jnp.float32)))
+    vals = np.where(c >= 0, np.asarray(per_cell, np.float64)[
+        np.maximum(c, 0)], 0.0)
+    d = f * np.linalg.norm(p1 - p0)
+    with open(path, "w") as fh:
+        fh.write("# skirt9_tpu linear cut\n# columns: distance value"
+                 + ("\n# " + unit_note if unit_note else "") + "\n")
+        np.savetxt(fh, np.column_stack([d, vals]))
+    return path
+
+
+# ----------------------------------------------------------- more probes
+
+def velocity_probe(sim, prefix: str, outdir: str = "."):
+    """Per-cell bulk velocity components + magnitude
+    (ref: VelocityProbe)."""
+    v = np.asarray(sim.medium.bulk_v, np.float64)
+    q = {"vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+         "v": np.linalg.norm(v, axis=1)}
+    return [per_cell_form(os.path.join(outdir, f"{prefix}_velocity.dat"),
+                          sim.grid, q, "bulk velocity [m/s]")]
+
+
+def opticaldepth_map_probe(sim, lam: float, prefix: str, outdir: str = ".",
+                           position=(0.0, 0.0, 0.0), npix: int = 128):
+    """All-sky optical depth map from an interior position
+    (ref: OpticalDepthMapProbe)."""
+    import jax.numpy as jnp
+    from ..media import system as msys
+    med = sim.medium
+    opt = msys.optics_at(med, jnp.full((1,), lam, jnp.float32))
+    se = np.asarray(opt.sigma_ext, np.float64)[0]
+    k = (np.asarray(med.nd, np.float64) * se).sum(axis=1)
+    return [allsky_projection_form(
+        os.path.join(outdir, f"{prefix}_taumap.fits"), sim.grid, k,
+        position=position, npix=npix)]
+
+
+def absorption_probe(sim, rf, prefix: str, outdir: str = "."):
+    """Absorbed bolometric power per cell from the recorded radiation
+    field (ref: DustAbsorptionPerCellProbe)."""
+    from ..emission import equilibrium as eq
+    etabs = sim._emission_tables() if hasattr(sim, "_emission_tables") \
+        else None
+    if etabs is None:
+        return []
+    p_abs = np.asarray(eq.absorbed_power(
+        sim.medium, etabs, rf, sim.grid.volumes(), sim.rf_scale), np.float64)
+    return [per_cell_form(os.path.join(outdir, f"{prefix}_absorbed.dat"),
+                          sim.grid, {"P_abs": p_abs},
+                          "absorbed power [W]")]
+
+
+def wavelength_grid_probe(sim, prefix: str, outdir: str = "."):
+    """Instrument + radiation-field wavelength grids (ref:
+    InstrumentWavelengthGridProbe, RadiationFieldWavelengthGridProbe)."""
+    paths = []
+    for cfg in sim.instruments:
+        wb = np.asarray(getattr(cfg, "wave_borders", ()), np.float64)
+        if len(wb) < 2:
+            continue
+        mid = np.sqrt(wb[1:] * wb[:-1])
+        p = os.path.join(outdir, f"{prefix}_{cfg.name}_wavelengths.dat")
+        with open(p, "w") as f:
+            f.write("# instrument wavelength grid: center border_left "
+                    "border_right [m]\n")
+            np.savetxt(f, np.column_stack([mid, wb[:-1], wb[1:]]))
+        paths.append(p)
+    if sim.rf_borders is not None:
+        rb = np.asarray(sim.rf_borders, np.float64)
+        p = os.path.join(outdir, f"{prefix}_rf_wavelengths.dat")
+        with open(p, "w") as f:
+            f.write("# radiation-field wavelength grid borders [m]\n")
+            np.savetxt(f, rb)
+        paths.append(p)
+    return paths
+
+
+def source_density_probe(sim, prefix: str, outdir: str = "."):
+    """Source geometry density resampled on the spatial grid
+    (ref: SpatialGridSourceDensityProbe)."""
+    paths = []
+    centers = np.asarray(sim.grid.cell_centers(), np.float64)
+    for i, s in enumerate(sim.sources):
+        geom = getattr(s, "geometry", None)
+        if geom is None or not hasattr(geom, "density_np"):
+            continue
+        rho = geom.density_np(centers)
+        paths.append(per_cell_form(
+            os.path.join(outdir, f"{prefix}_source_{i}_density.dat"),
+            sim.grid, {"rho_norm": rho}, "normalized source density"))
+    return paths
+
+
+# ----------------------------------------------- probe system + When hooks
+
+class ProbeSpec:
+    """One configured probe: fires at a phase boundary (ref: Probe.hpp:40
+    probeAfter Setup/Run + ProbeSystem hooks)."""
+
+    def __init__(self, kind: str, name: str, when: str = "Setup", **kw):
+        self.kind = kind
+        self.name = name
+        self.when = when  # "Setup" | "Run" | "Primary" | "Secondary"
+        self.kw = kw
+
+    def run(self, sim, prefix: str, outdir: str, rf=None):
+        tag = f"{prefix}_{self.name}"
+        k = self.kind
+        if k == "density":
+            return density_probe(sim, tag, outdir, cuts=self.kw.get(
+                "cuts", False))
+        if k == "opacity":
+            return opacity_probe(sim, self.kw.get("lam", 0.55e-6), tag,
+                                 outdir)
+        if k == "temperature":
+            return [] if rf is None else temperature_probe(sim, rf, tag,
+                                                           outdir)
+        if k == "radiationfield":
+            return [] if rf is None else radiation_field_probe(sim, rf,
+                                                               tag, outdir)
+        if k == "velocity":
+            return velocity_probe(sim, tag, outdir)
+        if k == "grid":
+            return grid_probe(sim, tag, outdir)
+        if k == "luminosity":
+            return luminosity_probe(sim, tag, outdir)
+        if k == "wavelengths":
+            return wavelength_grid_probe(sim, tag, outdir)
+        if k == "sourcedensity":
+            return source_density_probe(sim, tag, outdir)
+        if k == "taumap":
+            return opticaldepth_map_probe(sim, self.kw.get("lam", 0.55e-6),
+                                          tag, outdir,
+                                          npix=self.kw.get("npix", 128))
+        if k == "cellprops":
+            vols = np.asarray(sim.grid.volumes(), np.float64)
+            nd = np.asarray(sim.medium.nd, np.float64)
+            q = {"volume": vols}
+            for h in range(nd.shape[1]):
+                q[f"nd_{h}"] = nd[:, h]
+            return [per_cell_form(
+                os.path.join(outdir, f"{tag}_cellprops.dat"), sim.grid, q,
+                "cell volume [m3], number densities [1/m3]")]
+        return []
+
+
+def run_probe_system(sim, when: str, prefix: str, outdir: str = ".",
+                     rf=None) -> list:
+    """Fire every configured probe whose hook matches `when`
+    (ref: ProbeSystem::probeSetup/probeRun, ProbeSystem.hpp:54-57)."""
+    paths = []
+    for spec in getattr(sim, "probes", []) or []:
+        if spec.when == when:
+            paths.extend(spec.run(sim, prefix, outdir, rf=rf))
+    return paths
