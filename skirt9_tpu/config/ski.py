@@ -882,6 +882,26 @@ def load_ski(path: str, num_packets: int | None = None,
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text
+    # output unit system (ref: Units.hpp:29)
+    from ..utils.unitsystem import from_ski as _units_from_ski
+    sim.units = _units_from_ski(_child(mcs, "units"))
+    # cosmology: models at redshift override instrument distances with the
+    # luminosity distance and stretch detected wavelengths
+    # (ref: Cosmology.hpp:16; DistantInstrument.cpp:28-35)
+    from ..utils.cosmology import from_ski as _cos_from_ski
+    cos = _cos_from_ski(_child(mcs, "cosmology"))
+    sim.cosmology = cos
+    if cos.redshift > 0.0:
+        import dataclasses as _dc2
+        sim.instruments = [
+            _dc2.replace(ic, distance=cos.luminosity_distance(),
+                         angular_distance=cos.angular_diameter_distance(),
+                         redshift=cos.redshift)
+            if isinstance(ic, dinst.DistantInstrumentCfg) else ic
+            for ic in sim.instruments]
+        sim._inst_tabs = [None] * len(sim.instruments)
+        from ..simulation import _inst_tables as _it
+        sim._inst_tabs = [_it(ic) for ic in sim.instruments]
 
     # probe system with When hooks (ref: ProbeSystem.hpp:54-57 +
     # Probe.hpp:40 probeAfter)

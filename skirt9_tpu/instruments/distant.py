@@ -83,6 +83,12 @@ class DistantInstrumentCfg:
     # empty = no time axis (ref: TimeInstrument + TimeGrid; arrival-time
     # origin = direct photon from the spatial origin)
     time_borders: tuple = ()
+    # observer-frame redshift: detection wavelengths stretch by (1+z),
+    # `distance` holds the luminosity distance, `angular_distance` the
+    # angular-diameter distance for pixel solid angles (0 = use distance)
+    # (ref: FluxRecorder::setObserverFrameRedshift, Cosmology.hpp:16)
+    redshift: float = 0.0
+    angular_distance: float = 0.0
 
     @property
     def ntime(self) -> int:
@@ -146,6 +152,9 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     the packet's cumulative path length for time-lag binning.
     """
     nb = cfg.nbins
+    if cfg.redshift > 0.0:
+        # observer-frame wavelength (ref: FluxRecorder.cpp:310)
+        lam = lam * (1.0 + cfg.redshift)
     if cfg.bands:
         return _detect_bands(cfg, tables, acc, lam, pos, contrib, kind,
                              active, stokes_quv)
@@ -315,7 +324,11 @@ def calibrate_frame(cfg: DistantInstrumentCfg, acc: dict) -> np.ndarray:
     dlam = np.diff(borders)[:, None, None]
     pix_x = cfg.fovx / cfg.npx
     pix_y = cfg.fovy / cfg.npy
-    omega = pix_x * pix_y / cfg.distance**2
+    # pixel solid angle from the angular-diameter distance when the model
+    # is at cosmological redshift (ref: FluxRecorder.cpp:505-507)
+    d_ang = cfg.angular_distance or cfg.distance
+    omega = 4.0 * np.arctan(0.5 * pix_x / d_ang) \
+        * np.arctan(0.5 * pix_y / d_ang)
     frame = np.asarray(acc["frame"], np.float64)
     total = frame[KIND_PRIMARY_DIRECT] + frame[KIND_PRIMARY_SCATTERED] \
         + frame[KIND_SECONDARY_DIRECT] + frame[KIND_SECONDARY_SCATTERED]

@@ -560,13 +560,38 @@ class Simulation:
                 continue
             sed = dinst.calibrate_sed(cfg, jax.device_get(acc))
             p = os.path.join(outdir, f"{prefix}_{cfg.name}_sed.dat")
-            cols = ["wavelength", "total", "transparent", "primarydirect",
-                    "primaryscattered", "secondarydirect", "secondaryscattered"]
+            # output units follow the configured unit system + flux style
+            # (ref: Units.hpp:29; FluxRecorder::calibrateAndWrite column
+            # layout and headers)
+            from .utils.unitsystem import UnitSystem
+            us = getattr(self, "units", None) or UnitSystem()
+            lam_m = np.asarray(sed["wavelength"], np.float64)
+            names = [("total", "total flux"),
+                     ("transparent", "transparent flux"),
+                     ("primarydirect", "direct primary flux"),
+                     ("primaryscattered", "scattered primary flux"),
+                     ("secondarydirect", "direct secondary flux"),
+                     ("secondaryscattered", "scattered secondary flux")]
+            cols = [us.out_wavelength(lam_m)]
+            hdr = [f"# column 1: wavelength; lambda "
+                   f"({us.unit('wavelength')})"]
+            for i, (key, desc) in enumerate(names):
+                cols.append(us.out_flux(np.atleast_1d(sed[key]), lam_m))
+                hdr.append(f"# column {i + 2}: {desc}; {us.flux_symbol} "
+                           f"({us.flux_unit})")
+            k = len(cols)
+            if "Q" in sed:
+                for sk in ("Q", "U", "V"):
+                    cols.append(us.out_flux(np.atleast_1d(sed[sk]), lam_m))
+                    k += 1
+                    hdr.append(f"# column {k}: total Stokes {sk}; "
+                               f"{us.flux_symbol} ({us.flux_unit})")
             if "R" in sed:
-                cols.append("R")
-            header = ("# skirt9_tpu SED output\n# columns: "
-                      + " ".join(cols) + "\n# wavelength [m], F_lambda [W/m2/m]\n")
-            arr = np.column_stack([sed[c] for c in cols])
+                cols.append(np.atleast_1d(sed["R"]))
+                k += 1
+                hdr.append(f"# column {k}: relative error R (1)")
+            header = ("# skirt9_tpu SED output\n" + "\n".join(hdr) + "\n")
+            arr = np.column_stack(cols)
             with open(p, "w") as f:
                 f.write(header)
                 np.savetxt(f, arr)
