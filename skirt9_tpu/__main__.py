@@ -60,6 +60,8 @@ def main(argv=None) -> int:
         from .probes.probes import run_probe_system
         probe_paths = run_probe_system(sim, "Setup", prefix, args.outdir)
         with log.timed(f"simulation {prefix}"):
+            if sim.iterate_primary:
+                sim.run_primary_iterations()
             if sim.ems_borders is not None:
                 rf, accs, info = sim.run_with_dust_emission()
             else:

@@ -671,8 +671,31 @@ def load_ski(path: str, num_packets: int | None = None,
     components = []
     velocity_fields = []  # (component index, field, magnitude [m/s])
     voronoi_import = None  # (sites (N,3), density (N,) [kg/m^3], mix, v)
+    amr_import = None      # (file path, massType, importVelocity, mix, box)
     if med_sys is not None:
         for m_el in med_sys.find("media"):
+            if m_el.tag == "AdaptiveMeshMedium":
+                # imported adaptive-mesh medium: Morton-order '!' tree file,
+                # leaf rows = [rho|M|n|N, (vx vy vz)] (ref:
+                # AdaptiveMeshMedium.hpp:65, MeshMedium.hpp:39-57,
+                # AdaptiveMeshSnapshot.hpp:121)
+                if components or voronoi_import or amr_import:
+                    raise NotImplementedError(
+                        "mixing AdaptiveMeshMedium with other media is not "
+                        "supported yet")
+                a = m_el.attrib
+                fn = a["filename"]
+                base = os.path.dirname(os.path.abspath(path))
+                if not os.path.isabs(fn):
+                    fn = os.path.join(base, fn)
+                mix = build_mix(_child(m_el, "materialMix"), base_dir=base)
+                ext_box = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+                           (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+                           (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+                amr_import = (fn, a.get("massType", "MassDensity"),
+                              a.get("importVelocity", "false") == "true",
+                              mix, ext_box)
+                continue
             if m_el.tag == "VoronoiMeshMedium":
                 # imported Voronoi-mesh medium: one density value per site
                 # (ref: VoronoiMeshMedium + VoronoiMeshSnapshot; columns
@@ -727,7 +750,38 @@ def load_ski(path: str, num_packets: int | None = None,
                                             build_vector_field(vd_el), vmag))
             components.append((geom, mix, norm))
         grid_el = list(med_sys.find("grid"))[0]
-        if voronoi_import is not None:
+        if amr_import is not None:
+            # grid IS the imported adaptive mesh (ref:
+            # AdaptiveMeshSpatialGrid.hpp:24)
+            if grid_el.tag != "AdaptiveMeshSpatialGrid":
+                raise NotImplementedError(
+                    "AdaptiveMeshMedium requires AdaptiveMeshSpatialGrid")
+            from ..grids.amr import build_amr
+            fn, mtype, import_v, mix, ext_box = amr_import
+            grid, leaf = build_amr(fn, ext_box)
+            vol = grid.volumes()
+            # column units follow the reference's mesh-medium defaults
+            MSUN, PC = 1.98892e30, 3.0857e16
+            q = leaf[:, 0]
+            if mtype == "MassDensity":
+                nd_cells = q * (MSUN / PC**3) / mix.mu
+            elif mtype == "Mass":
+                nd_cells = q * MSUN / (mix.mu * vol)
+            elif mtype == "NumberDensity":
+                nd_cells = q * 1e6
+            elif mtype == "Number":
+                nd_cells = q / vol
+            else:
+                raise NotImplementedError(f"massType '{mtype}'")
+            vel = leaf[:, 1:4] * 1e3 if import_v else None
+            from ..media import mixes as _mx
+            lam, se, al, gg = _mx.stack([mix])
+            from ..media import system as _msys
+            medium = _msys.make_medium(
+                grid, nd_cells.astype(np.float32), lam, se, al, gg,
+                bulk_v=vel.astype(np.float32) if vel is not None else None)
+            components = [(None, mix, None)]
+        elif voronoi_import is not None:
             # grid from the imported mesh (ref: VoronoiMeshSpatialGrid
             # policy ImportedMesh — the grid cells ARE the medium's sites)
             from ..grids.voronoi import build_voronoi
@@ -872,12 +926,56 @@ def load_ski(path: str, num_packets: int | None = None,
                                    "explicitAbsorption", "false") == "true",
                                kinematics=kinematics,
                                polarization=mueller is not None)
+    # dynamic medium state recipes + primary-emission iterations
+    # (ref: DynamicStateOptions.hpp:20, IterationOptions.hpp:21-66,
+    # MonteCarloSimulation iteratePrimaryEmission mode attribute)
+    iterate_primary = mcs.attrib.get("iteratePrimaryEmission",
+                                     "false") == "true"
+    recipes = []
+    ds_el = mcs.find(".//dynamicStateOptions/DynamicStateOptions/recipes")
+    for r_el in (list(ds_el) if ds_el is not None else []):
+        from ..media import dynamic as dyn
+        ra = r_el.attrib
+        if r_el.tag == "ClearDensityRecipe":
+            recipes.append(dyn.ClearDensityRecipe(
+                field_strength_threshold=_f(ra, "fieldStrengthThreshold",
+                                            1.0)))
+        elif r_el.tag == "LinearDustDestructionRecipe":
+            if grain_tables is None:
+                raise ValueError("LinearDustDestructionRecipe requires a "
+                                 "multi-grain dust component")
+            recipes.append(dyn.LinearDustDestructionRecipe(
+                grain_tables=grain_tables, rf_borders=rf_borders,
+                component=grain_component,
+                min_silicate_temperature=_q(ra, "minSilicateTemperature",
+                                            "temperature", 1200.0),
+                max_silicate_temperature=_q(ra, "maxSilicateTemperature",
+                                            "temperature", 1400.0),
+                min_graphite_temperature=_q(ra, "minGraphiteTemperature",
+                                            "temperature", 2000.0),
+                max_graphite_temperature=_q(ra, "maxGraphiteTemperature",
+                                            "temperature", 2200.0),
+                density_fraction_tolerance=_f(
+                    ra, "densityFractionTolerance", 0.05)))
+        else:
+            raise NotImplementedError(f"dynamic state recipe '{r_el.tag}'")
+    it_el = mcs.find(".//iterationOptions/IterationOptions")
+    ia = it_el.attrib if it_el is not None else {}
+
     sim = Simulation(
         grid=grid, medium=medium, sources=sources, instruments=instruments,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
         num_packets=n_pk, batch_size=batch_size, seed=seed,
         dust_emission_type=ems_type, grain_tables=grain_tables,
         grain_component=grain_component, iterate_secondary=iterate_secondary,
+        min_iterations=int(_f(ia, "minSecondaryIterations", 1)),
+        max_iterations=int(_f(ia, "maxSecondaryIterations", 10)),
+        iterate_primary=iterate_primary and bool(recipes),
+        dynamic_recipes=recipes,
+        min_primary_iterations=int(_f(ia, "minPrimaryIterations", 1)),
+        max_primary_iterations=int(_f(ia, "maxPrimaryIterations", 10)),
+        primary_iteration_packets_multiplier=_f(
+            ia, "primaryIterationPacketsMultiplier", 1.0),
         mueller=mueller)
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)

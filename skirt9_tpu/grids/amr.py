@@ -33,8 +33,9 @@ class AMRGrid(NamedTuple):
     node_lo: jax.Array      # (M,3) f32 node box corner
     node_span: jax.Array    # (M,3) f32 node box size
     node_div: jax.Array     # (M,3) int32 subdivisions (0 for leaves)
-    node_child: jax.Array   # (M,) int32 first-child node id (leaves: -1)
+    node_child: jax.Array   # (M,) int32 offset into child_flat (leaves: -1)
     node_cell: jax.Array    # (M,) int32 leaf-cell index (-1 for nonleaf)
+    child_flat: jax.Array   # (C,) int32 child node ids, x-fastest per node
     # leaf-cell tables
     cell_lo: jax.Array      # (N,3) f32
     cell_hi: jax.Array      # (N,3) f32
@@ -61,7 +62,7 @@ class AMRGrid(NamedTuple):
                            jnp.maximum(div - 1, 0))
             flat = ijk[..., 0] + div[..., 0] * (
                 ijk[..., 1] + div[..., 1] * ijk[..., 2])
-            nxt = self.node_child[node] + flat
+            nxt = self.child_flat[jnp.maximum(self.node_child[node], 0) + flat]
             return jnp.where(leaf, node, nxt).astype(jnp.int32), None
 
         node, _ = jax.lax.scan(descend, node, None, length=self.depth)
@@ -217,21 +218,18 @@ def build_amr(path: str, extent) -> tuple[AMRGrid, np.ndarray]:
     for nid, ids in child_ids:
         child_base[nid] = len(child_flat)
         child_flat.extend(ids)
-    # locate() uses node_child + flat-offset indexing into the child table
+    if not child_flat:  # degenerate single-leaf mesh
+        child_flat = [0]
     return AMRGrid(
         node_lo=jnp.asarray(np.asarray(node_lo), jnp.float32),
         node_span=jnp.asarray(np.asarray(node_span), jnp.float32),
         node_div=jnp.asarray(np.asarray(node_div), jnp.int32),
         node_child=jnp.asarray(child_base, jnp.int32),
         node_cell=jnp.asarray(np.asarray(node_cell), jnp.int32),
+        child_flat=jnp.asarray(np.asarray(child_flat), jnp.int32),
         cell_lo=jnp.asarray(np.asarray(cell_lo), jnp.float32),
         cell_hi=jnp.asarray(np.asarray(cell_hi), jnp.float32),
         box_lo=jnp.asarray(lo, jnp.float32),
         box_hi=jnp.asarray(hi, jnp.float32),
         depth=int(max_depth[0] + 1),
     ), values
-
-
-# locate() indexes children via the flat table; patch the descent to use it
-def _amr_child_table_descend():  # pragma: no cover - documentation anchor
-    pass

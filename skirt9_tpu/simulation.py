@@ -88,6 +88,13 @@ class Simulation:
     grain_tables: object = None
     # medium-component index holding the multi-grain dust (for stochastic)
     grain_component: int = 0
+    # dynamic medium state (ref: DynamicStateOptions.hpp:20 recipes +
+    # MonteCarloSimulation.cpp:266 runPrimaryEmissionIterations)
+    dynamic_recipes: list = dataclasses.field(default_factory=list)
+    iterate_primary: bool = False
+    min_primary_iterations: int = 1
+    max_primary_iterations: int = 10
+    primary_iteration_packets_multiplier: float = 1.0
     # lane refill (SURVEY hard part 1): run K-event generations and refill
     # dead lanes in place with fresh histories, keeping batch occupancy high
     # when packet lifetimes vary wildly (high optical depth + high albedo).
@@ -369,6 +376,89 @@ class Simulation:
                          jnp.float32)
 
     # ------------------------------------------------------------------- runs
+
+    def set_density(self, nd: np.ndarray):
+        """Replace the per-cell density table (dynamic medium state).
+
+        Invalidates every density-derived compiled artifact: the sweep
+        tables and the jitted segment cache (whose traced closures embed the
+        medium tables as constants). One recompile per dynamic-state
+        iteration — the reference pays a full per-cell state rewrite +
+        radiation-field reset per iteration instead.
+        """
+        self.medium = self.medium._replace(
+            nd=jnp.asarray(nd, jnp.float32))
+        from .transport import sweep as _sw
+        self._sweep_tabs = (_sw.build_tables(self.grid, self.medium)
+                            if _sw.supports_sweep(self.grid, self.medium)
+                            else None)
+        self._seg_cache = {}
+
+    def run_primary_iterations(self, verbose: bool = True):
+        """Dynamic-medium-state iterations over primary emission
+        (ref: MonteCarloSimulation.cpp:266 runPrimaryEmissionIterations +
+        MediumSystem::updatePrimaryDynamicMediumState): repeat {launch a
+        primary segment without peel-off, apply the recipes to the density
+        table} until no recipe reports non-convergence.
+
+        Returns an info dict; afterwards the medium holds the converged
+        state and run_primary()/run_with_dust_emission() produce the final
+        observables.
+        """
+        if not self.dynamic_recipes:
+            return {"iterations": 0, "converged": True}
+        from .utils.log import default as _log
+        vols = self.grid.volumes()
+        context = {"nd0": np.asarray(self.medium.nd, np.float64).copy()}
+        n_it = max(1, int(self.num_packets
+                          * self.primary_iteration_packets_multiplier))
+        opts_it = dataclasses.replace(self.options, peel_off=False,
+                                      store_rf=True)
+        if self.rf_borders is None:
+            raise ValueError("dynamic state iterations need rf_borders")
+        converged = False
+        it = 0
+        while True:
+            it += 1
+            rf = self._init_rf()
+            seed_key = jax.random.PRNGKey(self.seed + 7919 * it)
+            counts, lum_w = self._source_allocation(n_it)
+            hist_base = 0
+            for si, n_src in enumerate(counts):
+                n_src = int(n_src)
+                if n_src == 0:
+                    continue
+                rf, _ = self._run_segment(
+                    self.sources[si], self._src_tabs[si], opts_it, n_src,
+                    seed_key, rf, [], hist_base=hist_base,
+                    lum_weight=float(lum_w[si]), seg_key=("prim-iter", si))
+                hist_base += n_src
+            jax.block_until_ready(rf)
+            nd = np.asarray(self.medium.nd, np.float64)
+            n_updated = n_not_conv = 0
+            for recipe in self.dynamic_recipes:
+                res = recipe.update(nd, rf, vols, self.rf_scale,
+                                    context=context)
+                nd = res.nd
+                n_updated += res.n_updated
+                n_not_conv += res.n_not_converged
+            if n_updated > 0:
+                self.set_density(nd)
+            converged = n_not_conv == 0
+            if verbose:
+                _log().info(f"primary iteration {it}: {n_updated} cells "
+                            f"updated, {n_not_conv} not converged")
+            # loop convergence logic (ref: MonteCarloSimulation.cpp:230-261)
+            if converged and it >= self.min_primary_iterations:
+                if verbose:
+                    _log().success(
+                        f"dynamic state converged after {it} iterations")
+                break
+            if not converged and it >= self.max_primary_iterations:
+                _log().warning(f"dynamic state NOT converged after {it} "
+                               f"iterations")
+                break
+        return {"iterations": it, "converged": converged}
 
     def run_primary(self, verbose: bool = True):
         """Primary-emission segment (ref: MonteCarloSimulation.cpp:104).
