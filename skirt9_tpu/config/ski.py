@@ -137,6 +137,72 @@ def build_geometry(el):
             h_out=_q(a, "scaleLengthOuter", "length"),
             hz=_q(a, "scaleHeight", "length"),
             rb=_q(a, "breakRadius", "length"))
+
+    # ----------------------------------------------------------- decorators
+    # (ref: the GeometryDecorator family; each wraps a nested geometry item)
+    from ..geometries import decorators as dec
+    if t == "OffsetGeometryDecorator":
+        return dec.OffsetDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            offset=(_q(a, "offsetX", "length", 0.0),
+                    _q(a, "offsetY", "length", 0.0),
+                    _q(a, "offsetZ", "length", 0.0)))
+    if t == "RotateGeometryDecorator":
+        return dec.RotateDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            alpha=_q(a, "eulerAlpha", "posangle", 0.0),
+            beta=_q(a, "eulerBeta", "posangle", 0.0),
+            gamma=_q(a, "eulerGamma", "posangle", 0.0))
+    if t == "SpheroidalGeometryDecorator":
+        return dec.SpheroidalDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            q=_f(a, "flattening", 1.0))
+    if t == "TriaxialGeometryDecorator":
+        return dec.TriaxialDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            p=_f(a, "flatteningY", 1.0), q=_f(a, "flatteningZ", 1.0))
+    if t == "SphericalClipGeometryDecorator":
+        return dec.SphereClipDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            remove_inside=a.get("remove", "Inside") == "Inside",
+            center=(_q(a, "centerX", "length", 0.0),
+                    _q(a, "centerY", "length", 0.0),
+                    _q(a, "centerZ", "length", 0.0)),
+            radius=_q(a, "clipRadius", "length"))
+    if t == "BoxClipGeometryDecorator":
+        return dec.BoxClipDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            remove_inside=a.get("remove", "Inside") == "Inside",
+            lo=(_q(a, "minX", "length"), _q(a, "minY", "length"),
+                _q(a, "minZ", "length")),
+            hi=(_q(a, "maxX", "length"), _q(a, "maxY", "length"),
+                _q(a, "maxZ", "length")))
+    if t == "CylindricalClipGeometryDecorator":
+        return dec.CylinderClipDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            remove_inside=a.get("remove", "Inside") == "Inside",
+            radius=_q(a, "clipRadius", "length"))
+    if t == "CombineGeometryDecorator":
+        return dec.CombineDecorator(
+            first=build_geometry(_child(el, "firstGeometry")),
+            second=build_geometry(_child(el, "secondGeometry")),
+            w1=_f(a, "firstWeight", 1.0), w2=_f(a, "secondWeight", 1.0))
+    if t == "ClumpyGeometryDecorator":
+        return dec.ClumpyDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            clump_fraction=_f(a, "clumpFraction", 0.3),
+            num_clumps=int(_f(a, "numClumps", 100)),
+            clump_radius=_q(a, "clumpRadius", "length"),
+            seed=int(_f(a, "seed", 99)) or 99)
+    if t == "SpiralStructureGeometryDecorator":
+        return dec.SpiralStructureDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            num_arms=int(_f(a, "numArms", 1)),
+            pitch_angle=_q(a, "pitchAngle", "posangle", 0.1745),
+            radius_zero_point=_q(a, "radiusZeroPoint", "length"),
+            phase_zero_point=_q(a, "phaseZeroPoint", "posangle", 0.0),
+            perturbation_weight=_f(a, "perturbationWeight", 0.25),
+            index=int(_f(a, "index", 1)))
     raise NotImplementedError(f"geometry type '{t}' not supported yet")
 
 
@@ -171,9 +237,22 @@ def source_luminosity(el) -> float:
 
 # ------------------------------------------------------------------- sources
 
-def build_source(el):
+def build_source(el, lrange=None, base_dir: str = "."):
     t = el.tag
     a = el.attrib
+
+    def _bias_kw():
+        """wavelengthBias + wavelengthBiasDistribution of NormalizedSource
+        (ref: NormalizedSource.hpp wavelengthBias properties)."""
+        kw = {}
+        if "wavelengthBias" in a:
+            kw["wavelength_bias"] = _f(a, "wavelengthBias", 0.5)
+        wb_el = _child(el, "wavelengthBiasDistribution")
+        if wb_el is not None and wb_el.tag != "LogWavelengthDistribution":
+            from ..spectral import wdists
+            kw["bias_dist"] = wdists.from_ski(wb_el, lrange, base_dir)
+        return kw
+
     if t == "PointSource":
         pos = (_q(a, "positionX", "length", 0.0),
                _q(a, "positionY", "length", 0.0),
@@ -181,13 +260,14 @@ def build_source(el):
         sed_el = _child(el, "sed")
         sed = build_sed(sed_el) if sed_el is not None else None
         return PointSource(position=pos, luminosity=source_luminosity(el),
-                           sed=sed)
+                           sed=sed, **_bias_kw())
     if t == "GeometricSource":
         geom = build_geometry(_child(el, "geometry"))
         sed_el = _child(el, "sed")
         sed = build_sed(sed_el) if sed_el is not None else None
         return GeometricSource(geometry=geom,
-                               luminosity=source_luminosity(el), sed=sed)
+                               luminosity=source_luminosity(el), sed=sed,
+                               **_bias_kw())
     if t == "ParticleSource":
         return ("particle_source", el)  # resolved in load_ski (needs paths
         #                                 and the source wavelength range)
@@ -433,18 +513,33 @@ def build_medium_normalization(el, geom, mix):
 
 # --------------------------------------------------------------------- grids
 
-def build_grid(el):
+def build_grid(el, base_dir: str = "."):
+    from ..grids import meshes as msh
     t = el.tag
     a = el.attrib
+
+    def _mesh(name, default=16):
+        """(numBins, normalized borders or None-if-linear) for a mesh
+        child (ref: Mesh family, NR.hpp:221-320 grid builders)."""
+        m = _child(el, name)
+        if m is None:
+            return default, None
+        n = int(m.attrib.get("numBins", default))
+        if m.tag == "LinMesh":
+            return n, None
+        return n, msh.from_ski(m, base_dir, default_bins=default)
+
     if t == "CartesianSpatialGrid":
         ext = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
                (_q(a, "minY", "length"), _q(a, "maxY", "length")),
                (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
-        # mesh children (Lin by default)
-        ns = []
-        for mesh_name in ("meshX", "meshY", "meshZ"):
-            m = _child(el, mesh_name)
-            ns.append(int(m.attrib.get("numBins", 32)) if m is not None else 32)
+        ns, borders = [], []
+        for ax, mesh_name in enumerate(("meshX", "meshY", "meshZ")):
+            n, b = _mesh(mesh_name, 32)
+            ns.append(n)
+            borders.append(msh.scale(b, *ext[ax]) if b is not None else None)
+        if any(b is not None for b in borders):
+            return make_cartesian(ext, tuple(ns), meshes=borders)
         return make_cartesian(ext, tuple(ns))
     if t == "PolicyTreeSpatialGrid":
         ext = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
@@ -456,55 +551,45 @@ def build_grid(el):
                 int(pa.get("minLevel", 2)), int(pa.get("maxLevel", 6)),
                 float(pa.get("maxDustFraction", 1e-6)))
 
-    def _mesh_bins(name, default=16):
-        m = _child(el, name)
-        return int(m.attrib.get("numBins", default)) if m is not None \
-            else default
-
-    def _mesh_is_log(name):
-        # ref Mesh family (LogMesh/PowMesh/...); we honor LogMesh for
-        # radial meshes and reject meshes we would silently linearize
-        m = _child(el, name)
-        if m is None or m.tag == "LinMesh":
-            return False
-        if m.tag == "LogMesh":
-            return True
-        raise NotImplementedError(f"{m.tag} for {name} not supported yet")
+    def _scaled(name, default, lo, hi):
+        n, b = _mesh(name, default)
+        return n, (msh.scale(b, lo, hi) if b is not None else None)
 
     if t == "Sphere1DSpatialGrid":
         from ..grids.sphere import make_sphere1d
-        return make_sphere1d(_q(a, "maxRadius", "length"),
-                             _mesh_bins("meshRadial", 32),
-                             r_min=_q(a, "minRadius", "length")
-                             if "minRadius" in a else 0.0,
-                             log=_mesh_is_log("meshRadial"))
+        r_min = _q(a, "minRadius", "length") if "minRadius" in a else 0.0
+        r_max = _q(a, "maxRadius", "length")
+        nr, rb = _scaled("meshRadial", 32, r_min, r_max)
+        return make_sphere1d(r_max, nr, r_min=r_min, rb=rb)
     if t == "Sphere2DSpatialGrid":
         from ..grids.polar import make_sphere2d
-        return make_sphere2d(_q(a, "maxRadius", "length"),
-                             _mesh_bins("meshRadial", 32),
-                             _mesh_bins("meshPolar", 16),
-                             log_r=_mesh_is_log("meshRadial"))
+        r_max = _q(a, "maxRadius", "length")
+        nr, rb = _scaled("meshRadial", 32, 0.0, r_max)
+        nt, tb = _scaled("meshPolar", 16, 0.0, np.pi)
+        return make_sphere2d(r_max, nr, nt, rb=rb, tb=tb)
     if t == "Sphere3DSpatialGrid":
         from ..grids.polar import make_sphere3d
-        return make_sphere3d(_q(a, "maxRadius", "length"),
-                             _mesh_bins("meshRadial", 32),
-                             _mesh_bins("meshPolar", 16),
-                             _mesh_bins("meshAzimuthal", 16))
+        r_max = _q(a, "maxRadius", "length")
+        nr, rb = _scaled("meshRadial", 32, 0.0, r_max)
+        nt, tb = _scaled("meshPolar", 16, 0.0, np.pi)
+        return make_sphere3d(r_max, nr, nt,
+                             _mesh("meshAzimuthal", 16)[0], rb=rb, tb=tb)
     if t == "Cylinder2DSpatialGrid":
         from ..grids.cylinder import make_cylinder2d
-        return make_cylinder2d(_q(a, "maxRadius", "length"),
-                               _q(a, "minZ", "length"),
-                               _q(a, "maxZ", "length"),
-                               _mesh_bins("meshRadial", 32),
-                               _mesh_bins("meshZ", 32))
+        r_max = _q(a, "maxRadius", "length")
+        z_min, z_max = _q(a, "minZ", "length"), _q(a, "maxZ", "length")
+        nr, rb = _scaled("meshRadial", 32, 0.0, r_max)
+        nz, zb = _scaled("meshZ", 32, z_min, z_max)
+        return make_cylinder2d(r_max, z_min, z_max, nr, nz, rb=rb, zb=zb)
     if t == "Cylinder3DSpatialGrid":
         from ..grids.polar import make_cylinder3d
-        return make_cylinder3d(_q(a, "maxRadius", "length"),
-                               _q(a, "minZ", "length"),
-                               _q(a, "maxZ", "length"),
-                               _mesh_bins("meshRadial", 32),
-                               _mesh_bins("meshAzimuthal", 16),
-                               _mesh_bins("meshZ", 32))
+        r_max = _q(a, "maxRadius", "length")
+        z_min, z_max = _q(a, "minZ", "length"), _q(a, "maxZ", "length")
+        nr, rb = _scaled("meshRadial", 32, 0.0, r_max)
+        nz, zb = _scaled("meshZ", 32, z_min, z_max)
+        return make_cylinder3d(r_max, z_min, z_max, nr,
+                               _mesh("meshAzimuthal", 16)[0], nz,
+                               rb=rb, zb=zb)
     raise NotImplementedError(f"spatial grid '{t}' not supported yet")
 
 
@@ -633,7 +718,13 @@ def load_ski(path: str, num_packets: int | None = None,
 
     # sources
     src_sys = mcs.find("sourceSystem/SourceSystem")
-    sources = [build_source(e) for e in src_sys.find("sources")] \
+    _base_dir0 = os.path.dirname(os.path.abspath(path))
+    _sr = None
+    if src_sys is not None and "minWavelength" in src_sys.attrib:
+        _sr = (U.parse("wavelength", src_sys.attrib["minWavelength"]),
+               U.parse("wavelength", src_sys.attrib["maxWavelength"]))
+    sources = [build_source(e, lrange=_sr, base_dir=_base_dir0)
+               for e in src_sys.find("sources")] \
         if src_sys is not None else []
     if oligo and src_sys is not None:
         # oligochromatic regime: discrete wavelengths, sources emit at the
@@ -801,7 +892,7 @@ def load_ski(path: str, num_packets: int | None = None,
                 bulk_v=vel.astype(np.float32) if vel is not None else None)
             components = [(None, mix, None)]
         else:
-            grid = build_grid(grid_el)
+            grid = build_grid(grid_el, base_dir=_base_dir)
             if isinstance(grid, tuple) and grid[0] == "octree":
                 _, ext, minl, maxl, maxfrac = grid
                 geom0 = components[0][0]

@@ -271,3 +271,75 @@ class ClumpyDecorator(Geometry):
         p_clump = centers[ci] + off
         return jnp.where((u < self.clump_fraction)[..., None],
                          p_clump, p_smooth)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpiralStructureDecorator(Geometry):
+    """Add logarithmic spiral arms to an axisymmetric geometry
+    (ref: SpiralStructureGeometryDecorator.cpp:18-74: density multiplied
+    by (1-w) + w c_N sin^{2N}(m(gamma - phi)/2) with
+    gamma = ln(R/R0)/tan(p) + phi0 + pi/(2m) and
+    c_N = sqrt(pi) Gamma(N+1)/Gamma(N+1/2), which keeps unit total mass).
+
+    Sampling is rejection-free (the reference loops a rejection test,
+    :26-43): the azimuthal profile has the same shape at every radius up
+    to the phase shift gamma(R), so a single inverse-cdf table of
+    f(psi) = (1-w) + w c_N sin^{2N}(psi) over one period [0, pi) is built
+    at construction; on device psi is drawn from it, an arm index k is
+    drawn uniformly, and phi = gamma - 2(k pi + psi)/m — exact, one draw
+    per packet, lockstep-friendly.
+    """
+
+    base: Geometry
+    num_arms: int = 2
+    pitch_angle: float = 0.1745       # [rad]
+    radius_zero_point: float = 1.0    # R0 [m]
+    phase_zero_point: float = 0.0     # phi0 [rad]
+    perturbation_weight: float = 0.5  # w
+    index: int = 1                    # N (arm-interarm size ratio index)
+
+    def __post_init__(self):
+        from scipy.special import gammaln
+        N = float(self.index)
+        cn = np.sqrt(np.pi) * np.exp(gammaln(N + 1.0) - gammaln(N + 0.5))
+        object.__setattr__(self, "_cn", float(cn))
+        psi = np.linspace(0.0, np.pi, 1025)
+        f = (1.0 - self.perturbation_weight) \
+            + self.perturbation_weight * cn * np.sin(psi) ** (2 * self.index)
+        cdf = np.concatenate([[0.0], np.cumsum(
+            0.5 * (f[1:] + f[:-1]) * np.diff(psi))])
+        cdf /= cdf[-1]
+        object.__setattr__(self, "_psi_grid", psi)
+        object.__setattr__(self, "_psi_cdf", cdf)
+
+    def _gamma(self, R):
+        xp = jnp if isinstance(R, jax.Array) else np
+        return (xp.log(xp.maximum(R, 1e-300) / self.radius_zero_point)
+                / np.tan(self.pitch_angle) + self.phase_zero_point
+                + 0.5 * np.pi / self.num_arms)
+
+    def perturbation_np(self, R, phi):
+        g = self._gamma(np.asarray(R, np.float64))
+        return (1.0 - self.perturbation_weight) + self.perturbation_weight \
+            * self._cn * np.sin(0.5 * self.num_arms * (g - phi)) \
+            ** (2 * self.index)
+
+    def density_np(self, pos):
+        pos = np.asarray(pos, np.float64)
+        R = np.hypot(pos[..., 0], pos[..., 1])
+        phi = np.arctan2(pos[..., 1], pos[..., 0])
+        return self.base.density_np(pos) * self.perturbation_np(R, phi)
+
+    def sample(self, keys, tag: int = rng.LAUNCH_POSITION):
+        p = self.base.sample(keys, tag)
+        R = jnp.hypot(p[..., 0], p[..., 1])
+        u = rng.uniform(keys, tag + 77)
+        psi = jnp.interp(u, jnp.asarray(self._psi_cdf, jnp.float32),
+                         jnp.asarray(self._psi_grid, jnp.float32))
+        k = jnp.clip((rng.uniform(keys, tag + 78)
+                      * self.num_arms).astype(jnp.int32),
+                     0, self.num_arms - 1)
+        theta = k.astype(jnp.float32) * np.pi + psi
+        phi = self._gamma(R) - 2.0 * theta / self.num_arms
+        return jnp.stack([R * jnp.cos(phi), R * jnp.sin(phi), p[..., 2]],
+                         axis=-1)

@@ -158,12 +158,15 @@ class Cylinder2DGrid(NamedTuple):
 
 def make_cylinder2d(r_max: float, z_min: float, z_max: float,
                     nr: int, nz: int, log_r: bool = False,
-                    r_min: float = 0.0) -> Cylinder2DGrid:
-    if log_r:
+                    r_min: float = 0.0, rb=None, zb=None) -> Cylinder2DGrid:
+    if rb is not None:
+        rb = np.asarray(rb, np.float64)
+    elif log_r:
         rb = np.concatenate([[0.0], np.geomspace(max(r_min, r_max * 1e-4),
                                                  r_max, nr)])
     else:
         rb = np.linspace(r_min, r_max, nr + 1)
-    zb = np.linspace(z_min, z_max, nz + 1)
+    if zb is None:
+        zb = np.linspace(z_min, z_max, nz + 1)
     return Cylinder2DGrid(rb=jnp.asarray(rb, jnp.float32),
                           zb=jnp.asarray(zb, jnp.float32))

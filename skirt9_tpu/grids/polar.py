@@ -208,13 +208,16 @@ class Sphere2DGrid(NamedTuple):
 
 
 def make_sphere2d(r_max: float, nr: int, nt: int, r_min: float = 0.0,
-                  log_r: bool = False) -> Sphere2DGrid:
-    if log_r:
+                  log_r: bool = False, rb=None, tb=None) -> Sphere2DGrid:
+    if rb is not None:
+        rb = np.asarray(rb, np.float64)
+    elif log_r:
         rb = np.concatenate([[0.0], np.geomspace(max(r_min, r_max * 1e-4),
                                                  r_max, nr)])
     else:
         rb = np.linspace(r_min, r_max, nr + 1)
-    tb = np.linspace(0.0, np.pi, nt + 1)
+    if tb is None:
+        tb = np.linspace(0.0, np.pi, nt + 1)
     return Sphere2DGrid(rb=jnp.asarray(rb, jnp.float32),
                         tb=jnp.asarray(tb, jnp.float32))
 
@@ -326,12 +329,14 @@ class Sphere3DGrid(NamedTuple):
 
 
 def make_sphere3d(r_max: float, nr: int, nt: int, nphi: int,
-                  r_min: float = 0.0) -> Sphere3DGrid:
+                  r_min: float = 0.0, rb=None, tb=None) -> Sphere3DGrid:
     if nphi < 3:
         raise ValueError("Sphere3D needs >= 3 azimuth bins (half-plane "
                          "traversal assumes wedge spans < pi)")
-    rb = np.linspace(r_min, r_max, nr + 1)
-    tb = np.linspace(0.0, np.pi, nt + 1)
+    if rb is None:
+        rb = np.linspace(r_min, r_max, nr + 1)
+    if tb is None:
+        tb = np.linspace(0.0, np.pi, nt + 1)
     pb = np.linspace(-np.pi, np.pi, nphi + 1)
     return Sphere3DGrid(rb=jnp.asarray(rb, jnp.float32),
                         tb=jnp.asarray(tb, jnp.float32),
@@ -470,12 +475,15 @@ class Cylinder3DGrid(NamedTuple):
 
 
 def make_cylinder3d(r_max: float, z_min: float, z_max: float,
-                    nr: int, nphi: int, nz: int) -> Cylinder3DGrid:
+                    nr: int, nphi: int, nz: int,
+                    rb=None, zb=None) -> Cylinder3DGrid:
     if nphi < 3:
         raise ValueError("Cylinder3D needs >= 3 azimuth bins")
-    rb = np.linspace(0.0, r_max, nr + 1)
+    if rb is None:
+        rb = np.linspace(0.0, r_max, nr + 1)
     pb = np.linspace(-np.pi, np.pi, nphi + 1)
-    zb = np.linspace(z_min, z_max, nz + 1)
+    if zb is None:
+        zb = np.linspace(z_min, z_max, nz + 1)
     return Cylinder3DGrid(rb=jnp.asarray(rb, jnp.float32),
                           pb=jnp.asarray(pb, jnp.float32),
                           zb=jnp.asarray(zb, jnp.float32))

@@ -106,8 +106,10 @@ class Sphere1DGrid(NamedTuple):
 
 
 def make_sphere1d(r_max: float, nr: int, r_min: float = 0.0,
-                  log: bool = False) -> Sphere1DGrid:
-    if log and r_min > 0:
+                  log: bool = False, rb=None) -> Sphere1DGrid:
+    if rb is not None:
+        rb = np.asarray(rb, np.float64)
+    elif log and r_min > 0:
         rb = np.geomspace(r_min, r_max, nr + 1)
     elif log:
         # innermost border pinned to 0; log spacing from a small inner radius

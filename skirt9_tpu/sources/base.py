@@ -67,11 +67,13 @@ class PointSource:
     wavelength_bias: float = 0.5
     angular: object = None  # AngularDistribution (ref: SpecialtySource
                             # angular emission, SKIRT/core/PointSource.hpp)
+    bias_dist: object = None  # WavelengthDistribution (spectral/wdists.py)
 
     def tables(self) -> dict:
         t = {"pos": jnp.asarray(np.asarray(self.position), jnp.float32)}
         if self.sed is not None:
             t["sed"] = self.sed.tables()
+        _add_bias_tables(t, self.bias_dist)
         return t
 
     def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
@@ -103,11 +105,13 @@ class GeometricSource:
     sed: TabulatedSED | None = None
     wavelength_bias: float = 0.5
     velocity: tuple = (0.0, 0.0, 0.0)  # bulk velocity (kinematics, later)
+    bias_dist: object = None  # WavelengthDistribution (spectral/wdists.py)
 
     def tables(self) -> dict:
         t = {}
         if self.sed is not None:
             t["sed"] = self.sed.tables()
+        _add_bias_tables(t, self.bias_dist)
         return t
 
     def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
@@ -118,6 +122,18 @@ class GeometricSource:
         lam, lum = _sample_wavelength(
             tabs, keys, lum, self.sed, self.lam0, self.wavelength_bias)
         return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+
+
+def _add_bias_tables(t: dict, bias_dist):
+    """Attach a configurable wavelength-bias distribution's device tables
+    under the key the sampler dispatches on (continuous vs discrete)."""
+    if bias_dist is None:
+        return
+    from ..spectral.wdists import DiscreteWavelengthDistribution
+    key = ("bias_disc"
+           if isinstance(bias_dist, DiscreteWavelengthDistribution)
+           else "bias_tab")
+    t[key] = bias_dist.tables()
 
 
 def _sample_wavelength(tabs, keys, lum, sed, lam0, xi):
@@ -141,13 +157,35 @@ def _sample_wavelength(tabs, keys, lum, sed, lam0, xi):
     if xi <= 0:
         return lam_sed, lum
     u2 = rng.uniform(keys, rng.LAUNCH_CELL)
-    lmin = sedt["lam"][0]
-    lmax = sedt["lam"][-1]
-    lam_bias = lmin * jnp.exp(u2 * jnp.log(lmax / lmin))
     u3 = rng.uniform(keys, rng.LAUNCH_SOURCE)
-    lam = jnp.where(u3 < xi, lam_bias, lam_sed)
+    if "bias_tab" in tabs:
+        # configurable continuous bias distribution (ref:
+        # WavelengthDistribution hierarchy; spectral/wdists.py)
+        bt = tabs["bias_tab"]
+        lam_bias = sampling.sample_cdf_loglog(u2, bt["lam"], bt["cdf"])
+        lam = jnp.where(u3 < xi, lam_bias, lam_sed)
+        b = sampling.interp_loglog(lam, bt["lam"], bt["pdf"])
+        # outside the bias support the density is zero
+        b = jnp.where((lam >= bt["lam"][0]) & (lam <= bt["lam"][-1]), b, 0.0)
+    elif "bias_disc" in tabs:
+        # discrete distribution: uniform pick among grid wavelengths; the
+        # density is per-bin (ref: DiscreteWavelengthDistribution.cpp:38-55)
+        bd = tabs["bias_disc"]
+        n = bd["lams"].shape[0]
+        idx = jnp.minimum((u2 * n).astype(jnp.int32), n - 1)
+        lam_bias = bd["lams"][idx]
+        lam = jnp.where(u3 < xi, lam_bias, lam_sed)
+        j = jnp.clip(jnp.searchsorted(bd["lo"], lam, side="right") - 1,
+                     0, n - 1)
+        inside = (lam >= bd["lo"][j]) & (lam < bd["hi"][j])
+        b = jnp.where(inside, bd["pdens"][j], 0.0)
+    else:
+        lmin = sedt["lam"][0]
+        lmax = sedt["lam"][-1]
+        lam_bias = lmin * jnp.exp(u2 * jnp.log(lmax / lmin))
+        lam = jnp.where(u3 < xi, lam_bias, lam_sed)
+        b = 1.0 / (lam * jnp.log(lmax / lmin))
     s = sampling.interp_loglog(lam, sedt["lam"], sedt["pdf"])
-    b = 1.0 / (lam * jnp.log(lmax / lmin))
     w = s / jnp.maximum((1.0 - xi) * s + xi * b, 1e-37)
     return lam, lum * w
 

@@ -84,3 +84,73 @@ def test_clumpy():
     t = cKDTree(g._centers)
     d, _ = t.query(pts)
     assert (d < 0.08).mean() == pytest.approx(0.4, abs=0.06)
+
+
+def test_spiral_structure_mass_conserving():
+    """The spiral perturbation azimuthally averages to 1 (c_N is chosen so),
+    keeping total mass unchanged (ref: SpiralStructureGeometryDecorator.cpp:18)."""
+    from skirt9_tpu.geometries.analytic import ExpDiskGeometry
+    g = dec.SpiralStructureDecorator(
+        ExpDiskGeometry(h_r=1.0, h_z=0.2), num_arms=3, pitch_angle=0.3,
+        radius_zero_point=1.0, perturbation_weight=0.7, index=2)
+    phi = np.linspace(0, 2 * np.pi, 2000, endpoint=False)
+    for R in (0.3, 1.0, 2.5):
+        pert = g.perturbation_np(np.full_like(phi, R), phi)
+        assert pert.mean() == pytest.approx(1.0, abs=2e-3)
+        assert pert.min() < 0.5 < 1.5 < pert.max()
+
+
+def test_spiral_structure_sampling_matches_density():
+    """Sampled azimuthal histogram tracks the density perturbation."""
+    import jax
+    from skirt9_tpu.geometries.analytic import ExpDiskGeometry
+    from skirt9_tpu.ops import rng
+    g = dec.SpiralStructureDecorator(
+        ExpDiskGeometry(h_r=1.0, h_z=0.2), num_arms=2, pitch_angle=0.25,
+        radius_zero_point=1.0, perturbation_weight=0.8, index=1)
+    n = 1 << 16
+    keys = rng.history_keys(jax.random.PRNGKey(0), np.arange(n))
+    pts = np.asarray(g.sample(keys), np.float64)
+    R = np.hypot(pts[:, 0], pts[:, 1])
+    phi = np.arctan2(pts[:, 1], pts[:, 0])
+    # fold out the radius-dependent phase: psi should follow f(psi)
+    gamma = g._gamma(R)
+    psi = np.mod(0.5 * g.num_arms * (gamma - phi), np.pi)
+    hist, edges = np.histogram(psi, bins=16, range=(0, np.pi), density=True)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    w, cn = g.perturbation_weight, g._cn
+    expect = ((1 - w) + w * cn * np.sin(centers) ** (2 * g.index)) / np.pi
+    np.testing.assert_allclose(hist, expect, rtol=0.12)
+
+
+def test_spiral_from_ski():
+    import xml.etree.ElementTree as ET
+    from skirt9_tpu.config.ski import build_geometry
+    el = ET.fromstring("""
+      <SpiralStructureGeometryDecorator numArms="2" pitchAngle="15 deg"
+          radiusZeroPoint="2 pc" phaseZeroPoint="0 deg"
+          perturbationWeight="0.5" index="3">
+       <geometry type="Geometry">
+        <ExpDiskGeometry scaleLength="1 pc" scaleHeight="0.2 pc"
+            minRadius="0 pc" maxRadius="0 pc" maxZ="0 pc"/>
+       </geometry>
+      </SpiralStructureGeometryDecorator>""")
+    g = build_geometry(el)
+    assert isinstance(g, dec.SpiralStructureDecorator)
+    assert g.num_arms == 2 and g.index == 3
+    assert g.pitch_angle == pytest.approx(np.deg2rad(15))
+
+
+def test_offset_clip_from_ski():
+    import xml.etree.ElementTree as ET
+    from skirt9_tpu.config.ski import build_geometry
+    el = ET.fromstring("""
+      <OffsetGeometryDecorator offsetX="1 pc" offsetY="0 pc" offsetZ="0 pc">
+       <geometry type="Geometry">
+        <PlummerGeometry scaleLength="0.5 pc"/>
+       </geometry>
+      </OffsetGeometryDecorator>""")
+    g = build_geometry(el)
+    assert isinstance(g, dec.OffsetDecorator)
+    PC = 3.0857e16
+    assert g.offset[0] == pytest.approx(PC, rel=1e-4)
