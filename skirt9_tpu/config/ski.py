@@ -969,10 +969,25 @@ def load_ski(path: str, num_packets: int | None = None,
     # (first multi-grain) dust component
     ems_type = "Equilibrium"
     grain_tables = None
+    cell_library = None
     de_opts = mcs.find(".//dustEmissionOptions/DustEmissionOptions")
     if de_opts is not None and \
             de_opts.attrib.get("dustEmissionType") == "Stochastic":
         ems_type = "Stochastic"
+    # spatial cell library (ref: DustEmissionOptions cellLibrary)
+    cl_el = _child(de_opts, "cellLibrary") if de_opts is not None else None
+    if cl_el is not None and cl_el.tag != "AllCellsLibrary":
+        from ..emission import library as _clib
+        ca = cl_el.attrib
+        if cl_el.tag == "FieldStrengthCellLibrary":
+            cell_library = _clib.FieldStrengthCellLibrary(
+                num_field_strengths=int(_f(ca, "numFieldStrengths", 1000)))
+        elif cl_el.tag == "TemperatureWavelengthCellLibrary":
+            cell_library = _clib.TemperatureWavelengthCellLibrary(
+                num_temperatures=int(_f(ca, "numTemperatures", 40)),
+                num_wavelengths=int(_f(ca, "numWavelengths", 25)))
+        else:
+            raise NotImplementedError(f"cell library '{cl_el.tag}'")
     grain_component = 0
     for h, (_, mix_i, _) in enumerate(components):
         mg_i = multigrain_for(mix_i)
@@ -1058,9 +1073,11 @@ def load_ski(path: str, num_packets: int | None = None,
         options=opts, rf_borders=rf_borders, ems_borders=ems_borders,
         num_packets=n_pk, batch_size=batch_size, seed=seed,
         dust_emission_type=ems_type, grain_tables=grain_tables,
+        cell_library=cell_library,
         grain_component=grain_component, iterate_secondary=iterate_secondary,
         min_iterations=int(_f(ia, "minSecondaryIterations", 1)),
         max_iterations=int(_f(ia, "maxSecondaryIterations", 10)),
+        include_primary=ia.get("includePrimaryEmission", "false") == "true",
         iterate_primary=iterate_primary and bool(recipes),
         dynamic_recipes=recipes,
         min_primary_iterations=int(_f(ia, "minPrimaryIterations", 1)),

@@ -76,6 +76,10 @@ class Simulation:
     # mode table :143-156 — plain DustEmission runs primary + one secondary
     # segment with no iteration)
     iterate_secondary: bool = False
+    # merge primary emission into the secondary iterations (ref:
+    # IterationOptions.hpp:45 includePrimaryEmission +
+    # MonteCarloSimulation.cpp:407 runMergedEmissionIterations)
+    include_primary: bool = False
     min_iterations: int = 1
     max_iterations: int = 10
     max_fraction_of_primary: float = 0.01
@@ -86,6 +90,9 @@ class Simulation:
     # per-size-bin cross sections + enthalpies)
     dust_emission_type: str = "Equilibrium"
     grain_tables: object = None
+    # spatial cell library grouping cells for shared emission spectra
+    # (ref: DustEmissionOptions cellLibrary, SpatialCellLibrary.hpp)
+    cell_library: object = None
     # medium-component index holding the multi-grain dust (for stochastic)
     grain_component: int = 0
     # dynamic medium state (ref: DynamicStateOptions.hpp:20 recipes +
@@ -503,6 +510,8 @@ class Simulation:
         """
         if self.ems_borders is None:
             raise ValueError("set ems_borders for dust emission")
+        if self.iterate_secondary and self.include_primary:
+            return self.run_merged_iterations(verbose=verbose)
         t_all = time.perf_counter()
         rf_prim, accs = self.run_primary(verbose=verbose)
         med = self.medium
@@ -566,6 +575,125 @@ class Simulation:
                   f"({iterations} iterations, L_dust={src2.luminosity:.4e} W)")
         return rf_total, accs, info
 
+    def run_merged_iterations(self, verbose: bool = True):
+        """Merged primary + secondary emission iterations
+        (ref: MonteCarloSimulation.cpp:407 runMergedEmissionIterations,
+        mode: iterateSecondaryEmission with includePrimaryEmission): each
+        iteration relaunches PRIMARY packets through the current medium
+        state (no peel-off), updates any dynamic-state recipes, then
+        launches a secondary segment from the total field; the loop
+        converges on both the recipes and the dust-absorption criteria.
+        Needed when secondary emission feeds back on the medium state so
+        the primary field itself changes between iterations. Finishes with
+        peel-off primary + secondary segments through the converged state.
+
+        Returns (rf_total, accs, info) like run_with_dust_emission.
+        """
+        t_all = time.perf_counter()
+        from .utils.log import default as _log
+        med = self.medium
+        etabs = eq.build_emission_tables(med, np.asarray(self.rf_borders),
+                                         np.asarray(self.ems_borders))
+        n2 = int(self.num_packets * self.secondary_packets_multiplier)
+        opts_nopeel = dataclasses.replace(self.options, peel_off=False)
+        opts2_nopeel = dataclasses.replace(opts_nopeel, primary=False)
+        seed_key = jax.random.PRNGKey(self.seed + 1)
+        context = {"nd0": np.asarray(med.nd, np.float64).copy()}
+        vols = self.grid.volumes()
+
+        rf_seco = self._init_rf()
+        rf_total = None
+        L_abs_prev = 0.0
+        L_prim_abs = 1.0
+        it = 0
+        while True:
+            it += 1
+            # --- primary segment without peel-off --------------------------
+            rf_prim = self._init_rf()
+            counts, lum_w = self._source_allocation(self.num_packets)
+            hist_base = 0
+            for si, n_src in enumerate(counts):
+                n_src = int(n_src)
+                if n_src == 0:
+                    continue
+                rf_prim, _ = self._run_segment(
+                    self.sources[si], self._src_tabs[si], opts_nopeel, n_src,
+                    jax.random.fold_in(seed_key, 1000 + it), rf_prim, [],
+                    hist_base=hist_base, lum_weight=float(lum_w[si]),
+                    seg_key=("merged-prim", si))
+                hist_base += n_src
+            rf_total = rf_prim + rf_seco
+            L_prim_abs = float(jnp.sum(eq.dust_luminosities(
+                self.medium, etabs, rf_prim, self.rf_scale)))
+
+            # --- dynamic medium state on the total field -------------------
+            recipes_conv = True
+            if self.dynamic_recipes:
+                nd = np.asarray(self.medium.nd, np.float64)
+                n_updated = n_not_conv = 0
+                for recipe in self.dynamic_recipes:
+                    res = recipe.update(nd, np.asarray(rf_total), vols,
+                                        self.rf_scale, context=context)
+                    nd = res.nd
+                    n_updated += res.n_updated
+                    n_not_conv += res.n_not_converged
+                if n_updated > 0:
+                    self.set_density(nd)
+                recipes_conv = n_not_conv == 0
+
+            # --- secondary segment without peel-off ------------------------
+            src2 = self._make_secondary(etabs, rf_total)
+            if src2.luminosity <= 0:
+                if verbose:
+                    _log().warning("merged iterations: secondary luminosity "
+                                   "is zero")
+                break
+            rf_seco = self._init_rf()
+            rf_seco, _ = self._run_segment(
+                src2, src2.tables(), opts2_nopeel, n2,
+                jax.random.fold_in(seed_key, 2000 + it), rf_seco, [],
+                seg_key=("merged-seco",))
+            L_abs = float(jnp.sum(eq.dust_luminosities(
+                self.medium, etabs, rf_seco, self.rf_scale)))
+            if verbose:
+                _log().info(f"merged iteration {it}: "
+                            f"L_abs(seco)={L_abs:.4e} W "
+                            f"(prim {L_prim_abs:.4e} W)")
+            dust_conv = (L_abs <= self.max_fraction_of_primary * L_prim_abs
+                         or (L_abs_prev > 0
+                             and abs(L_abs - L_abs_prev)
+                             <= self.max_fraction_of_previous * L_abs_prev))
+            L_abs_prev = L_abs
+            converged = recipes_conv and dust_conv
+            if converged and it >= self.min_iterations:
+                if verbose:
+                    _log().success(f"merged iterations converged after {it}")
+                break
+            if not converged and it >= self.max_iterations:
+                _log().warning(f"merged iterations NOT converged after {it}")
+                break
+
+        # --- final segments with peel-off ---------------------------------
+        rf_prim, accs = self.run_primary(verbose=verbose)
+        rf_total = rf_prim + rf_seco
+        src2 = self._make_secondary(etabs, rf_total)
+        info = {"iterations": it, "L_dust": src2.luminosity,
+                "L_abs_primary": L_prim_abs}
+        if src2.luminosity > 0:
+            opts2 = dataclasses.replace(self.options, primary=False,
+                                        store_rf=False)
+            _, accs = self._run_segment(
+                src2, src2.tables(), opts2, n2,
+                jax.random.fold_in(seed_key, 777), None, accs,
+                seg_key=("seco-final",))
+        self._block(rf_total, accs)
+        if verbose:
+            dt = time.perf_counter() - t_all
+            _log().success(f"merged emission done in {dt:.1f} s "
+                           f"({it} iterations, "
+                           f"L_dust={src2.luminosity:.4e} W)")
+        return rf_total, accs, info
+
     def _make_secondary(self, etabs, rf):
         med = self.medium
         vols = self.grid.volumes()
@@ -588,8 +716,19 @@ class Simulation:
                                            np.asarray(med.nd), u_lam,
                                            component=self.grain_component)
         else:
-            p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
-            T = eq.equilibrium_temperature(etabs, p_abs)
+            if self.cell_library is not None:
+                # grouped spectra: per-entry averaged fields -> temperatures
+                # (ref: DustSecondarySource.cpp:214-258 library pathway)
+                from .emission import library as clib
+                T = clib.library_temperatures(
+                    self.cell_library, med, etabs, rf, vols, self.rf_scale,
+                    np.asarray(self.rf_borders))
+                # unmapped cells emit nothing (ref: DustSecondarySource
+                # forces unmapped cells to zero luminosity, :61)
+                L_cell = np.where(np.asarray(T).sum(axis=1) > 0, L_cell, 0.0)
+            else:
+                p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
+                T = eq.equilibrium_temperature(etabs, p_abs)
             eps = eq.cell_emission_spectra(med, etabs, T)
         return sec.prepare(self.grid, L_cell, eps,
                            np.asarray(self.ems_borders), self.spatial_bias)

@@ -230,3 +230,73 @@ def test_ski_dynamic_state_parsing(tmp_path):
     assert rec.field_strength_threshold == 10.0
     info = sim.run_primary_iterations(verbose=False)
     assert info["iterations"] >= 2
+
+
+def test_merged_iterations_match_plain_emission():
+    """Without dynamic recipes, merged iterations converge to the same
+    dust-emission answer as the standard self-absorption flow
+    (ref: MonteCarloSimulation.cpp:407)."""
+    import jax
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+
+    def build(include_primary):
+        box = PC
+        grid = make_cartesian(((-box, box),) * 3, (8,) * 3)
+        sigma = 1e-24
+        nd = msys.uniform_density_sphere(grid, 1.0, sigma, 0.8 * PC)
+        lam_t = np.geomspace(0.05e-6, 1000e-6, 40)
+        med = msys.make_medium(grid, nd, lam_t,
+                               sigma_ext=np.full((1, 40), sigma),
+                               albedo=np.zeros((1, 40)), g=np.zeros((1, 40)))
+        inst = dinst.DistantInstrumentCfg(
+            name="i0", wave_borders=tuple(np.geomspace(0.3e-6, 1000e-6, 9)),
+            distance=100 * PC)
+        opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=8)
+        return Simulation(
+            grid=grid, medium=med,
+            sources=[PointSource(luminosity=100 * 3.839e26, lam0=0.55e-6)],
+            instruments=[inst], options=opts,
+            rf_borders=np.geomspace(0.05e-6, 10e-6, 9),
+            ems_borders=np.geomspace(1e-6, 1000e-6, 25),
+            num_packets=4096, batch_size=2048, seed=1,
+            iterate_secondary=True, include_primary=include_primary,
+            max_iterations=4)
+
+    s0 = build(False)
+    _, accs0, info0 = s0.run_with_dust_emission(verbose=False)
+    s1 = build(True)
+    rf1, accs1, info1 = s1.run_with_dust_emission(verbose=False)
+    assert info1["iterations"] >= 1
+    assert info1["L_dust"] == pytest.approx(info0["L_dust"], rel=0.05)
+    sed0 = dinst.calibrate_sed(s0.instruments[0], jax.device_get(accs0[0]))
+    sed1 = dinst.calibrate_sed(s1.instruments[0], jax.device_get(accs1[0]))
+    a, b = np.asarray(sed0["total"]), np.asarray(sed1["total"])
+    sel = a > a.max() * 1e-4
+    np.testing.assert_allclose(b[sel], a[sel], rtol=0.25)
+
+
+def test_merged_iterations_with_destruction():
+    """Dust destruction inside merged iterations reduces the dust mass and
+    converges."""
+    mg = _mini_grain_tables()
+    rec = dyn.LinearDustDestructionRecipe(
+        grain_tables=mg, rf_borders=np.array([0.45e-6, 0.65e-6]),
+        component=0, min_silicate_temperature=30.0,
+        max_silicate_temperature=60.0, min_graphite_temperature=30.0,
+        max_graphite_temperature=60.0)
+    sim = make_sim([rec])
+    sim.iterate_secondary = True
+    sim.include_primary = True
+    sim.max_iterations = 4
+    sim.ems_borders = np.geomspace(1e-6, 1000e-6, 17)
+    nd0 = np.asarray(sim.medium.nd, np.float64).copy()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    nd1 = np.asarray(sim.medium.nd, np.float64)
+    has = nd0[:, 0] > 0
+    assert (nd1[has, 0] < nd0[has, 0] - 1e-12).any()
+    assert info["L_dust"] >= 0
