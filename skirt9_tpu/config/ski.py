@@ -783,9 +783,13 @@ def load_ski(path: str, num_packets: int | None = None,
                 ext_box = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
                            (_q(a, "minY", "length"), _q(a, "maxY", "length")),
                            (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+                flags = tuple(a.get(k, "false") == "true"
+                              for k in ("importMetallicity",
+                                        "importTemperature",
+                                        "importVelocity",
+                                        "importMagneticField"))
                 amr_import = (fn, a.get("massType", "MassDensity"),
-                              a.get("importVelocity", "false") == "true",
-                              mix, ext_box)
+                              flags, mix, ext_box)
                 continue
             if m_el.tag == "VoronoiMeshMedium":
                 # imported Voronoi-mesh medium: one density value per site
@@ -801,13 +805,11 @@ def load_ski(path: str, num_packets: int | None = None,
                 base = os.path.dirname(os.path.abspath(path))
                 if not os.path.isabs(fn):
                     fn = os.path.join(base, fn)
+                # reference column order: position, density, [Z], [T],
+                # [velocity], [B] (ref: ImportedMedium.cpp:18-24 import
+                # call order + Snapshot column registration)
                 cols = [("x", "length", "pc"), ("y", "length", "pc"),
                         ("z", "length", "pc")]
-                import_v = a.get("importVelocity", "false") == "true"
-                if import_v:
-                    cols += [("vx", "velocity", "km/s"),
-                             ("vy", "velocity", "km/s"),
-                             ("vz", "velocity", "km/s")]
                 mt = a.get("massType", "MassDensity")
                 if mt == "MassDensity":
                     cols.append(("rho", "massvolumedensity", "Msun/pc3"))
@@ -815,17 +817,44 @@ def load_ski(path: str, num_packets: int | None = None,
                     cols.append(("n", "numbervolumedensity", "1/cm3"))
                 else:
                     raise NotImplementedError(f"massType '{mt}'")
+                import_z = a.get("importMetallicity", "false") == "true"
+                import_t = a.get("importTemperature", "false") == "true"
+                import_v = a.get("importVelocity", "false") == "true"
+                import_b = a.get("importMagneticField", "false") == "true"
+                if import_z:
+                    cols.append(("Z", "dimensionless", "1"))
+                if import_t:
+                    cols.append(("T", "temperature", "K"))
+                if import_v:
+                    cols += [("vx", "velocity", "km/s"),
+                             ("vy", "velocity", "km/s"),
+                             ("vz", "velocity", "km/s")]
+                if import_b:
+                    cols += [("Bx", "magneticfield", "uG"),
+                             ("By", "magneticfield", "uG"),
+                             ("Bz", "magneticfield", "uG")]
                 d = read_column_file(fn, cols)
                 mix = build_mix(_child(m_el, "materialMix"), base_dir=base)
                 sites = np.stack([d["x"], d["y"], d["z"]], axis=-1)
                 nd_sites = (d["rho"] / mix.mu if mt == "MassDensity"
                             else d["n"])
+                if import_z:
+                    # metallicity scales the medium density
+                    # (ref: Snapshot mass-density policy useMetallicity)
+                    nd_sites = nd_sites * d["Z"]
                 vel = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
                        if import_v else None)
                 ext_box = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
                            (_q(a, "minY", "length"), _q(a, "maxY", "length")),
                            (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
-                voronoi_import = (sites, nd_sites, mix, vel, ext_box)
+                extra = {
+                    "temperature": d["T"] if import_t else None,
+                    "magnetic_field": np.stack(
+                        [d["Bx"], d["By"], d["Bz"]], axis=-1)
+                    if import_b else None,
+                    "metallicity": d["Z"] if import_z else None,
+                }
+                voronoi_import = (sites, nd_sites, mix, vel, ext_box, extra)
                 continue
             if m_el.tag != "GeometricMedium":
                 raise NotImplementedError(f"medium '{m_el.tag}' not supported yet")
@@ -848,10 +877,13 @@ def load_ski(path: str, num_packets: int | None = None,
                 raise NotImplementedError(
                     "AdaptiveMeshMedium requires AdaptiveMeshSpatialGrid")
             from ..grids.amr import build_amr
-            fn, mtype, import_v, mix, ext_box = amr_import
+            fn, mtype, flags, mix, ext_box = amr_import
+            import_z, import_t, import_v, import_b = flags
             grid, leaf = build_amr(fn, ext_box)
             vol = grid.volumes()
-            # column units follow the reference's mesh-medium defaults
+            # column units follow the reference's mesh-medium defaults;
+            # leaf column order: density, [Z], [T], [v], [B] (ref:
+            # ImportedMedium.cpp:18-24 import call order)
             MSUN, PC = 1.98892e30, 3.0857e16
             q = leaf[:, 0]
             if mtype == "MassDensity":
@@ -864,13 +896,29 @@ def load_ski(path: str, num_packets: int | None = None,
                 nd_cells = q / vol
             else:
                 raise NotImplementedError(f"massType '{mtype}'")
-            vel = leaf[:, 1:4] * 1e3 if import_v else None
+            c = 1
+            metallicity = temperature = vel = bfield = None
+            if import_z:
+                metallicity = leaf[:, c]
+                nd_cells = nd_cells * metallicity
+                c += 1
+            if import_t:
+                temperature = leaf[:, c]
+                c += 1
+            if import_v:
+                vel = leaf[:, c:c + 3] * 1e3
+                c += 3
+            if import_b:
+                bfield = leaf[:, c:c + 3] * 1e-10  # uG -> T
+                c += 3
             from ..media import mixes as _mx
             lam, se, al, gg = _mx.stack([mix])
             from ..media import system as _msys
             medium = _msys.make_medium(
                 grid, nd_cells.astype(np.float32), lam, se, al, gg,
-                bulk_v=vel.astype(np.float32) if vel is not None else None)
+                bulk_v=vel.astype(np.float32) if vel is not None else None,
+                temperature=temperature, magnetic_field=bfield,
+                metallicity=metallicity)
             components = [(None, mix, None)]
         elif voronoi_import is not None:
             # grid from the imported mesh (ref: VoronoiMeshSpatialGrid
@@ -882,14 +930,17 @@ def load_ski(path: str, num_packets: int | None = None,
                 raise NotImplementedError(
                     "VoronoiMeshMedium requires VoronoiMeshSpatialGrid "
                     "with policy='ImportedMesh'")
-            sites, nd_sites, mix, vel, ext_box = voronoi_import
+            sites, nd_sites, mix, vel, ext_box, extra = voronoi_import
             grid = build_voronoi(sites, ext_box)
             from ..media import mixes as _mx
             lam, se, al, gg = _mx.stack([mix])
             from ..media import system as _msys
             medium = _msys.make_medium(
                 grid, nd_sites.astype(np.float32), lam, se, al, gg,
-                bulk_v=vel.astype(np.float32) if vel is not None else None)
+                bulk_v=vel.astype(np.float32) if vel is not None else None,
+                temperature=extra["temperature"],
+                magnetic_field=extra["magnetic_field"],
+                metallicity=extra["metallicity"])
             components = [(None, mix, None)]
         else:
             grid = build_grid(grid_el, base_dir=_base_dir)
@@ -1088,6 +1139,8 @@ def load_ski(path: str, num_packets: int | None = None,
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text
+    # medium build recipe, kept for convergence/grain probes
+    sim.medium_components = components
     # output unit system (ref: Units.hpp:29)
     from ..utils.unitsystem import from_ski as _units_from_ski
     sim.units = _units_from_ski(_child(mcs, "units"))
@@ -1126,6 +1179,20 @@ def load_ski(path: str, num_packets: int | None = None,
         "SpatialGridPlotProbe": ("grid", "Setup"),
         "OpticalDepthMapProbe": ("taumap", "Setup"),
         "SpatialGridSourceDensityProbe": ("sourcedensity", "Setup"),
+        "DustGrainPopulationsProbe": ("grainpops", "Setup"),
+        "DustGrainSizeDistributionProbe": ("grainsizes", "Setup"),
+        "OpticalMaterialPropertiesProbe": ("materialprops", "Setup"),
+        "SecondaryDustLuminosityProbe": ("secondaryluminosity", "Run"),
+        "DustAbsorptionPerCellProbe": ("absorption", "Run"),
+        "TreeSpatialGridTopologyProbe": ("treetopology", "Setup"),
+        "MagneticFieldProbe": ("magneticfield", "Setup"),
+        "MetallicityProbe": ("metallicity", "Setup"),
+        "ImportedMediumDensityProbe": ("density", "Setup"),
+        "ImportedMediumVelocityProbe": ("velocity", "Setup"),
+        "ImportedMediumTemperatureProbe": ("gastemperature", "Setup"),
+        "ImportedMediumMetallicityProbe": ("metallicity", "Setup"),
+        "DustEmissionWavelengthGridProbe": ("wavelengths", "Setup"),
+        "ConvergenceInfoProbe": ("convergence", "Setup"),
     }
     probes = []
     plist = mcs.find("probeSystem/ProbeSystem/probes")

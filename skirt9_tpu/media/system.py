@@ -35,6 +35,10 @@ class MediumTables(NamedTuple):
     g: jax.Array          # (H, T) HG asymmetry parameter
     bulk_v: jax.Array     # (ncells, 3) bulk velocity [m/s] (kinematics)
     temperature: jax.Array  # (ncells,) gas kinetic temperature [K]
+    # extended medium state (ref: MediumState.hpp magneticField,
+    # metallicity, custom variables); zeros when not imported/configured
+    magnetic_field: jax.Array = None  # (ncells, 3) [T]
+    metallicity: jax.Array = None     # (ncells,)
                             # (used by resonant-line materials, e.g. Lya)
 
     @property
@@ -143,7 +147,9 @@ def uniform_density_sphere(grid, tau_radius: float, sigma_ext_val: float,
 def make_medium(grid, nd: np.ndarray, lam_t: np.ndarray, sigma_ext: np.ndarray,
                 albedo: np.ndarray, g: np.ndarray,
                 bulk_v: np.ndarray | None = None,
-                temperature: np.ndarray | None = None) -> MediumTables:
+                temperature: np.ndarray | None = None,
+                magnetic_field: np.ndarray | None = None,
+                metallicity: np.ndarray | None = None) -> MediumTables:
     """Assemble MediumTables from host arrays.
 
     nd: (ncells,) or (ncells,H); tables: (T,) or (H,T).
@@ -160,6 +166,10 @@ def make_medium(grid, nd: np.ndarray, lam_t: np.ndarray, sigma_ext: np.ndarray,
         bulk_v = np.zeros((nd.shape[0], 3), np.float32)
     if temperature is None:
         temperature = np.zeros(nd.shape[0], np.float32)
+    if magnetic_field is None:
+        magnetic_field = np.zeros((nd.shape[0], 3), np.float32)
+    if metallicity is None:
+        metallicity = np.zeros(nd.shape[0], np.float32)
     return MediumTables(
         nd=jnp.asarray(nd),
         lam_t=jnp.asarray(lam_t, jnp.float32),
@@ -168,4 +178,6 @@ def make_medium(grid, nd: np.ndarray, lam_t: np.ndarray, sigma_ext: np.ndarray,
         g=jnp.asarray(g, jnp.float32),
         bulk_v=jnp.asarray(bulk_v, jnp.float32),
         temperature=jnp.asarray(temperature, jnp.float32),
+        magnetic_field=jnp.asarray(magnetic_field, jnp.float32),
+        metallicity=jnp.asarray(metallicity, jnp.float32),
     )

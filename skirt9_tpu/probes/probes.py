@@ -356,10 +356,12 @@ def absorption_probe(sim, rf, prefix: str, outdir: str = "."):
     """Absorbed bolometric power per cell from the recorded radiation
     field (ref: DustAbsorptionPerCellProbe)."""
     from ..emission import equilibrium as eq
-    etabs = sim._emission_tables() if hasattr(sim, "_emission_tables") \
-        else None
-    if etabs is None:
+    if sim.rf_borders is None:
         return []
+    etabs = eq.build_emission_tables(
+        sim.medium, np.asarray(sim.rf_borders),
+        np.asarray(sim.ems_borders if sim.ems_borders is not None
+                   else sim.rf_borders))
     p_abs = np.asarray(eq.absorbed_power(
         sim.medium, etabs, rf, sim.grid.volumes(), sim.rf_scale), np.float64)
     return [per_cell_form(os.path.join(outdir, f"{prefix}_absorbed.dat"),
@@ -410,11 +412,112 @@ def source_density_probe(sim, prefix: str, outdir: str = "."):
 
 # ----------------------------------------------- probe system + When hooks
 
+def grain_populations_probe(sim, prefix: str, outdir: str = "."):
+    """Grain population summary: per size bin the composition, size range,
+    grains/H and mass/H (ref: DustGrainPopulationsProbe)."""
+    mg = getattr(sim, "grain_tables", None)
+    if mg is None:
+        return []
+    p = os.path.join(outdir, f"{prefix}_grainpops.dat")
+    with open(p, "w") as f:
+        f.write("# grain populations: bin, composition, population, "
+                "grains/H, mean grain mass [kg], mass/H [kg]\n")
+        for b, lbl in enumerate(mg.labels):
+            nb = float(mg.number_bin[b])
+            mb = float(mg.mass_bin[b])
+            f.write(f"{b} {lbl[0]} {lbl[1]} {nb:.6e} {mb:.6e} "
+                    f"{nb * mb:.6e}\n")
+    return [p]
+
+
+def grain_size_distribution_probe(sim, prefix: str, outdir: str = ".",
+                                  n_samples: int = 64):
+    """Size-bin table: per bin the grains/H and mass/H (the discretized
+    dn/da; ref: DustGrainSizeDistributionProbe)."""
+    mg = getattr(sim, "grain_tables", None)
+    if mg is None:
+        return []
+    p = os.path.join(outdir, f"{prefix}_grainsizes.dat")
+    arr = np.column_stack([np.arange(len(mg.labels)),
+                           np.asarray(mg.number_bin, np.float64),
+                           np.asarray(mg.mass_bin, np.float64)])
+    with open(p, "w") as f:
+        f.write("# bin index, grains per H, mean grain mass [kg]\n")
+        np.savetxt(f, arr)
+    return [p]
+
+
+def optical_material_properties_probe(sim, prefix: str, outdir: str = "."):
+    """Per-component optical properties vs wavelength: sigma_ext, albedo,
+    asymmetry g (ref: OpticalMaterialPropertiesProbe)."""
+    med = sim.medium
+    lam = np.asarray(med.lam_t, np.float64)
+    se = np.asarray(med.sigma_ext, np.float64)
+    ss = np.asarray(med.sigma_sca, np.float64)
+    g = np.asarray(med.g, np.float64)
+    paths = []
+    for h in range(se.shape[0]):
+        p = os.path.join(outdir, f"{prefix}_optprops_{h}.dat")
+        alb = np.where(se[h] > 0, ss[h] / np.maximum(se[h], 1e-300), 0.0)
+        with open(p, "w") as f:
+            f.write("# wavelength [m], sigma_ext [m2/entity], albedo, g\n")
+            np.savetxt(f, np.column_stack([lam, se[h], alb, g[h]]))
+        paths.append(p)
+    return paths
+
+
+def secondary_luminosity_probe(sim, rf, prefix: str, outdir: str = "."):
+    """Per-cell secondary (dust) bolometric luminosity
+    (ref: SecondaryDustLuminosityProbe)."""
+    from ..emission import equilibrium as eq
+    etabs = eq.build_emission_tables(
+        sim.medium, np.asarray(sim.rf_borders),
+        np.asarray(sim.ems_borders if sim.ems_borders is not None
+                   else sim.rf_borders))
+    L = eq.dust_luminosities(sim.medium, etabs, rf, sim.rf_scale)
+    return [per_cell_form(
+        os.path.join(outdir, f"{prefix}_Lsec.dat"), sim.grid,
+        {"L_dust": np.asarray(L, np.float64)},
+        "secondary dust luminosity per cell [W]")]
+
+
+def magnetic_field_probe(sim, prefix: str, outdir: str = "."):
+    """Per-cell magnetic field vector (ref: MagneticFieldProbe)."""
+    B = np.asarray(sim.medium.magnetic_field, np.float64)
+    if not np.any(B):
+        return []
+    return [per_cell_form(
+        os.path.join(outdir, f"{prefix}_B.dat"), sim.grid,
+        {"Bx": B[:, 0], "By": B[:, 1], "Bz": B[:, 2]},
+        "magnetic field [T]")]
+
+
+def metallicity_probe(sim, prefix: str, outdir: str = "."):
+    """Per-cell metallicity (ref: MetallicityProbe)."""
+    Z = np.asarray(sim.medium.metallicity, np.float64)
+    if not np.any(Z):
+        return []
+    return [per_cell_form(
+        os.path.join(outdir, f"{prefix}_Z.dat"), sim.grid,
+        {"Z": Z}, "metallicity (1)")]
+
+
+def tree_topology_probe(sim, prefix: str, outdir: str = "."):
+    """Persist tree-grid topology (ref: TreeSpatialGridTopologyProbe)."""
+    from ..grids import octree as oct
+    if not isinstance(sim.grid, getattr(oct, "OctreeGrid", ())):
+        return []
+    p = os.path.join(outdir, f"{prefix}_treetop.dat")
+    oct.save_topology(sim.grid, p)
+    return [p]
+
+
 class ProbeSpec:
     """One configured probe: fires at a phase boundary (ref: Probe.hpp:40
     probeAfter Setup/Run + ProbeSystem hooks)."""
 
     def __init__(self, kind: str, name: str, when: str = "Setup", **kw):
+        # (kinds map 1:1 onto reference probe classes; see ski.py _PROBES)
         self.kind = kind
         self.name = name
         self.when = when  # "Setup" | "Run" | "Primary" | "Secondary"
@@ -449,6 +552,36 @@ class ProbeSpec:
             return opticaldepth_map_probe(sim, self.kw.get("lam", 0.55e-6),
                                           tag, outdir,
                                           npix=self.kw.get("npix", 128))
+        if k == "convergence":
+            comps = [c for c in getattr(sim, "medium_components", [])
+                     if c[0] is not None and c[2] is not None]
+            return convergence_probe(sim, comps, tag, outdir) \
+                if comps else []
+        if k == "grainpops":
+            return grain_populations_probe(sim, tag, outdir)
+        if k == "grainsizes":
+            return grain_size_distribution_probe(sim, tag, outdir)
+        if k == "materialprops":
+            return optical_material_properties_probe(sim, tag, outdir)
+        if k == "secondaryluminosity":
+            return [] if rf is None else secondary_luminosity_probe(
+                sim, rf, tag, outdir)
+        if k == "treetopology":
+            return tree_topology_probe(sim, tag, outdir)
+        if k == "magneticfield":
+            return magnetic_field_probe(sim, tag, outdir)
+        if k == "gastemperature":
+            T = np.asarray(sim.medium.temperature, np.float64)
+            if not np.any(T):
+                return []
+            return [per_cell_form(
+                os.path.join(outdir, f"{tag}_gasT.dat"), sim.grid,
+                {"T": T}, "imported gas temperature [K]")]
+        if k == "metallicity":
+            return metallicity_probe(sim, tag, outdir)
+        if k == "absorption":
+            return [] if rf is None else absorption_probe(sim, rf, tag,
+                                                          outdir)
         if k == "cellprops":
             vols = np.asarray(sim.grid.volumes(), np.float64)
             nd = np.asarray(sim.medium.nd, np.float64)

@@ -74,3 +74,55 @@ def test_probes(tmp_path):
 
     (p,) = pb.luminosity_probe(sim, "p", out)
     assert "3.8" in open(p).read()
+
+
+def test_new_probe_kinds(tmp_path):
+    """grainpops/grainsizes/materialprops/secondaryluminosity/convergence
+    probe kinds produce files (ref: DustGrainPopulationsProbe,
+    OpticalMaterialPropertiesProbe, SecondaryDustLuminosityProbe,
+    ConvergenceInfoProbe)."""
+    import numpy as np
+    import skirt9_tpu.probes.probes as pr
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys, grains as gr
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+
+    PC = 3.0857e16
+    grid = make_cartesian(((-PC, PC),) * 3, (6,) * 3)
+    sigma = 1e-24
+    nd = msys.uniform_density_sphere(grid, 1.0, sigma, 0.8 * PC)
+    lam_t = np.geomspace(0.05e-6, 1000e-6, 16)
+    med = msys.make_medium(grid, nd, lam_t,
+                           sigma_ext=np.full((1, 16), sigma),
+                           albedo=np.zeros((1, 16)), g=np.zeros((1, 16)))
+    inst = dinst.DistantInstrumentCfg(name="i",
+                                      wave_borders=(0.5e-6, 0.6e-6),
+                                      distance=100 * PC)
+    sim = Simulation(
+        grid=grid, medium=med,
+        sources=[PointSource(luminosity=3.8e26, lam0=0.55e-6)],
+        instruments=[inst],
+        options=lc.TransportOptions(max_steps=grid.max_steps(),
+                                    max_events=4),
+        rf_borders=np.geomspace(0.05e-6, 10e-6, 5),
+        ems_borders=np.geomspace(1e-6, 1000e-6, 9),
+        num_packets=2048, batch_size=1024, seed=0)
+    sim.grain_tables = gr.build_multi_grain(
+        [gr.GrainPopulation(composition=gr.silicate_composition(),
+                            sizes=gr.power_law_sizes(), num_bins=3)])
+    rf, _ = sim.run_primary(verbose=False)
+    out = str(tmp_path)
+    for kind, need_rf in [("grainpops", False), ("grainsizes", False),
+                          ("materialprops", False),
+                          ("secondaryluminosity", True),
+                          ("absorption", True)]:
+        spec = pr.ProbeSpec(kind, "t")
+        paths = spec.run(sim, "x", out, rf=rf if need_rf else None)
+        assert paths, kind
+        for p in paths:
+            assert len(open(p).readlines()) > 1, kind
+    # secondaryluminosity without rf is a clean no-op
+    assert pr.ProbeSpec("secondaryluminosity", "t").run(sim, "x", out) == []
