@@ -259,8 +259,23 @@ def build_source(el, lrange=None, base_dir: str = "."):
                _q(a, "positionZ", "length", 0.0))
         sed_el = _child(el, "sed")
         sed = build_sed(sed_el) if sed_el is not None else None
+        # polarized emission (ref: PointSource.hpp:44 polarizationProfile)
+        pol = None
+        pol_el = _child(el, "polarizationProfile")
+        if pol_el is not None and pol_el.tag != "NoPolarizationProfile":
+            if pol_el.tag != "SineSquarePolarizationProfile":
+                raise NotImplementedError(
+                    f"polarization profile '{pol_el.tag}'")
+            from ..sources.base import SineSquarePolarizationProfile
+            pa2 = pol_el.attrib
+            pol = SineSquarePolarizationProfile(
+                symmetry=(_f(pa2, "symmetryX", 0.0),
+                          _f(pa2, "symmetryY", 0.0),
+                          _f(pa2, "symmetryZ", 1.0)),
+                max_polarization=_f(pa2, "maxPolarizationDegree", 1.0),
+                angle=_q(pa2, "polarizationAngle", "posangle", 0.0))
         return PointSource(position=pos, luminosity=source_luminosity(el),
-                           sed=sed, **_bias_kw())
+                           sed=sed, polarization=pol, **_bias_kw())
     if t == "GeometricSource":
         geom = build_geometry(_child(el, "geometry"))
         sed_el = _child(el, "sed")

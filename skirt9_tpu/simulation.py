@@ -239,7 +239,9 @@ class Simulation:
             return lc.life_cycle(grid, med, opts, cfgs, tabs, rfb,
                                  pkt, rf, accs, mueller=self.mueller,
                                  sweep_tabs=self._sweep_tabs,
-                                 emission_phase=emission_phase)
+                                 emission_phase=emission_phase,
+                                 emission_polarization=getattr(
+                                     source, "polarization", None))
 
         fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(6, 7))
         self._seg_cache[key] = fn
@@ -345,6 +347,8 @@ class Simulation:
                                     pkt, rf, accs, mueller=self.mueller,
                                     sweep_tabs=self._sweep_tabs,
                                     emission_phase=emission_phase,
+                                    emission_polarization=getattr(
+                                        source, "polarization", None),
                                     emit_mask=refill, return_state=True)
                 rf, accs, pkt = out
                 nh = next_hist + jnp.sum(refill).astype(jnp.int32)

@@ -51,6 +51,39 @@ class TabulatedSED:
 
 
 @dataclasses.dataclass(frozen=True)
+class SineSquarePolarizationProfile:
+    """Axisymmetric linear polarization of source emission: degree
+    P = Pmax sin^2(theta) about a symmetry axis, polarization angle gamma
+    about the meridian (ref: SineSquarePolarizationProfile.cpp:
+    polarizationForDirection — Q = PL cos2g, U = PL sin2g, reference
+    normal n = sym x k)."""
+
+    symmetry: tuple = (0.0, 0.0, 1.0)
+    max_polarization: float = 1.0
+    angle: float = 0.0
+
+    def stokes_for(self, kdir: jax.Array):
+        """(B,3) directions -> (stokes (B,4), normal (B,3))."""
+        sym = np.asarray(self.symmetry, np.float64)
+        sym = sym / np.linalg.norm(sym)
+        symj = jnp.asarray(sym, jnp.float32)
+        ct = jnp.sum(kdir * symj, axis=-1)
+        ok = jnp.abs(ct) <= 0.99999
+        PL = jnp.where(ok, self.max_polarization * (1.0 - ct) * (1.0 + ct),
+                       0.0)
+        Q = PL * np.cos(2.0 * self.angle)
+        U = PL * np.sin(2.0 * self.angle)
+        n = jnp.cross(jnp.broadcast_to(symj, kdir.shape), kdir)
+        nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        # degenerate pole directions: unpolarized, arbitrary valid normal
+        fallback = jnp.zeros_like(kdir).at[..., 0].set(1.0)
+        n = jnp.where(nn > 1e-6, n / jnp.maximum(nn, 1e-30), fallback)
+        st = jnp.stack([jnp.ones_like(PL), Q, U, jnp.zeros_like(PL)],
+                       axis=-1)
+        return st, n
+
+
+@dataclasses.dataclass(frozen=True)
 class PointSource:
     """Isotropic point source with a given bolometric luminosity [W] over
     the source wavelength range (ref: SKIRT/core/PointSource.hpp).
@@ -68,6 +101,8 @@ class PointSource:
     angular: object = None  # AngularDistribution (ref: SpecialtySource
                             # angular emission, SKIRT/core/PointSource.hpp)
     bias_dist: object = None  # WavelengthDistribution (spectral/wdists.py)
+    polarization: object = None  # PolarizationProfile (ref:
+                                 # PointSource.hpp:44 polarizationProfile)
 
     def tables(self) -> dict:
         t = {"pos": jnp.asarray(np.asarray(self.position), jnp.float32)}
@@ -90,7 +125,10 @@ class PointSource:
         lum = jnp.full((B,), self.luminosity / n_total, jnp.float32)
         lam, lum = _sample_wavelength(
             tabs, keys, lum, self.sed, self.lam0, self.wavelength_bias)
-        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+        out = {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
+        if self.polarization is not None:
+            out["stokes"], out["normal"] = self.polarization.stokes_for(dirn)
+        return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -283,8 +321,10 @@ def launch_batch(source, tabs: dict, grid, seed_key: jax.Array,
         nscat=jnp.zeros((B,), jnp.int32),
         alive=valid & (f["lum"] > 0),
         hkey=hkeys,
-        stokes=jnp.zeros((B, 4), jnp.float32).at[:, 0].set(1.0),
-        normal=jnp.zeros((B, 3), jnp.float32).at[:, 0].set(1.0),
+        stokes=f.get("stokes",
+                     jnp.zeros((B, 4), jnp.float32).at[:, 0].set(1.0)),
+        normal=f.get("normal",
+                     jnp.zeros((B, 3), jnp.float32).at[:, 0].set(1.0)),
         v_emit=f.get("v_emit", jnp.zeros((B, 3), jnp.float32)),
         dist=jnp.zeros((B,), jnp.float32),
     )

@@ -284,7 +284,7 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
              kind: int, max_steps: int, active: jax.Array,
              transparent_too: bool = False, lam_fn=None, lam_march=None,
              march_uses_lam_fn: bool = False, lya: bool = False,
-             tracer=None, dist=None):
+             tracer=None, dist=None, stokes_fn=None):
     """Peel a batch of events off toward every instrument.
 
     contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
@@ -310,14 +310,16 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
             ko = inst_tabs[i]["kobs"]
             per_sr = contrib_per_sr(ko)
             lam_i = lam if lam_fn is None else lam_fn(ko)
+            quv = stokes_fn(ko, inst_tabs[i]) if stokes_fn is not None \
+                else None
             accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
                                    lam_i, pos, per_sr * att, kind, active,
-                                   dist=dist)
+                                   dist=dist, stokes_quv=quv)
             if transparent_too:
                 accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
                                        lam_i, pos, per_sr,
                                        dinst.KIND_TRANSPARENT, active,
-                                       dist=dist)
+                                       dist=dist, stokes_quv=quv)
     return accs
 
 
@@ -354,6 +356,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                inst_cfgs, inst_tabs, rf_borders: jax.Array | None,
                pkt: PacketBatch, rf: jax.Array | None, accs: list[dict],
                emission_phase: Callable[[jax.Array], jax.Array] | None = None,
+               emission_polarization=None,
                mueller: "stk.MuellerTables | None" = None,
                sweep_tabs=None, emit_mask: jax.Array | None = None,
                return_state: bool = False):
@@ -442,6 +445,24 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         else:
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs, pkt.pos)
         lam_march0 = pkt.lam if opts.kinematics else None
+        # polarized emission: per-observer Stokes from the source's
+        # polarization profile, rotated into the instrument frame
+        # (ref: MonteCarloSimulation::peelOffEmission polarized branch)
+        emis_stokes_fn = None
+        if emission_polarization is not None:
+            def emis_stokes_fn(kobs, tab):
+                B = pkt.lam.shape[0]
+                ko = jnp.broadcast_to(kobs, (B, 3))
+                st, pn = emission_polarization.stokes_for(ko)
+                north = tab["ey"] - jnp.sum(tab["ey"] * kobs) * kobs
+                north = north / jnp.maximum(jnp.linalg.norm(north), 1e-30)
+                n_det = jnp.cross(kobs, north)
+                cosb = jnp.sum(pn * n_det, axis=-1)
+                sinb = jnp.sum(jnp.cross(pn, jnp.broadcast_to(
+                    n_det, pn.shape)) * ko, axis=-1)
+                beta = jnp.arctan2(sinb, cosb)
+                st_final = stk.rotate_stokes(st, beta)
+                return st_final[..., 1:]
         emis_lam_fn = None
         if opts.emission_doppler:
             # rest wavelength from the launch-direction Doppler factor, then
@@ -462,7 +483,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
                            opts.max_steps, emit, transparent_too=True,
                            lam_march=lam_march0, lam_fn=emis_lam_fn,
-                           tracer=tracer, dist=pkt.dist)
+                           tracer=tracer, dist=pkt.dist,
+                           stokes_fn=emis_stokes_fn)
             accs = _stitch(accs, dist_ids, sub)
         if local_ids:
             sub = peel_off_local(grid, med, opt,

@@ -92,3 +92,80 @@ def test_unpolarized_mode_records_no_stokes():
     from skirt9_tpu.instruments.distant import init_accumulators, DistantInstrumentCfg
     cfg = DistantInstrumentCfg(name="x", wave_borders=(1e-7, 1e-6))
     assert "stokes" not in init_accumulators(cfg)
+
+
+def test_polarized_point_source_emission():
+    """SineSquare-polarized point source: detected Q/I equals
+    Pmax sin^2(theta_obs) with the Q/U split following the polarization
+    angle (ref: SineSquarePolarizationProfile.cpp, PointSource.hpp:44)."""
+    import jax
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import (PointSource,
+                                         SineSquarePolarizationProfile)
+    from skirt9_tpu.transport import lifecycle as lc
+
+    PC = 3.0857e16
+    grid = make_cartesian(((-PC, PC),) * 3, (2,) * 3)
+    med = msys.make_medium(grid, np.zeros(8, np.float32),
+                           np.array([1e-7, 1e-5]), np.zeros((1, 2)),
+                           np.zeros((1, 2)), np.zeros((1, 2)))
+
+    def run(incl_deg, gamma=0.0, pmax=0.6):
+        prof = SineSquarePolarizationProfile(symmetry=(0, 0, 1),
+                                             max_polarization=pmax,
+                                             angle=gamma)
+        src = PointSource(luminosity=1.0, lam0=0.55e-6, polarization=prof)
+        inst = dinst.DistantInstrumentCfg(
+            name="i", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
+            inclination=np.deg2rad(incl_deg), record_polarization=True)
+        sim = Simulation(grid=grid, medium=med, sources=[src],
+                         instruments=[inst],
+                         options=lc.TransportOptions(max_steps=8,
+                                                     max_events=1),
+                         num_packets=1024, batch_size=1024, seed=0)
+        _, accs = sim.run_primary(verbose=False)
+        return dinst.calibrate_sed(inst, jax.device_get(accs[0]))
+
+    # edge-on: theta = 90 deg -> P = Pmax, all in Q for gamma=0
+    sed = run(90.0)
+    P = float(sed["Q"][0]) / float(sed["total"][0])
+    assert abs(P) == pytest.approx(0.6, rel=0.02)
+    assert abs(float(sed["U"][0]) / float(sed["total"][0])) < 0.02
+    # 45-degree polarization angle moves Q into U
+    sed45 = run(90.0, gamma=np.pi / 4)
+    assert abs(float(sed45["U"][0]) / float(sed45["total"][0])) \
+        == pytest.approx(0.6, rel=0.05)
+    # inclination 30 deg from the pole: sin^2(30)=0.25... theta measured
+    # from the symmetry axis == inclination for a z-axis profile
+    sed30 = run(30.0)
+    P30 = abs(float(sed30["Q"][0])) / float(sed30["total"][0])
+    assert P30 == pytest.approx(0.6 * np.sin(np.deg2rad(30)) ** 2, rel=0.05)
+    # pole-on: unpolarized
+    sed0 = run(0.5)
+    assert abs(float(sed0["Q"][0])) / float(sed0["total"][0]) < 0.01
+
+
+def test_polarized_source_from_ski():
+    import xml.etree.ElementTree as ET
+    from skirt9_tpu.config.ski import build_source
+    from skirt9_tpu.sources.base import SineSquarePolarizationProfile
+    el = ET.fromstring("""
+      <PointSource positionX="0 m" positionY="0 m" positionZ="0 m">
+       <sed type="SED"><BlackBodySED temperature="5000 K"/></sed>
+       <normalization type="LuminosityNormalization">
+        <IntegratedLuminosityNormalization wavelengthRange="Source"
+            integratedLuminosity="1 Lsun"/>
+       </normalization>
+       <polarizationProfile type="PolarizationProfile">
+        <SineSquarePolarizationProfile symmetryX="0" symmetryY="0"
+            symmetryZ="1" maxPolarizationDegree="0.3"
+            polarizationAngle="20 deg"/>
+       </polarizationProfile>
+      </PointSource>""")
+    src = build_source(el, lrange=(2e-7, 3e-6))
+    assert isinstance(src.polarization, SineSquarePolarizationProfile)
+    assert src.polarization.max_polarization == 0.3
+    assert src.polarization.angle == pytest.approx(np.deg2rad(20))
