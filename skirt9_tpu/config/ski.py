@@ -248,9 +248,15 @@ def build_source(el, lrange=None, base_dir: str = "."):
         if "wavelengthBias" in a:
             kw["wavelength_bias"] = _f(a, "wavelengthBias", 0.5)
         wb_el = _child(el, "wavelengthBiasDistribution")
-        if wb_el is not None and wb_el.tag != "LogWavelengthDistribution":
-            from ..spectral import wdists
-            kw["bias_dist"] = wdists.from_ski(wb_el, lrange, base_dir)
+        if wb_el is not None:
+            # A LogWavelengthDistribution without an explicit range equals
+            # the built-in log-uniform fallback — skip the build. With an
+            # explicit range it must be honored (the reference intersects
+            # it with the source range, RangeWavelengthDistribution).
+            if (wb_el.tag != "LogWavelengthDistribution"
+                    or "minWavelength" in wb_el.attrib):
+                from ..spectral import wdists
+                kw["bias_dist"] = wdists.from_ski(wb_el, lrange, base_dir)
         return kw
 
     if t == "PointSource":

@@ -31,7 +31,8 @@ class AllCellsLibrary:
     def n_entries(self, ncells: int) -> int:
         return ncells
 
-    def mapping(self, J, dlam, mask, sigma_abs=None, T_ind=None):
+    def mapping(self, J, dlam, mask, sigma_abs=None, T_ind=None,
+                lam_c=None):
         m = np.arange(J.shape[0], dtype=np.int64)
         return np.where(mask, m, -1)
 
@@ -46,7 +47,8 @@ class FieldStrengthCellLibrary:
     def n_entries(self, ncells: int) -> int:
         return self.num_field_strengths
 
-    def mapping(self, J, dlam, mask, sigma_abs=None, T_ind=None):
+    def mapping(self, J, dlam, mask, sigma_abs=None, T_ind=None,
+                lam_c=None):
         U = (np.asarray(J, np.float64) * dlam).sum(axis=1) / JTOT_MW
         use = mask & (U > 1e-6)
         if not use.any():
@@ -71,12 +73,15 @@ class TemperatureWavelengthCellLibrary:
     def n_entries(self, ncells: int) -> int:
         return self.num_temperatures * self.num_wavelengths
 
-    def mapping(self, J, dlam, mask, sigma_abs=None, T_ind=None):
+    def mapping(self, J, dlam, mask, sigma_abs=None, T_ind=None,
+                lam_c=None):
         if sigma_abs is None or T_ind is None:
             raise ValueError("TemperatureWavelengthCellLibrary needs "
                              "sigma_abs (R,) and indicative T (ncells,)")
+        if lam_c is None:
+            raise ValueError("TemperatureWavelengthCellLibrary needs lam_c")
         J = np.asarray(J, np.float64)
-        lam_c = np.asarray(self._lam_c, np.float64)
+        lam_c = np.asarray(lam_c, np.float64)
         prod = J * (sigma_abs * dlam)[None, :]          # (ncells, R)
         bot = prod.sum(axis=1)
         lam_ind = np.where(bot > 0, (prod * lam_c).sum(axis=1)
@@ -96,7 +101,6 @@ class TemperatureWavelengthCellLibrary:
                     self.num_wavelengths - 1)
         return np.where(use, i + self.num_temperatures * j, -1)
 
-    _lam_c: np.ndarray = None  # RF-grid bin centers, set by the caller
 
 
 def entry_average(x: np.ndarray, mapping: np.ndarray,
@@ -131,10 +135,8 @@ def library_temperatures(library, med, etabs, rf, vols, rf_scale,
     mask = nd.sum(axis=1) > 0
     kwargs = {}
     if isinstance(library, TemperatureWavelengthCellLibrary):
-        lam_c = np.sqrt(rb[1:] * rb[:-1])
-        object.__setattr__(library, "_lam_c", lam_c)
+        kwargs["lam_c"] = np.sqrt(rb[1:] * rb[:-1])
         sab = np.asarray(etabs.sigma_abs_rf, np.float64)  # (H, R)
-        kwargs["sigma_abs"] = (nd[:, :, None] * sab[None]).sum(1).mean(0)
         p_abs = eq.absorbed_power(med, etabs, rf, vols, rf_scale)
         T_all = eq.equilibrium_temperature(etabs, p_abs)
         kwargs["T_ind"] = (T_all * np.maximum(nd, 1e-300)).sum(axis=1) \

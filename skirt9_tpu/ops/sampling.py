@@ -39,7 +39,7 @@ def cdf_loglog(xv: np.ndarray, pv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     pv = np.maximum(pv, tiny)
     alpha = np.log(pv[1:] / pv[:-1]) / np.log(xv[1:] / xv[:-1])
     # integral of p0*(x/x0)^alpha dx over [x0,x1]
-    with np.errstate(over="ignore", invalid="ignore"):
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
         seg = np.where(
             np.abs(alpha + 1.0) > 1e-6,
             pv[:-1] * xv[:-1] / (alpha + 1.0) * ((xv[1:] / xv[:-1]) ** (alpha + 1.0) - 1.0),

@@ -43,9 +43,11 @@ class TabulatedWavelengthDistribution:
             dense = np.geomspace(lam[0], lam[-1], 192)
             pdf = np.interp(dense, lam, pdf)
             lam = dense
-        total = np.trapezoid(pdf, lam)
+        # normalize by the SAME log-log segment integral that builds the
+        # sampling cdf so evaluated density == sampled density exactly
+        # (a trapezoid normalization here would bias composite weights).
+        cdf, total = sampling.cdf_loglog(lam, pdf)
         pdf = pdf / total
-        cdf, _ = sampling.cdf_loglog(lam, pdf)
         return {"lam": jnp.asarray(lam, jnp.float32),
                 "pdf": jnp.asarray(pdf, jnp.float32),
                 "cdf": jnp.asarray(cdf, jnp.float32)}

@@ -316,10 +316,14 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
                                    lam_i, pos, per_sr * att, kind, active,
                                    dist=dist, stokes_quv=quv)
             if transparent_too:
+                # Stokes accumulators record only arriving (attenuated)
+                # luminosity — the reference's FluxRecorder keeps no Stokes
+                # for the transparent bookkeeping component, so passing quv
+                # here would double-count Q/U/V in thin media.
                 accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
                                        lam_i, pos, per_sr,
                                        dinst.KIND_TRANSPARENT, active,
-                                       dist=dist, stokes_quv=quv)
+                                       dist=dist, stokes_quv=None)
     return accs
 
 
