@@ -2,15 +2,23 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
 north-star metric (BASELINE.json: packets/s on a panchromatic dust-emission
-run), with the monochromatic config-1 rate as an extra diagnostic field.
+run), with the other configs as extra diagnostic fields.
 
 The baseline denominators are SKIRT9's measured multi-core CPU packets/s on
 the equivalent problems (BASELINE.md / BENCH_BASELINE.json), using the same
 MRN mean dust table exported by tools/export_dustmix.py on both sides.
+
+Fault isolation: every config runs in its OWN subprocess with a timeout
+(`python bench.py --config N` prints that config's JSON on stdout). A TPU
+kernel fault, hang, or OOM in one config can therefore never erase the
+other configs' numbers (round-2 lesson: one device fault zeroed the whole
+record).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -22,6 +30,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+# generous per-config wall clock: first-ever compile on a cold cache can
+# take minutes; a warm-cache run finishes in well under a minute
+CONFIG_TIMEOUT_S = float(os.environ.get("SKIRT9_BENCH_TIMEOUT", "2400"))
 
 
 def bench_config1():
@@ -59,7 +71,7 @@ def bench_config1():
     t0 = time.perf_counter()
     sim.run_primary(verbose=False)
     dt = time.perf_counter() - t0
-    return sim.num_packets / dt
+    return {"rate": sim.num_packets / dt}
 
 
 def bench_config2():
@@ -87,7 +99,7 @@ def bench_config2():
     dt = time.perf_counter() - t0
     total_packets = n_pk * (1 + info["iterations"]
                             + (1 if info["L_dust"] > 0 else 0))
-    return total_packets / dt, info
+    return {"rate": total_packets / dt, "iterations": info["iterations"]}
 
 
 def bench_config1h():
@@ -110,7 +122,7 @@ def bench_config1h():
     sim = build()
     t0 = time.perf_counter()
     sim.run_primary(verbose=False)
-    return n_pk / (time.perf_counter() - t0)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
 
 
 def bench_config3():
@@ -133,39 +145,86 @@ def bench_config3():
     rf, accs, info = sim.run_with_dust_emission(verbose=False)
     dt = time.perf_counter() - t0
     total = n_pk * (1 + info["iterations"] + (1 if info["L_dust"] > 0 else 0))
-    return total / dt
+    return {"rate": total / dt}
+
+
+CONFIGS = {
+    "1": bench_config1,
+    "2": bench_config2,
+    "1h": bench_config1h,
+    "3": bench_config3,
+}
+
+
+def _run_isolated(name: str) -> dict | None:
+    """Run one config in a subprocess; None on crash/hang/parse failure."""
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", name],
+            capture_output=True, text=True, timeout=CONFIG_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        print(f"# config {name}: TIMED OUT after {CONFIG_TIMEOUT_S}s",
+              file=sys.stderr)
+        return None
+    if res.returncode != 0:
+        tail = (res.stderr or "")[-2000:]
+        print(f"# config {name}: rc={res.returncode}\n{tail}",
+              file=sys.stderr)
+        return None
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    print(f"# config {name}: no JSON in output", file=sys.stderr)
+    return None
 
 
 def main():
-    rate2, info = bench_config2()
-    rate1 = bench_config1()
-    rate1h = bench_config1h()
-    rate3 = bench_config3()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        out = CONFIGS[sys.argv[2]]()
+        print(json.dumps(out))
+        return
 
-    base1 = base2 = base1h = base3 = None
+    results = {name: _run_isolated(name) for name in ("2", "1", "1h", "3")}
+
+    base = {}
     bp = os.path.join(HERE, "BENCH_BASELINE.json")
     if os.path.exists(bp):
         with open(bp) as f:
             b = json.load(f)
-        base1 = b.get("packets_per_s")
-        base2 = b.get("config2_packets_per_s")
-        base1h = b.get("config1h_packets_per_s")
-        base3 = b.get("config3_packets_per_s")
-    vs = rate2 / base2 if base2 else 1.0
+        base = {"1": b.get("packets_per_s"),
+                "2": b.get("config2_packets_per_s"),
+                "1h": b.get("config1h_packets_per_s"),
+                "3": b.get("config3_packets_per_s")}
+
+    def rate(name):
+        r = results.get(name)
+        return r["rate"] if r else None
+
+    def vs(name):
+        r, b = rate(name), base.get(name)
+        return round(r / b, 3) if (r and b) else None
+
+    r2 = rate("2")
     print(json.dumps({
         "metric": "photon packets/s, panchromatic MRN dust-emission "
                   "(BB source, tau_V=2 sphere, 32^3 grid, 25-bin RF, "
                   "64x64 imaging + 40-bin SED, self-absorption iterations)",
-        "value": round(rate2, 1),
+        "value": round(r2, 1) if r2 else None,
         "unit": "packets/s",
-        "vs_baseline": round(vs, 3),
-        "config1_packets_per_s": round(rate1, 1),
-        "config1_vs_baseline": round(rate1 / base1, 3) if base1 else 1.0,
-        "config1h_tau10_packets_per_s": round(rate1h, 1),
-        "config1h_vs_baseline": round(rate1h / base1h, 3) if base1h else 1.0,
-        "config3_octree_packets_per_s": round(rate3, 1),
-        "config3_vs_baseline": round(rate3 / base3, 3) if base3 else 1.0,
-        "iterations": info["iterations"],
+        "vs_baseline": vs("2") or 0.0,
+        "config1_packets_per_s": round(rate("1"), 1) if rate("1") else None,
+        "config1_vs_baseline": vs("1"),
+        "config1h_tau10_packets_per_s":
+            round(rate("1h"), 1) if rate("1h") else None,
+        "config1h_vs_baseline": vs("1h"),
+        "config3_octree_packets_per_s":
+            round(rate("3"), 1) if rate("3") else None,
+        "config3_vs_baseline": vs("3"),
+        "iterations": (results.get("2") or {}).get("iterations"),
     }))
 
 

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("-t", type=int, default=0, help=argparse.SUPPRESS)
     ap.add_argument("-m", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("-v", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("-d", "--devices", type=int, default=1,
+                    help="devices for packet data-parallelism (0 = all); "
+                    "the reference's -d throws 'not supported' "
+                    "(SkirtCommandLineHandler.cpp:329) — here it works")
     args = ap.parse_args(argv)
 
     from .config.ski import load_ski
@@ -52,6 +56,18 @@ def main(argv=None) -> int:
         with log.timed("setup"):
             sim = load_ski(ski, num_packets=args.packets,
                            batch_size=args.batch, seed=args.seed)
+        if args.devices != 1:
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            n = len(devs) if args.devices == 0 else args.devices
+            if n > len(devs):
+                log.warning(f"requested {n} devices, found {len(devs)}")
+                n = len(devs)
+            if n > 1:
+                sim.mesh = Mesh(np.array(devs[:n]), (sim.mesh_axis,))
+                log.info(f"packet DP over {n} devices")
         if args.emulate:
             log.success(f"emulation: setup OK, {sim.grid.ncells} cells, "
                         f"{len(sim.sources)} sources, "

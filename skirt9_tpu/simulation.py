@@ -107,6 +107,16 @@ class Simulation:
     # when packet lifetimes vary wildly (high optical depth + high albedo).
     # 0 = off (single full-batch life cycle per launch, the default).
     refill_events: int = 0
+    # device mesh for packet data-parallelism in EVERY flow (primary,
+    # secondary, iterations, polarized accumulators): histories shard
+    # statically over the mesh, grid/medium replicate, and per-device
+    # partial accumulators reduce once per segment — the production wiring
+    # of the reference's parallel stack (ref: Parallel.hpp:44 ->
+    # MonteCarloSimulation.cpp:127 parallel->call; RF allreduce
+    # MediumSystem.cpp:1304 == the cross-device sum below). None = single
+    # device.
+    mesh: object = None
+    mesh_axis: str = "pp"
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -243,7 +253,35 @@ class Simulation:
                                  emission_polarization=getattr(
                                      source, "polarization", None))
 
-        fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(6, 7))
+        if self.mesh is None:
+            fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(6, 7))
+        else:
+            # multi-chip packet DP: histories shard over the mesh, rf/accs
+            # carry a leading device axis of per-device partials (reduced
+            # once per segment by _run_segment) — no per-batch collectives
+            from jax.sharding import PartitionSpec as P
+            mesh = self.mesh
+            ax = self.mesh_axis
+
+            def sharded_step(n_src: int, lum_weight: float, seed_key,
+                             history, hist_end, stabs, rf, accs):
+                def per_device(seed_key, history, hist_end, stabs, rf, accs):
+                    rf_l = None if rf is None else rf[0]
+                    accs_l = jax.tree.map(lambda a: a[0], accs)
+                    rf_o, accs_o = step(n_src, lum_weight, seed_key, history,
+                                        hist_end, stabs, rf_l, accs_l)
+                    exp = lambda a: a[None]
+                    return ((None if rf_o is None else rf_o[None]),
+                            jax.tree.map(exp, accs_o))
+
+                return jax.shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(P(), P(ax), P(), P(), P(ax), P(ax)),
+                    out_specs=(P(ax), P(ax)), check_vma=False,
+                )(seed_key, history, hist_end, stabs, rf, accs)
+
+            fn = jax.jit(sharded_step, static_argnums=(0, 1),
+                         donate_argnums=(6, 7))
         self._seg_cache[key] = fn
         return fn
 
@@ -251,6 +289,10 @@ class Simulation:
                      rf, accs, hist_base=0, lum_weight=1.0, seg_key=None):
         """Loop a source's history range through the jitted life cycle."""
         B = self.batch_size
+        D = 1 if self.mesh is None else int(self.mesh.devices.size)
+        if self.mesh is not None:
+            # per-device lane blocks must stay 128-aligned for the sweep
+            B = -(-B // (D * 128)) * (D * 128)
         if getattr(source, "emits_with_velocity", False) and \
                 not opts.emission_doppler:
             opts = dataclasses.replace(opts, emission_doppler=True)
@@ -261,8 +303,10 @@ class Simulation:
             R_g = len(bin_map)
             opts = dataclasses.replace(opts, rf_strata=R_g,
                                        rf_bin_map=bin_map)
-            # bin groups need 8-row-aligned lane blocks (f32 sublane tiling)
-            B = max(1, round(B / (1024 * R_g))) * 1024 * R_g
+            # bin groups need 8-row-aligned lane blocks (f32 sublane tiling);
+            # under a mesh EACH DEVICE holds its own R_g bin-pure groups
+            # (the stratum of a lane is its index within the device batch)
+            B = max(1, round(B / (D * 1024 * R_g))) * D * 1024 * R_g
             stabs = dict(stabs)
             stabs["strata"] = jnp.asarray(borders, jnp.float32)
             # per-stratum valid-lane counts over ALL batches: last-batch
@@ -271,7 +315,8 @@ class Simulation:
             # estimator (it assumes equal valid lanes per stratum); correct
             # each stratum's weight by (N_total/R)/n_valid_r
             nb_ = -(-n_packets // B)
-            lane_strata = (np.arange(B, dtype=np.int64) * R_g) // B
+            Bd = B // D
+            lane_strata = ((np.arange(B, dtype=np.int64) % Bd) * R_g) // Bd
             n_valid = np.zeros(R_g, np.int64)
             for b_ in range(nb_):
                 valid = (b_ * B + np.arange(B)) < n_packets
@@ -283,7 +328,10 @@ class Simulation:
             mono_bin = self._mono_rf_bin(source, opts)
             if mono_bin >= 0:
                 opts = dataclasses.replace(opts, rf_mono_bin=mono_bin)
-        if self.refill_events > 0 and strata is None:
+        if self.refill_events > 0 and strata is None and self.mesh is None:
+            # (refill under a mesh falls through to the plain sharded
+            # segment — stream-identical by construction, see
+            # _run_segment_refilled docstring)
             return self._run_segment_refilled(
                 source, stabs, opts, n_packets, seed_key, rf, accs,
                 hist_base, lum_weight, seg_key, B)
@@ -291,6 +339,25 @@ class Simulation:
         nb = -(-n_packets // B)
         hist_end = jnp.int32(hist_base + n_packets)
         from .utils.log import default as _log
+        if self.mesh is not None:
+            # per-device partial accumulators with a leading mesh axis;
+            # ONE cross-device reduction per segment (== the reference's
+            # per-segment MPI_Allreduce, MediumSystem.cpp:1304)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(self.mesh_axis))
+            dz = lambda a: jax.device_put(
+                jnp.zeros((D,) + a.shape, a.dtype), sh)
+            prf = None if rf is None else dz(rf)
+            paccs = jax.tree.map(dz, accs)
+            for b in range(nb):
+                history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
+                prf, paccs = run(n_packets, float(lum_weight), seed_key,
+                                 history, hist_end, stabs, prf, paccs)
+                _log().progress(min((b + 1) * B, n_packets), n_packets)
+            if rf is not None:
+                rf = rf + prf.sum(axis=0)
+            accs = jax.tree.map(lambda a, p: a + p.sum(axis=0), accs, paccs)
+            return rf, accs
         for b in range(nb):
             history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
             rf, accs = run(n_packets, float(lum_weight), seed_key, history,
