@@ -158,8 +158,9 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     if cfg.bands:
         return _detect_bands(cfg, tables, acc, lam, pos, contrib, kind,
                              active, stokes_quv)
+    from ..ops import sampling as _smp
     borders = tables["wave_borders"]
-    b = jnp.searchsorted(borders, lam, side="right") - 1
+    b = _smp.searchsorted_right(borders, lam) - 1
     ok = active & (b >= 0) & (b < nb) & (contrib > 0)
     if cfg.aperture > 0.0:
         # circular aperture mask in the image plane
@@ -177,7 +178,7 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
         # flux, so it stays out of the timelag response.
         lag = (dist - pos @ tables["kobs"]) * (1.0 / 2.99792458e8)
         tb = tables["time_borders"]
-        t = jnp.searchsorted(tb, lag, side="right") - 1
+        t = _smp.searchsorted_right(tb, lag) - 1
         okt = ok & (t >= 0) & (t < cfg.ntime)
         tq = jnp.clip(t, 0, cfg.ntime - 1)
         flat_t = bq * cfg.ntime + tq

@@ -67,7 +67,7 @@ def optics_at(med: MediumTables, lam: jax.Array) -> Optics:
     def per_comp(tab_ext, tab_sca, tab_g):
         se = sampling.interp_loglog(lam, med.lam_t, tab_ext)
         ss = sampling.interp_loglog(lam, med.lam_t, tab_sca)
-        gg = jnp.interp(lam, med.lam_t, tab_g)
+        gg = sampling.interp_linlin(lam, med.lam_t, tab_g)
         return se, ss, gg
 
     se, ss, gg = jax.vmap(per_comp, in_axes=0, out_axes=1)(

@@ -51,10 +51,54 @@ def cdf_loglog(xv: np.ndarray, pv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------- device (hot path, batched)
+#
+# Small-table lookups avoid XLA's serialized gather/searchsorted lowering
+# (~7 ns/element on TPU, measured tools/bench_gather.py): a dense
+# compare-reduce over the table runs on the VPU at >100x that rate for
+# tables up to a few thousand entries. Above the cutoff the serialized
+# gather wins again.
+
+_DENSE_MAX = 2048
+
+
+def take_small(tab: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+    """tab[i] for a small 1-D table without a serialized gather."""
+    L = tab.shape[0]
+    if L > _DENSE_MAX:
+        return tab[i]
+    oh = i[..., None] == jnp.arange(L, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, tab, jnp.zeros((), tab.dtype)), axis=-1)
+
+
+def take_along_small(rows: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """rows[i, j[i]] for (B, L) rows with small L, without a serialized
+    per-lane gather (dense one-hot reduce over L)."""
+    L = rows.shape[-1]
+    if L > _DENSE_MAX:
+        return jnp.take_along_axis(rows, j[..., None], axis=-1)[..., 0]
+    oh = j[..., None] == jnp.arange(L, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, rows, jnp.zeros((), rows.dtype)), axis=-1)
+
+
+def searchsorted_right(tab: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(tab, x, side='right') without per-round gathers."""
+    if tab.shape[0] > _DENSE_MAX:
+        return jnp.searchsorted(tab, x, side="right")
+    return jnp.sum((tab <= x[..., None]).astype(jnp.int32), axis=-1)
+
 
 def interp_linlin(x: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray) -> jnp.ndarray:
     """Batched linear interpolation with edge clamping."""
-    return jnp.interp(x, xv, yv)
+    if xv.shape[0] > _DENSE_MAX:
+        return jnp.interp(x, xv, yv)
+    i = jnp.clip(searchsorted_right(xv, x) - 1, 0, xv.shape[0] - 2)
+    x0 = take_small(xv, i)
+    x1 = take_small(xv, i + 1)
+    y0 = take_small(yv, i)
+    y1 = take_small(yv, i + 1)
+    t = jnp.clip((x - x0) / jnp.maximum(x1 - x0, jnp.finfo(x0.dtype).tiny),
+                 0.0, 1.0)
+    return y0 + t * (y1 - y0)
 
 
 def interp_loglog(x: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +110,7 @@ def interp_loglog(x: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray) -> jnp.ndarr
     lx = jnp.log(x)
     lxv = jnp.log(xv)
     lyv = jnp.log(jnp.maximum(yv, jnp.finfo(yv.dtype).tiny))
-    out = jnp.exp(jnp.interp(lx, lxv, lyv))
+    out = jnp.exp(interp_linlin(lx, lxv, lyv))
     # values interpolated from the tiny-clamped floor represent exact zeros
     return jnp.where(out < 1e-35, 0.0, out)
 
@@ -77,26 +121,27 @@ def sample_cdf_linlin(u: jnp.ndarray, xv: jnp.ndarray, cdf: jnp.ndarray) -> jnp.
     u in (0,1), xv (N,), cdf (N,) normalized increasing. Batched over u.
     (ref: Random::cdfLinLin, SKIRT/core/Random.hpp:160.)
     """
-    i = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, xv.shape[0] - 2)
-    c0 = cdf[i]
-    c1 = cdf[i + 1]
+    i = jnp.clip(searchsorted_right(cdf, u) - 1, 0, xv.shape[0] - 2)
+    c0 = take_small(cdf, i)
+    c1 = take_small(cdf, i + 1)
     frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.0)
-    return xv[i] + frac * (xv[i + 1] - xv[i])
+    x0 = take_small(xv, i)
+    return x0 + frac * (take_small(xv, i + 1) - x0)
 
 
 def sample_cdf_loglog(u: jnp.ndarray, xv: jnp.ndarray, cdf: jnp.ndarray) -> jnp.ndarray:
     """Invert a tabulated cdf with log-x interpolation within bins
     (ref: Random::cdfLogLog). Good for wide wavelength ranges."""
-    i = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, xv.shape[0] - 2)
-    c0 = cdf[i]
-    c1 = cdf[i + 1]
+    i = jnp.clip(searchsorted_right(cdf, u) - 1, 0, xv.shape[0] - 2)
+    c0 = take_small(cdf, i)
+    c1 = take_small(cdf, i + 1)
     frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.0)
-    lx0 = jnp.log(xv[i])
-    lx1 = jnp.log(xv[i + 1])
+    lx0 = jnp.log(take_small(xv, i))
+    lx1 = jnp.log(take_small(xv, i + 1))
     return jnp.exp(lx0 + frac * (lx1 - lx0))
 
 
 def locate_clip(xv: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Index i such that xv[i] <= x < xv[i+1], clipped to [0, N-2]
     (ref: NR::locateClip)."""
-    return jnp.clip(jnp.searchsorted(xv, x, side="right") - 1, 0, xv.shape[0] - 2)
+    return jnp.clip(searchsorted_right(xv, x) - 1, 0, xv.shape[0] - 2)

@@ -131,17 +131,39 @@ class Simulation:
         self._rf_borders_dev = (jnp.asarray(self.rf_borders, jnp.float32)
                                 if self.rf_borders is not None else None)
         self._seg_cache = {}
-        # slab-sweep fast-path tables (Pallas kernels) when supported
-        from .transport import sweep as _sw
-        self._sweep_tabs = (_sw.build_tables(self.grid, self.medium)
-                            if _sw.supports_sweep(self.grid, self.medium)
-                            else None)
+        # slab-sweep fast-path tables (Pallas kernels) when supported:
+        # uniform Cartesian grids use the single-level sweep, tree grids
+        # the multi-level sweep (transport/mlsweep.py)
+        self._build_sweep_tables()
         # RF accumulator unit (see TransportOptions.rf_scale): keeps f32 in
         # range for solar-luminosity sources at parsec scales
         L_tot = sum(float(getattr(s, "luminosity", 1.0)) for s in self.sources)
         diag = self._grid_diagonal()
         self.rf_scale = max(L_tot / max(self.num_packets, 1) * diag, 1e-300)
         self.options = dataclasses.replace(self.options, rf_scale=self.rf_scale)
+
+    def _build_sweep_tables(self):
+        from .transport import mlsweep as _ml
+        from .transport import sweep as _sw
+        if _sw.supports_sweep(self.grid, self.medium):
+            self._sweep_tabs = _sw.build_tables(self.grid, self.medium)
+        elif _ml.supports(self.grid, self.medium, self.options):
+            self._sweep_tabs = _ml.build_tables(self.grid, self.medium)
+            # accelerate launch-time locate with the fine leaf raster
+            if getattr(self.grid, "leafmap", "absent") is None:
+                self.grid = self.grid._replace(
+                    leafmap=self._sweep_tabs.leafmap,
+                    fine_n=self._sweep_tabs.n)
+        else:
+            self._sweep_tabs = None
+
+    def _rf_finalize(self, rf):
+        """Convert plane-space RF accumulators (multi-level sweep) to the
+        public (ncells, nbins) table; identity otherwise."""
+        if rf is None or not isinstance(rf, tuple):
+            return rf
+        from .transport import mlsweep as _ml
+        return _ml.finalize_rf(self._sweep_tabs, rf, self.grid.ncells)
 
     def _grid_diagonal(self) -> float:
         if hasattr(self.grid, "diagonal"):
@@ -183,10 +205,15 @@ class Simulation:
         if R <= 1:
             return None
         sed = getattr(source, "sed", None)
-        if sed is None:
+        if sed is not None:
+            lmin = float(np.asarray(sed.lam)[0])
+            lmax = float(np.asarray(sed.lam)[-1])
+        elif getattr(source, "lam_range", None) is not None:
+            # per-cell-spectrum sources (secondary emission) expose their
+            # overall wavelength support instead of a single SED
+            lmin, lmax = source.lam_range
+        else:
             return None
-        lmin = float(np.asarray(sed.lam)[0])
-        lmax = float(np.asarray(sed.lam)[-1])
         rb = np.asarray(self.rf_borders, np.float64)
         borders = [lmin]
         bin_map = []
@@ -201,9 +228,39 @@ class Simulation:
         if lmax > borders[-1]:
             borders.append(lmax)
             bin_map.append(-1)
+        if not opts.peel_off:
+            # RF-only segments (self-absorption / dynamic-state iterations):
+            # packets outside the RF grid deposit nothing and reach no
+            # instrument — launching them is pure waste, so drop the edge
+            # strata entirely (each stratum is an independent unbiased
+            # estimator of its own bins; omitting a stratum only omits its
+            # (unused) estimate)
+            while bin_map and bin_map[0] == -1:
+                bin_map.pop(0)
+                borders.pop(0)
+            while bin_map and bin_map[-1] == -1:
+                bin_map.pop()
+                borders.pop()
         if len(bin_map) < 1:
             return None
-        return np.asarray(borders, np.float64), tuple(bin_map)
+        if len(bin_map) > 128:
+            return None  # bin-pure lane groups cap at 128 strata
+        # pad the stratum count to a power of two by splitting the widest
+        # in-grid strata (several strata may map to the same RF bin): keeps
+        # the batch a power of two so it divides the packet count (no
+        # padded tail batches) and gives uniform 8-row-aligned lane blocks
+        borders = np.asarray(borders, np.float64)
+        target = 1
+        while target < len(bin_map):
+            target *= 2
+        while len(bin_map) < target:
+            widths = np.where(np.asarray(bin_map) >= 0,
+                              np.log(borders[1:] / borders[:-1]), -1.0)
+            i = int(np.argmax(widths))
+            mid = np.sqrt(borders[i] * borders[i + 1])
+            borders = np.insert(borders, i + 1, mid)
+            bin_map.insert(i + 1, bin_map[i])
+        return borders, tuple(bin_map)
 
     def _mono_rf_bin(self, source, opts):
         """Static RF bin of a monochromatic source in a multi-bin RF run."""
@@ -355,7 +412,7 @@ class Simulation:
                                  history, hist_end, stabs, prf, paccs)
                 _log().progress(min((b + 1) * B, n_packets), n_packets)
             if rf is not None:
-                rf = rf + prf.sum(axis=0)
+                rf = jax.tree.map(lambda a, p: a + p.sum(axis=0), rf, prf)
             accs = jax.tree.map(lambda a, p: a + p.sum(axis=0), accs, paccs)
             return rf, accs
         for b in range(nb):
@@ -450,6 +507,10 @@ class Simulation:
     def _init_rf(self):
         if self.rf_borders is None or not self.options.store_rf:
             return None
+        from .transport import mlsweep as _ml
+        if isinstance(self._sweep_tabs, _ml.MLTables):
+            # plane-space accumulators (aggregated per segment)
+            return _ml.init_rf(self._sweep_tabs, len(self.rf_borders) - 1)
         return jnp.zeros((self.grid.ncells, len(self.rf_borders) - 1),
                          jnp.float32)
 
@@ -466,10 +527,7 @@ class Simulation:
         """
         self.medium = self.medium._replace(
             nd=jnp.asarray(nd, jnp.float32))
-        from .transport import sweep as _sw
-        self._sweep_tabs = (_sw.build_tables(self.grid, self.medium)
-                            if _sw.supports_sweep(self.grid, self.medium)
-                            else None)
+        self._build_sweep_tables()
         self._seg_cache = {}
 
     def run_primary_iterations(self, verbose: bool = True):
@@ -511,6 +569,7 @@ class Simulation:
                     seed_key, rf, [], hist_base=hist_base,
                     lum_weight=float(lum_w[si]), seg_key=("prim-iter", si))
                 hist_base += n_src
+            rf = self._rf_finalize(rf)
             jax.block_until_ready(rf)
             nd = np.asarray(self.medium.nd, np.float64)
             n_updated = n_not_conv = 0
@@ -562,6 +621,7 @@ class Simulation:
                 lum_weight=float(lum_w[si]), seg_key=("prim", si))
             launched += n_src
             hist_base += n_src
+        rf = self._rf_finalize(rf)
         self._block(rf, accs)
         dt = time.perf_counter() - t0
         if verbose:
@@ -587,8 +647,7 @@ class Simulation:
         rf_prim, accs = self.run_primary(verbose=verbose)
         med = self.medium
         vols = self.grid.volumes()
-        etabs = eq.build_emission_tables(med, np.asarray(self.rf_borders),
-                                         np.asarray(self.ems_borders))
+        etabs = self._emission_tables()
         L_prim_abs = float(jnp.sum(eq.dust_luminosities(
             med, etabs, rf_prim, self.rf_scale)))
 
@@ -610,6 +669,7 @@ class Simulation:
                 src2, src2.tables(), opts2_nopeel, n2,
                 jax.random.fold_in(seed_key, it), rf_seco, [],
                 seg_key=("seco-iter",))
+            rf_seco = self._rf_finalize(rf_seco)
             rf_total = rf_prim + rf_seco
             L_abs = float(jnp.sum(eq.dust_luminosities(
                 med, etabs, rf_seco, self.rf_scale)))
@@ -663,8 +723,7 @@ class Simulation:
         t_all = time.perf_counter()
         from .utils.log import default as _log
         med = self.medium
-        etabs = eq.build_emission_tables(med, np.asarray(self.rf_borders),
-                                         np.asarray(self.ems_borders))
+        etabs = self._emission_tables()
         n2 = int(self.num_packets * self.secondary_packets_multiplier)
         opts_nopeel = dataclasses.replace(self.options, peel_off=False)
         opts2_nopeel = dataclasses.replace(opts_nopeel, primary=False)
@@ -693,6 +752,7 @@ class Simulation:
                     hist_base=hist_base, lum_weight=float(lum_w[si]),
                     seg_key=("merged-prim", si))
                 hist_base += n_src
+            rf_prim = self._rf_finalize(rf_prim)
             rf_total = rf_prim + rf_seco
             L_prim_abs = float(jnp.sum(eq.dust_luminosities(
                 self.medium, etabs, rf_prim, self.rf_scale)))
@@ -724,6 +784,7 @@ class Simulation:
                 src2, src2.tables(), opts2_nopeel, n2,
                 jax.random.fold_in(seed_key, 2000 + it), rf_seco, [],
                 seg_key=("merged-seco",))
+            rf_seco = self._rf_finalize(rf_seco)
             L_abs = float(jnp.sum(eq.dust_luminosities(
                 self.medium, etabs, rf_seco, self.rf_scale)))
             if verbose:
@@ -764,6 +825,17 @@ class Simulation:
                            f"({it} iterations, "
                            f"L_dust={src2.luminosity:.4e} W)")
         return rf_total, accs, info
+
+    def _emission_tables(self):
+        """Equilibrium emission tables, cached: they derive from the medium
+        and the wavelength grids only (the reference likewise precalculates
+        them once at setup, EquilibriumDustEmissionCalculator::setupSelfAfter
+        — not per emission segment)."""
+        if getattr(self, "_etabs_cache", None) is None:
+            self._etabs_cache = eq.build_emission_tables(
+                self.medium, np.asarray(self.rf_borders),
+                np.asarray(self.ems_borders))
+        return self._etabs_cache
 
     def _make_secondary(self, etabs, rf):
         med = self.medium

@@ -211,12 +211,12 @@ def _sample_wavelength(tabs, keys, lum, sed, lam0, xi):
         bd = tabs["bias_disc"]
         n = bd["lams"].shape[0]
         idx = jnp.minimum((u2 * n).astype(jnp.int32), n - 1)
-        lam_bias = bd["lams"][idx]
+        lam_bias = sampling.take_small(bd["lams"], idx)
         lam = jnp.where(u3 < xi, lam_bias, lam_sed)
-        j = jnp.clip(jnp.searchsorted(bd["lo"], lam, side="right") - 1,
-                     0, n - 1)
-        inside = (lam >= bd["lo"][j]) & (lam < bd["hi"][j])
-        b = jnp.where(inside, bd["pdens"][j], 0.0)
+        j = jnp.clip(sampling.searchsorted_right(bd["lo"], lam) - 1, 0, n - 1)
+        inside = (lam >= sampling.take_small(bd["lo"], j)) \
+            & (lam < sampling.take_small(bd["hi"], j))
+        b = jnp.where(inside, sampling.take_small(bd["pdens"], j), 0.0)
     else:
         lmin = sedt["lam"][0]
         lmax = sedt["lam"][-1]
@@ -234,11 +234,12 @@ def _cdf_at(sedt, x):
     lam = sedt["lam"]
     cdf = sedt["cdf"]
     i = sampling.locate_clip(lam, x)
-    lx0 = jnp.log(lam[i])
-    lx1 = jnp.log(lam[i + 1])
+    lx0 = jnp.log(sampling.take_small(lam, i))
+    lx1 = jnp.log(sampling.take_small(lam, i + 1))
     frac = jnp.clip((jnp.log(x) - lx0) / jnp.maximum(lx1 - lx0, 1e-30),
                     0.0, 1.0)
-    S = cdf[i] + frac * (cdf[i + 1] - cdf[i])
+    c0 = sampling.take_small(cdf, i)
+    S = c0 + frac * (sampling.take_small(cdf, i + 1) - c0)
     S = jnp.where(x <= lam[0], 0.0, jnp.where(x >= lam[-1], 1.0, S))
     return S
 
@@ -254,8 +255,8 @@ def _sample_wavelength_stratified(sedt, borders, keys, lum, xi,
     B = lum.shape[0]
     R = borders.shape[0] - 1
     stratum = (jnp.arange(B, dtype=jnp.int32) * R) // B
-    lo = borders[stratum]
-    hi = borders[stratum + 1]
+    lo = sampling.take_small(borders, stratum)
+    hi = sampling.take_small(borders, stratum + 1)
     lmin = sedt["lam"][0]
     lmax = sedt["lam"][-1]
     logw = jnp.log(lmax / lmin)
@@ -290,7 +291,7 @@ def _sample_wavelength_stratified(sedt, borders, keys, lum, xi,
     # the host supplies (N_total/R)/n_valid_r per stratum to restore the
     # exact expectation (see Simulation._run_segment)
     if strata_w is not None:
-        w = w * strata_w[stratum]
+        w = w * sampling.take_small(strata_w, stratum)
     return lam, lum * w
 
 

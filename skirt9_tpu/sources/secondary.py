@@ -31,6 +31,10 @@ class DustSecondarySource:
 
     luminosity: float          # total dust luminosity [W]
     spatial_bias: float = 0.5
+    # wavelength support of the emission spectra — lets the Simulation build
+    # bin-pure strata for the sweep engine even though there is no single
+    # SED (per-cell spectra); see Simulation._strata_for
+    lam_range: tuple = None
     _tables: dict = dataclasses.field(default=None, compare=False, hash=False,
                                       repr=False)
 
@@ -48,17 +52,56 @@ class DustSecondarySource:
         # --- wavelength from the cell's emission spectrum cdf
         rows = tabs["spec_cdf"][cell]                   # (B, L)
         u_lam = rng.uniform(keys, rng.EMISSION_LAMBDA)
+        borders = tabs["lam_borders"]
+        if "strata" in tabs:
+            # stratified launch for wavelength-binned sweep deposits: lane i
+            # draws from its cell's spectrum CONDITIONED on the stratum's
+            # wavelength range, importance weight R * m_cell(stratum) (the
+            # cell's spectral mass in the stratum) — unbiased, and the batch
+            # becomes bin-pure so the Pallas deposit kernels apply to
+            # secondary segments too (round-3 fix: these segments previously
+            # fell back to the scan march)
+            sb = tabs["strata"]
+            B = u_lam.shape[0]
+            R = sb.shape[0] - 1
+            stratum = (jnp.arange(B, dtype=jnp.int32) * R) // B
+            lo = jnp.clip(sb[stratum], borders[0], borders[-1])
+            hi = jnp.clip(sb[stratum + 1], borders[0], borders[-1])
+
+            def cdf_at(lam):
+                from ..ops import sampling as _smp
+                j = jnp.clip(_smp.searchsorted_right(borders, lam) - 1,
+                             0, rows.shape[1] - 1)
+                c0_ = jnp.where(j > 0, _smp.take_along_small(
+                    rows, jnp.maximum(j - 1, 0)), 0.0)
+                c1_ = _smp.take_along_small(rows, j)
+                bj = _smp.take_small(borders, j)
+                f = (lam - bj) / jnp.maximum(
+                    _smp.take_small(borders, j + 1) - bj, 1e-30)
+                return c0_ + jnp.clip(f, 0.0, 1.0) * (c1_ - c0_)
+
+            clo = cdf_at(lo)
+            chi = cdf_at(hi)
+            m = jnp.maximum(chi - clo, 0.0)
+            u_lam = clo + u_lam * m
+            w = R * m
+            if "strata_w" in tabs:
+                w = w * tabs["strata_w"][stratum]
+            lum = lum * w
+        from ..ops import sampling as _smp
         li = jnp.sum((rows < u_lam[:, None]).astype(jnp.int32), axis=1)
         li = jnp.clip(li, 0, rows.shape[1] - 1)
         c0 = jnp.where(li > 0,
-                       jnp.take_along_axis(rows, jnp.maximum(li - 1, 0)[:, None],
-                                           axis=1)[:, 0], 0.0)
-        c1 = jnp.take_along_axis(rows, li[:, None], axis=1)[:, 0]
+                       _smp.take_along_small(rows, jnp.maximum(li - 1, 0)),
+                       0.0)
+        c1 = _smp.take_along_small(rows, li)
         frac = jnp.where(c1 > c0, (u_lam - c0) / jnp.maximum(c1 - c0, 1e-30), 0.5)
-        borders = tabs["lam_borders"]
-        b0 = borders[li]
-        b1 = borders[li + 1]
+        b0 = _smp.take_small(borders, li)
+        b1 = _smp.take_small(borders, li + 1)
         lam = b0 + frac * (b1 - b0)
+        if "strata" in tabs:
+            # keep strictly inside the stratum against rounding
+            lam = jnp.clip(lam, lo, hi * (1.0 - 1e-7))
 
         # --- uniform random position inside the cell
         # (ref: SpatialGrid::randomPositionInCell)
@@ -115,6 +158,8 @@ def prepare(grid, L_cell, eps, ems_borders: np.ndarray,
         "cell_hi": jnp.asarray(hi, jnp.float32),
     }
     return DustSecondarySource(luminosity=total, spatial_bias=spatial_bias,
+                               lam_range=(float(ems_borders[0]),
+                                          float(ems_borders[-1])),
                                _tables=tables)
 
 

@@ -379,14 +379,22 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     launched lanes emit — surviving lanes already did in a prior call.
     """
     opt = msys.optics_at(med, pkt.lam)
-    # slab-sweep fast path (Pallas kernels, see transport/sweep.py): active
-    # when the grid/medium support it and no per-cell wavelength shifts are
-    # in play (the per-lane cross sections must be constant along the path).
+    # slab-sweep fast path (Pallas kernels, see transport/sweep.py and, for
+    # tree grids, transport/mlsweep.py): active when the grid/medium
+    # support it and no per-cell wavelength shifts are in play (the
+    # per-lane cross sections must be constant along the path).
     # Wavelength-binned radiation fields need the batch in bin-pure lane
     # groups: rf_strata > 0 (stratified launch) or rf_mono_bin >= 0 (single
     # static bin for a monochromatic source).
+    from . import mlsweep as _ml
+    from . import sweep as _sw
+    is_ml = isinstance(sweep_tabs, _ml.MLTables)
+    _eng = _ml if is_ml else _sw
     B_lanes = int(pkt.lam.shape[0])
-    rf_nbins = (rf.shape[1] if (rf is not None and opts.store_rf) else 0)
+    if rf is not None and opts.store_rf:
+        rf_nbins = rf[0].shape[0] if is_ml else rf.shape[1]
+    else:
+        rf_nbins = 0
     n_groups = 1
     if rf_nbins > 1:
         if opts.rf_strata > 0:
@@ -398,13 +406,15 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                  and not opts.lya and not opts.compton
                  and B_lanes % max(128 * n_groups, 128) == 0
                  and rf_nbins >= 0)
+    if is_ml and not use_sweep:
+        raise ValueError("multi-level sweep grid cannot fall back to the "
+                         "scan march with plane-space RF accumulators")
     if use_sweep:
-        from . import sweep as _sw
         sigma_lanes = opt.sigma_ext.T  # (H, B)
 
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
-            return jnp.sum(_sw.sweep_dtau(sweep_tabs, pos, kdir,
-                                          o.sigma_ext.T, mask), axis=0)
+            return jnp.sum(_eng.sweep_dtau(sweep_tabs, pos, kdir,
+                                           o.sigma_ext.T, mask), axis=0)
     else:
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
             return trace_tau(grid, med, o, pos, kdir, cell, opts.max_steps,
@@ -430,7 +440,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     use_rf = opts.store_rf and rf is not None and rf_borders is not None
     if use_rf:
         nrf = rf_borders.shape[0] - 1
-        rf_bin = jnp.clip(jnp.searchsorted(rf_borders, pkt.lam, side="right") - 1,
+        from ..ops import sampling as _smp
+        rf_bin = jnp.clip(_smp.searchsorted_right(rf_borders, pkt.lam) - 1,
                           0, nrf - 1)
         rf_in_range = (pkt.lam >= rf_borders[0]) & (pkt.lam < rf_borders[-1])
     else:
@@ -514,8 +525,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         # the interaction point all derive from the step table
         rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
         if use_sweep:
-            dtau_slab = _sw.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
-                                       sigma_lanes, active)
+            dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
+                                        sigma_lanes, active)
             grp = jnp.argmax(jnp.abs(pkt.dir), axis=-1)
             dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
             tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
@@ -569,12 +580,40 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             # pass 2: deposits + exact interaction resolution in one kernel
             inv_sqrt = 1.0 / float(np.sqrt(opts.rf_scale))
             lum_half = (pkt.lum * rf_mask) * inv_sqrt
-            scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) * inv_sqrt
-            rel_slab = tau_int[None, :] - tb_slab
-            rf_delta, s_int, icell, found = _sw.sweep_deposit(
-                sweep_tabs, pkt.pos, pkt.dir, sigma_lanes, active,
-                scale_slab, rel_slab, n_groups=n_groups)
-            if use_rf:
+            if is_ml:
+                rf_delta, s_int, icell, found = _ml.sweep_deposit(
+                    sweep_tabs, pkt.pos, pkt.dir, sigma_lanes, active,
+                    lum_half, tau_int, tb_slab, inv_sqrt,
+                    n_groups=n_groups)
+            else:
+                scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
+                    * inv_sqrt
+                rel_slab = tau_int[None, :] - tb_slab
+                rf_delta, s_int, icell, found = _sw.sweep_deposit(
+                    sweep_tabs, pkt.pos, pkt.dir, sigma_lanes, active,
+                    scale_slab, rel_slab, n_groups=n_groups)
+            if use_rf and is_ml:
+                # plane-space accumulators: per-level (nbins, nvox) updated
+                # with the same group->bin mapping; aggregation to cells
+                # happens once per segment (Simulation._rf_finalize)
+                M = None
+                if n_groups > 1 and rf_nbins > 1:
+                    M = np.zeros((len(opts.rf_bin_map), rf_nbins),
+                                 np.float32)
+                    for gi, bi in enumerate(opts.rf_bin_map):
+                        if bi >= 0:
+                            M[gi, bi] = 1.0
+                    M = jnp.asarray(M)
+                new_rf = []
+                for rf_l, d_l in zip(rf, rf_delta):
+                    if rf_nbins == 1:
+                        new_rf.append(rf_l + d_l)
+                    elif n_groups == 1:
+                        new_rf.append(rf_l.at[opts.rf_mono_bin].add(d_l[0]))
+                    else:
+                        new_rf.append(rf_l + M.T @ d_l)
+                rf = tuple(new_rf)
+            elif use_rf:
                 if rf.shape[1] == 1:
                     rf = rf + rf_delta[0][:, None]
                 elif n_groups == 1:
@@ -583,9 +622,14 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                 elif tuple(opts.rf_bin_map) == tuple(range(rf.shape[1])):
                     rf = rf + rf_delta.T
                 else:
+                    # static group->bin aggregation as one small matmul
+                    # (several strata may share an RF bin after splitting)
+                    M = np.zeros((len(opts.rf_bin_map), rf.shape[1]),
+                                 np.float32)
                     for gi, bi in enumerate(opts.rf_bin_map):
                         if bi >= 0:
-                            rf = rf.at[:, bi].add(rf_delta[gi])
+                            M[gi, bi] = 1.0
+                    rf = rf + rf_delta.T @ jnp.asarray(M)
             ipos = pkt.pos + s_int[:, None] * pkt.dir
             found = found & active_int
             idx = frac = None

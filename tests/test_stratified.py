@@ -146,3 +146,52 @@ def test_panchromatic_sweep_vs_scan(monkeypatch):
     sa = np.asarray(accs_a[0]["sed"], np.float64).sum()
     sb = np.asarray(accs_b[0]["sed"], np.float64).sum()
     assert abs(sb / sa - 1.0) < 0.1, (sa, sb)
+
+
+def test_secondary_stratified_launch():
+    """Stratified per-cell-spectrum (secondary dust) launch: bin purity and
+    per-bin luminosity expectation vs the unstratified sampler."""
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.sources import secondary as sec
+
+    PC = 3.0857e16
+    grid = make_cartesian(((-PC, PC),) * 3, (4,) * 3)
+    nc = grid.ncells
+    rs = np.random.default_rng(3)
+    L_cell = rs.uniform(0.0, 1.0, nc)
+    L_cell[::5] = 0.0
+    emsb = np.geomspace(1e-6, 100e-6, 13)
+    lam_c = np.sqrt(emsb[1:] * emsb[:-1])
+    # per-cell Planck-ish spectra at varying temperatures
+    T = rs.uniform(30.0, 300.0, nc)
+    eps = np.stack([_bb_pdf(t, lam_c) for t in T])
+    src = sec.prepare(grid, L_cell, eps, emsb, spatial_bias=0.5)
+
+    B = 1 << 14
+    key = jax.random.PRNGKey(1)
+    hkeys = rng.history_keys(key, jnp.arange(B, dtype=jnp.int32))
+    keys = rng.event_keys(hkeys, rng.LAUNCH_EVENT)
+    tabs = src.tables()
+    f_plain = src.launch(tabs, keys, B)
+
+    borders = np.geomspace(1e-6, 100e-6, 7)  # 6 strata
+    R = borders.size - 1
+    tabs_s = dict(tabs)
+    tabs_s["strata"] = jnp.asarray(borders, jnp.float32)
+    f_strat = src.launch(tabs_s, keys, B)
+
+    lam_s = np.asarray(f_strat["lam"])
+    lum_s = np.asarray(f_strat["lum"], np.float64)
+    strat = (np.arange(B) * R) // B
+    ok = lum_s > 0
+    assert (lam_s[ok] >= borders[strat[ok]] * (1 - 1e-5)).all()
+    assert (lam_s[ok] <= borders[strat[ok] + 1] * (1 + 1e-5)).all()
+    lum_p = np.asarray(f_plain["lum"], np.float64)
+    lam_p = np.asarray(f_plain["lam"])
+    assert abs(lum_s.sum() / lum_p.sum() - 1.0) < 3e-2
+    for r in range(R):
+        m_p = (lam_p >= borders[r]) & (lam_p < borders[r + 1])
+        Ls = lum_s[strat == r].sum()
+        Lp = lum_p[m_p].sum()
+        if Lp > 1e-3 * lum_p.sum():
+            assert abs(Ls / Lp - 1.0) < 0.15, (r, Ls, Lp)
