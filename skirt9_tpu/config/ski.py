@@ -218,7 +218,9 @@ def build_sed(el) -> TabulatedSED:
     if t == "SunSED":
         return sedlib.sun_approx()
     if t == "FileSED":
-        return sedlib.from_file(a["filename"])
+        # SKIRT text columns default to wavelength in micron
+        # (ref: TextInFile default units for FileSED)
+        return sedlib.from_file(a["filename"], lam_unit=1e-6)
     raise NotImplementedError(f"SED type '{t}' not supported yet")
 
 
@@ -407,7 +409,21 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                    "FreeWithPolarization": "Free",
                    "Good": "Free", "Exact": "Free"}.get(
                        a.get("scatterBoundElectrons", "Good"), "Free")
-        tabs = xr.build_xray_tables(lam, abundances=ab, scatter=scatter)
+        # full-element Verner fits + fluorescence yields load from
+        # XRay_PA.txt / XRay_FL.txt next to the ski when present (the
+        # reference reads the same layouts from its resource packs);
+        # built-ins are Verner H+He plus the approximate Fe K model
+        import os as _os
+        shells = list(xr.BUILTIN_SHELLS) + [xr.FE_K_SHELL]
+        lines = list(xr.FE_K_LINES)
+        pa = _os.path.join(base_dir, "XRay_PA.txt")
+        fl = _os.path.join(base_dir, "XRay_FL.txt")
+        if _os.path.exists(pa):
+            shells = xr.load_pa_file(pa)
+        if _os.path.exists(fl):
+            lines = xr.load_fl_file(fl)
+        tabs = xr.build_xray_tables(lam, abundances=ab, scatter=scatter,
+                                    shells=shells, lines=lines)
         return xr.as_mix_tables(tabs)
     if t == "MeanFileDustMix":
         # input files resolve relative to the ski file's directory
@@ -529,6 +545,16 @@ def build_medium_normalization(el, geom, mix):
         return gm.MassNormalization(mass=_q(a, "mass", "mass"))
     if norm.tag == "NumberMaterialNormalization":
         return gm.NumberNormalization(number=_f(a, "number"))
+    ax = {"X": "x", "Y": "y", "Z": "z"}.get(a.get("axis", "Z"), "z")
+    if norm.tag == "NumberColumnMaterialNormalization":
+        return gm.NumberColumnNormalization(
+            column=U.parse("numbersurfacedensity",
+                           a["numberColumnDensity"]),
+            axis=ax)
+    if norm.tag == "MassColumnMaterialNormalization":
+        return gm.MassColumnNormalization(
+            column=U.parse("masssurfacedensity", a["massColumnDensity"]),
+            axis=ax)
     raise NotImplementedError(f"normalization '{norm.tag}' not supported yet")
 
 
@@ -1078,6 +1104,17 @@ def load_ski(path: str, num_packets: int | None = None,
             mueller = mt
             break
 
+    # X-ray gas: fluorescence + Compton channel tables switch the photon
+    # cycle to the wavelength-changing X-ray branch (ref: XRayAtomicGasMix
+    # performScattering; Configuration derived flags)
+    xray_dev_tabs = None
+    for _, mix_i, _ in components:
+        xt = getattr(mix_i, "_xray", None)
+        if xt is not None:
+            from ..media import xray as _xr
+            xray_dev_tabs = _xr.device_tables(xt)
+            break
+
     # photon-cycle knobs (ref: PhotonPacketOptions.hpp defaults)
     pp_el = mcs.find(".//photonPacketOptions/PhotonPacketOptions")
     pa = pp_el.attrib if pp_el is not None else {}
@@ -1103,7 +1140,8 @@ def load_ski(path: str, num_packets: int | None = None,
                                explicit_absorption=pa.get(
                                    "explicitAbsorption", "false") == "true",
                                kinematics=kinematics,
-                               polarization=mueller is not None)
+                               polarization=mueller is not None,
+                               xray=xray_dev_tabs is not None)
     # dynamic medium state recipes + primary-emission iterations
     # (ref: DynamicStateOptions.hpp:20, IterationOptions.hpp:21-66,
     # MonteCarloSimulation iteratePrimaryEmission mode attribute)
@@ -1156,7 +1194,7 @@ def load_ski(path: str, num_packets: int | None = None,
         max_primary_iterations=int(_f(ia, "maxPrimaryIterations", 10)),
         primary_iteration_packets_multiplier=_f(
             ia, "primaryIterationPacketsMultiplier", 1.0),
-        mueller=mueller)
+        mueller=mueller, xray_tabs=xray_dev_tabs)
     # keep the exact configuration for the parameters.xml round-trip
     # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
     sim.ski_text = ski_text

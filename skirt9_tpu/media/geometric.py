@@ -65,6 +65,50 @@ class NumberNormalization:
         return self.number
 
 
+def _axis_column(geometry, axis: str, rmax: float = 0.0) -> float:
+    """Normalized column (integral of unit-mass density) along a full axis
+    through the origin [1/m^2]."""
+    rmax = rmax or getattr(geometry, "rmax", None)
+    if rmax is None:
+        raise ValueError("provide rmax for column normalization")
+    s = np.linspace(-rmax, rmax, 20001)
+    unit = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1]}[axis]
+    pos = s[:, None] * np.asarray(unit, np.float64)
+    col = np.trapezoid(geometry.density_np(pos), s)
+    if col <= 0:
+        raise ValueError("geometry has zero column along the axis")
+    return col
+
+
+@dataclasses.dataclass(frozen=True)
+class NumberColumnNormalization:
+    """Number column density along a full coordinate axis
+    (ref: NumberColumnMaterialNormalization)."""
+
+    column: float    # [1/m^2]
+    axis: str = "z"
+    rmax: float = 0.0
+
+    def number_factor(self, geometry, mix: mx.MixTables) -> float:
+        return self.column / _axis_column(geometry, self.axis, self.rmax)
+
+
+@dataclasses.dataclass(frozen=True)
+class MassColumnNormalization:
+    """Mass column density along a full coordinate axis
+    (ref: MassColumnMaterialNormalization)."""
+
+    column: float    # [kg/m^2]
+    axis: str = "z"
+    rmax: float = 0.0
+
+    def number_factor(self, geometry, mix: mx.MixTables) -> float:
+        if mix.mu <= 0:
+            raise ValueError("mass column normalization needs mu > 0")
+        return self.column / mix.mu \
+            / _axis_column(geometry, self.axis, self.rmax)
+
+
 def cell_densities(grid, geometry, samples: int = 64, seed: int = 1234) -> np.ndarray:
     """Average normalized density over each cell (the reference MC-samples
     numDensitySamples=100 random points per cell,

@@ -69,6 +69,15 @@ BUILTIN_SHELLS = [
                 2.039, 0.4434, 2.136),
 ]
 
+# Fe K-shell APPROXIMATE model (edge energy and fluorescence line/yield
+# are published values; the cross-section fit shape is a calibrated
+# power-law approximation, exact Verner coefficients ship with resource
+# tables via load_pa_file). sigma(K edge+) ~ 3.5e-20 cm^2/atom with ~E^-2.7
+# falloff reproduces tabulated Fe photo-absorption to tens of percent —
+# good enough for demo/validation skis, clearly below resource-pack grade.
+FE_K_SHELL = ShellParams(26, 1, 0, 7112.0, 3e5, 711.2, 21.66, 1e30, 1.6,
+                         0.0, 0.0, 0.0)
+
 
 def verner_sigma(E_eV: np.ndarray, p: ShellParams) -> np.ndarray:
     """Photo-ionization cross section [m^2] for one subshell at photon
@@ -106,6 +115,13 @@ class FluorescenceLine:
     yield_: float
     E_line: float
     width: float = 0.0  # Lorentzian width [eV] (0 = delta line)
+
+
+# published Fe K fluorescence transitions (energies/yields well-known)
+FE_K_LINES = [
+    FluorescenceLine(26, 1, 0, 0.340, 6404.0),   # K-alpha
+    FluorescenceLine(26, 1, 0, 0.045, 7058.0),   # K-beta
+]
 
 
 def load_fl_file(path: str) -> list:
@@ -237,6 +253,21 @@ ATOMIC_WEIGHTS = np.array([
 AMU = 1.66053906660e-27  # kg
 
 
+def device_tables(tabs: XRayTables) -> dict:
+    """Device copies for the transport engine's X-ray branch
+    (lifecycle TransportOptions.xray): channel cross sections vs wavelength
+    plus fluorescence line sampling tables."""
+    import jax.numpy as jnp
+    return {
+        "lam": jnp.asarray(tabs.lam, jnp.float32),
+        "sigma_ext": jnp.asarray(tabs.sigma_ext, jnp.float32),
+        "sigma_sca": jnp.asarray(tabs.sigma_sca, jnp.float32),
+        "sigma_fluor": jnp.asarray(tabs.sigma_fluor, jnp.float32),
+        "line_lam": jnp.asarray(tabs.line_lam, jnp.float32),
+        "line_cdf": jnp.asarray(tabs.line_cdf, jnp.float32),
+    }
+
+
 def as_mix_tables(tabs: XRayTables, abundances: np.ndarray | None = None):
     """Wrap into the engine's MixTables (per-H-atom optics; mu = mean mass
     per hydrogen atom over the abundance set, so MassMaterialNormalization
@@ -245,7 +276,10 @@ def as_mix_tables(tabs: XRayTables, abundances: np.ndarray | None = None):
     ab = np.asarray(abundances if abundances is not None
                     else SOLAR_ABUNDANCES, np.float64)
     mu = float(np.sum(ab * ATOMIC_WEIGHTS[:len(ab)]) * AMU)
-    albedo = tabs.sigma_sca / np.maximum(tabs.sigma_ext, 1e-300)
+    # "scattering" includes the fluorescence channel (a wavelength-changing
+    # scattering, ref: XRayAtomicGasMix performScattering channel list)
+    albedo = (tabs.sigma_sca + tabs.sigma_fluor) \
+        / np.maximum(tabs.sigma_ext, 1e-300)
     g = np.zeros_like(tabs.lam)  # KN sampling handles anisotropy via the
     #                              compton option; HG fallback isotropic
     mix = mx.tabulated(tabs.lam, tabs.sigma_ext, albedo, g, mu=mu)

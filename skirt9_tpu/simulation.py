@@ -117,6 +117,9 @@ class Simulation:
     # device.
     mesh: object = None
     mesh_axis: str = "pp"
+    # X-ray gas channel tables (media.xray.device_tables) consumed by the
+    # lifecycle when options.xray is set
+    xray_tabs: object = None
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -308,7 +311,8 @@ class Simulation:
                                  sweep_tabs=self._sweep_tabs,
                                  emission_phase=emission_phase,
                                  emission_polarization=getattr(
-                                     source, "polarization", None))
+                                     source, "polarization", None),
+                                 xray_tabs=self.xray_tabs)
 
         if self.mesh is None:
             fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(6, 7))
@@ -438,6 +442,12 @@ class Simulation:
         """
         key = ("refill", seg_key, B)
         hist_end = jnp.int32(hist_base + n_packets)
+        # generation guard: lanes die by weight cutoff; allow generous but
+        # finite lifetimes (pure-scattering albedo=1 media would otherwise
+        # spin forever)
+        K = max(self.refill_events, 1)
+        max_gens = (n_packets // B + 2) * (
+            max(4 * self.options.max_events, 64) // K + 2)
         if key not in self._seg_cache:
             grid = self.grid
             med = self.medium
@@ -473,32 +483,45 @@ class Simulation:
                                     emission_phase=emission_phase,
                                     emission_polarization=getattr(
                                         source, "polarization", None),
-                                    emit_mask=refill, return_state=True)
+                                    emit_mask=refill, return_state=True,
+                                    xray_tabs=self.xray_tabs)
                 rf, accs, pkt = out
                 nh = next_hist + jnp.sum(refill).astype(jnp.int32)
-                return pkt, nh, rf, accs, jnp.sum(pkt.alive)
+                return pkt, nh, rf, accs
 
-            self._seg_cache[key] = jax.jit(gen, static_argnums=(0, 1),
-                                           donate_argnums=(5, 7, 8))
-        gen = self._seg_cache[key]
-        # initial state: an all-dead batch (history >= hist_end)
-        pkt = src.launch_batch(source, stabs, self.grid, seed_key,
-                               jnp.full((B,), hist_end, jnp.int32),
-                               n_packets, hist_end=hist_end)
-        next_hist = jnp.int32(hist_base)
-        # generation guard: lanes die by weight cutoff; allow generous but
-        # finite lifetimes (pure-scattering albedo=1 media would otherwise
-        # spin forever)
-        K = max(self.refill_events, 1)
-        max_gens = (n_packets // B + 2) * (
-            max(4 * self.options.max_events, 64) // K + 2)
-        for _ in range(max_gens):
-            pkt, next_hist, rf, accs, n_alive = gen(
-                n_packets, float(lum_weight), seed_key, next_hist, hist_end,
-                pkt, stabs, rf, accs)
-            if int(next_hist) >= hist_base + n_packets and int(n_alive) == 0:
-                break
-        else:
+            def segment(n_tot: int, lum_w: float, max_g: int, seed_key,
+                        hist_base_, hist_end, stabs, rf, accs):
+                # the ENTIRE generation loop runs on device: the round-2
+                # path synced next_hist to the host every K events, one
+                # tunnel round trip per generation (round-2 weak #2)
+                pkt0 = src.launch_batch(source, stabs, grid, seed_key,
+                                        jnp.full((B,), hist_end, jnp.int32),
+                                        n_tot, hist_end=hist_end)
+
+                def cond(st):
+                    g, pkt, nh, rf_, accs_ = st
+                    more = (nh < hist_end) | jnp.any(pkt.alive)
+                    return more & (g < max_g)
+
+                def body(st):
+                    g, pkt, nh, rf_, accs_ = st
+                    pkt, nh, rf_, accs_ = gen(n_tot, lum_w, seed_key, nh,
+                                              hist_end, pkt, stabs, rf_,
+                                              accs_)
+                    return (g + 1, pkt, nh, rf_, accs_)
+
+                g, pkt, nh, rf, accs = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), pkt0, jnp.int32(hist_base_), rf, accs))
+                return rf, accs, nh, jnp.sum(pkt.alive)
+
+            self._seg_cache[key] = jax.jit(segment, static_argnums=(0, 1, 2),
+                                           donate_argnums=(7, 8))
+        segment = self._seg_cache[key]
+        rf, accs, next_hist, n_alive = segment(
+            n_packets, float(lum_weight), int(max_gens), seed_key,
+            hist_base, hist_end, stabs, rf, accs)
+        if int(next_hist) < hist_base + n_packets or int(n_alive) > 0:
             from .utils.log import default as _log
             _log().warning(f"refill generation cap reached ({max_gens}); "
                            f"{int(n_alive)} lanes abandoned")

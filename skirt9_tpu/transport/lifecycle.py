@@ -84,6 +84,12 @@ class TransportOptions:
                                    # LyaNeutralHydrogenGasMix, LyaUtils)
     lya_xcrit: float = 0.0         # core-skipping critical x (0 = off;
                                    # ref: LyaOptions acceleration schemes)
+    xray: bool = False             # X-ray gas: fluorescence (wavelength-
+                                   # changing re-emission at line energies)
+                                   # + bound/free Compton scattering as the
+                                   # two scattering channels (ref:
+                                   # XRayAtomicGasMix.hpp:288
+                                   # performScattering channel selection)
     kinematics: bool = False       # Doppler shifts from cell bulk velocity:
                                    # per-cell perceived wavelengths in the
                                    # march, shifted re-emission and
@@ -363,7 +369,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                emission_polarization=None,
                mueller: "stk.MuellerTables | None" = None,
                sweep_tabs=None, emit_mask: jax.Array | None = None,
-               return_state: bool = False):
+               return_state: bool = False, xray_tabs: dict | None = None):
     """Run the complete life cycle of one launched packet batch.
 
     Equivalent of performLifeCycle for the whole batch: emission peel-off,
@@ -401,6 +407,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             n_groups = opts.rf_strata
         elif opts.rf_mono_bin < 0:
             rf_nbins = -1  # multi-bin RF without a bin-pure layout: no sweep
+    # wavelength-changing scattering (Compton/Lya/X-ray): per-event optics
+    # must re-derive from the CURRENT packet wavelengths (round-3 fix: the
+    # once-per-segment optics were stale after the first shift)
+    lam_changing = opts.compton or opts.lya or opts.xray
     use_sweep = (sweep_tabs is not None
                  and not opts.explicit_absorption and not opts.kinematics
                  and not opts.lya and not opts.compton
@@ -413,8 +423,12 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         sigma_lanes = opt.sigma_ext.T  # (H, B)
 
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
+            # per-observer wavelengths (fluorescence lines, Doppler) need
+            # extinction at the DETECTION wavelength, not the packet's
+            sig = (msys.optics_at(med, lam_m).sigma_ext.T
+                   if lam_m is not None else o.sigma_ext.T)
             return jnp.sum(_eng.sweep_dtau(sweep_tabs, pos, kdir,
-                                           o.sigma_ext.T, mask), axis=0)
+                                           sig, mask), axis=0)
     else:
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
             return trace_tau(grid, med, o, pos, kdir, cell, opts.max_steps,
@@ -519,14 +533,17 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         # mixed-age batches under lane refill)
         keys = rng.event_keys(pkt.hkey, pkt.nscat)
         active = pkt.alive
-        opt_ev = opt  # wavelength unchanged by scattering (no Compton/Lya yet)
+        # λ-changing processes re-derive optics each event; otherwise the
+        # segment-level tables hold (wavelength never changes)
+        opt_ev = msys.optics_at(med, pkt.lam) if lam_changing else opt
 
         # ONE march records the whole path; optical depth, RF deposits and
         # the interaction point all derive from the step table
         rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
         if use_sweep:
+            sig_ev = opt_ev.sigma_ext.T if lam_changing else sigma_lanes
             dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
-                                        sigma_lanes, active)
+                                        sig_ev, active)
             grp = jnp.argmax(jnp.abs(pkt.dir), axis=-1)
             dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
             tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
@@ -582,7 +599,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             lum_half = (pkt.lum * rf_mask) * inv_sqrt
             if is_ml:
                 rf_delta, s_int, icell, found = _ml.sweep_deposit(
-                    sweep_tabs, pkt.pos, pkt.dir, sigma_lanes, active,
+                    sweep_tabs, pkt.pos, pkt.dir, sig_ev, active,
                     lum_half, tau_int, tb_slab, inv_sqrt,
                     n_groups=n_groups)
             else:
@@ -590,7 +607,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                     * inv_sqrt
                 rel_slab = tau_int[None, :] - tb_slab
                 rf_delta, s_int, icell, found = _sw.sweep_deposit(
-                    sweep_tabs, pkt.pos, pkt.dir, sigma_lanes, active,
+                    sweep_tabs, pkt.pos, pkt.dir, sig_ev, active,
                     scale_slab, rel_slab, n_groups=n_groups)
             if use_rf and is_ml:
                 # plane-space accumulators: per-level (nbins, nvox) updated
@@ -666,6 +683,23 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             albedo = msys.albedo_for_scattering(med, opt_int, icell)
         if opts.lya:
             albedo = jnp.ones_like(lum_at)  # pure resonant scattering
+        if opts.xray:
+            # scattering = electron channel + fluorescence channel; the
+            # remainder is true absorption (ref: XRayAtomicGasMix channel
+            # cross sections)
+            from ..ops import sampling as _smp
+            xt = xray_tabs
+            sig_e_x = _smp.interp_loglog(lam_cell, xt["lam"],
+                                         xt["sigma_sca"])
+            sig_fl_x = _smp.interp_loglog(lam_cell, xt["lam"],
+                                          xt["sigma_fluor"])
+            sig_ext_x = _smp.interp_loglog(lam_cell, xt["lam"],
+                                           xt["sigma_ext"])
+            sca_tot = sig_e_x + sig_fl_x
+            albedo = jnp.where(sig_ext_x > 0,
+                               sca_tot / jnp.maximum(sig_ext_x, 1e-37), 0.0)
+            p_fl = jnp.where(sca_tot > 0,
+                             sig_fl_x / jnp.maximum(sca_tot, 1e-37), 0.0)
 
         # move packet to interaction point (accumulating the traveled
         # path for time-lag instruments, ref: PhotonPacket::propagate)
@@ -777,8 +811,82 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             pkt = pkt._replace(
                 lam=jnp.where(active_int, lam_new_c, pkt.lam))
 
+        # ---- X-ray gas: fluorescence + Compton as the two scattering
+        # channels; peel-off records BOTH channels with their probabilities
+        # (ref: XRayAtomicGasMix::peeloffScattering iterates the channels)
+        if opts.xray:
+            from ..ops import sampling as _smp
+            xt = xray_tabs
+            x_c = co.x_of_lambda(lam_cell)
+            # sample the fluorescence line for this event from the
+            # energy-bin channel cdf
+            L_ln = int(xt["line_lam"].shape[0])
+            if L_ln > 0:
+                kbin = jnp.clip(_smp.searchsorted_right(xt["lam"],
+                                                        lam_cell) - 1,
+                                0, xt["lam"].shape[0] - 1)
+                rows = jnp.stack([_smp.take_small(xt["line_cdf"][:, li],
+                                                  kbin)
+                                  for li in range(L_ln)], axis=-1)
+                u_line = rng.uniform(keys, _TAG_SCATTER_COMP + 50)
+                li = jnp.clip(jnp.sum((rows < u_line[:, None]).astype(
+                    jnp.int32), axis=1), 0, L_ln - 1)
+                lam_line = _smp.take_small(xt["line_lam"], li)
+            else:
+                lam_line = lam_cell
+            if do_peel and dist_ids:
+                def xr_kn_per_sr(kobs):
+                    mu_o = jnp.sum(pkt.dir * kobs, axis=-1)
+                    return pkt.lum * albedo * (1.0 - p_fl) \
+                        * co.phase_value(x_c, mu_o)
+
+                def xr_kn_lam_fn(kobs):
+                    B = pkt.lam.shape[0]
+                    ko = jnp.broadcast_to(kobs, (B, 3))
+                    mu_o = jnp.sum(pkt.dir * ko, axis=-1)
+                    return co.shifted_wavelength(lam_cell, x_c, mu_o)
+
+                sub = peel_off(grid, med, opt_int,
+                               [inst_cfgs[i] for i in dist_ids],
+                               [inst_tabs[i] for i in dist_ids],
+                               [accs[i] for i in dist_ids],
+                               pkt.lam, pkt.pos, pkt.cell, xr_kn_per_sr,
+                               kind_scat, opts.max_steps, active_int,
+                               lam_fn=xr_kn_lam_fn, march_uses_lam_fn=True,
+                               tracer=tracer, dist=pkt.dist)
+                accs = _stitch(accs, dist_ids, sub)
+                iso_sr = 1.0 / (4.0 * jnp.pi)
+
+                def xr_fl_per_sr(kobs):
+                    return pkt.lum * albedo * p_fl * iso_sr
+
+                sub = peel_off(grid, med, opt_int,
+                               [inst_cfgs[i] for i in dist_ids],
+                               [inst_tabs[i] for i in dist_ids],
+                               [accs[i] for i in dist_ids],
+                               pkt.lam, pkt.pos, pkt.cell, xr_fl_per_sr,
+                               kind_scat, opts.max_steps, active_int,
+                               lam_fn=lambda ko: lam_line,
+                               march_uses_lam_fn=True,
+                               tracer=tracer, dist=pkt.dist)
+                accs = _stitch(accs, dist_ids, sub)
+            # channel selection + the scattering event proper
+            u_ch = rng.uniform(keys, _TAG_SCATTER_COMP + 51)
+            is_fl = u_ch < p_fl
+            mu_s = co.sample_costheta(rng.uniform(keys, _TAG_SCATTER_CT),
+                                      x_c)
+            u_iso = rng.uniform(keys, _TAG_SCATTER_COMP + 52)
+            mu_mix = jnp.where(is_fl, 2.0 * u_iso - 1.0, mu_s)
+            phi_x = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+            newdir = phs.rotate_direction(pkt.dir, mu_mix, phi_x)
+            lam_new_x = jnp.where(is_fl, lam_line,
+                                  co.shifted_wavelength(lam_cell, x_c,
+                                                        mu_s))
+            pkt = pkt._replace(
+                lam=jnp.where(active_int, lam_new_x, pkt.lam))
+
         # scattering peel-off (ref: MonteCarloSimulation::peelOffScattering)
-        if do_peel and not opts.lya and not opts.compton:
+        if do_peel and not opts.lya and not opts.compton and not opts.xray:
             w_comp = msys.scattering_weights(med, opt_int, icell)  # (B,H)
 
             if not polarized:
@@ -868,7 +976,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
         # the scattering event proper (ref: MediumSystem::simulateScattering
         # / MaterialMix::performScattering)
-        if opts.lya or opts.compton:
+        if opts.lya or opts.compton or opts.xray:
             pass  # direction and wavelength already updated above
         elif not polarized:
             g_sel = jnp.take_along_axis(opt_int.g, h[..., None], axis=-1)[..., 0]
