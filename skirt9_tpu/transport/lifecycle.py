@@ -267,6 +267,54 @@ def interaction_point(pos0, dirn, cells, ds, dtau, tau_before, tau_int,
     return ipos, icell, found, idx, frac
 
 
+# --------------------------------------------------- shared event primitives
+#
+# Factored so the spatial-domain-decomposition engine (parallel/domain.py)
+# reuses the EXACT forced-scattering sampling, scattering and termination
+# rules (and RNG streams) instead of maintaining a drifting copy.
+
+def sample_interaction_tau(opts: TransportOptions, keys, tau_path):
+    """Interaction optical depth + bias weight for one event.
+
+    Forced scattering with the composite uniform/exponential path-length
+    bias (ref: MonteCarloSimulation::simulateForcedPropagation :696, bias
+    mix :709-721) or plain exponential free path (non-forced, :746).
+    Returns (tau_int, w_bias, ok): ok masks lanes whose path supports an
+    interaction at all.
+    """
+    if opts.force_scattering:
+        xi = opts.path_length_bias
+        one_minus_exp = -jnp.expm1(-tau_path)
+        if xi > 0:
+            u_choice = rng.uniform(keys, _TAG_PATH_CHOICE)
+            tau_uni = rng.uniform(keys, _TAG_PATH_TAU_UNI) * tau_path
+            tau_exp = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+            tau_int = jnp.where(u_choice < xi, tau_uni, tau_exp)
+            p = jnp.exp(-tau_int) / jnp.maximum(one_minus_exp, 1e-30)
+            q = (1.0 - xi) * p + xi / jnp.maximum(tau_path, 1e-30)
+            w_bias = one_minus_exp * p / jnp.maximum(q, 1e-30)
+        else:
+            tau_int = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
+            w_bias = one_minus_exp
+        return tau_int, w_bias, tau_path > 1e-6
+    tau_int = rng.expon(keys, _TAG_PATH_TAU_EXP)
+    return tau_int, jnp.ones_like(tau_path), jnp.ones_like(tau_path, bool)
+
+
+def hg_scatter_direction(keys, g_sel, dirn):
+    """Henyey-Greenstein direction update (ref: DustMix HG sampling)."""
+    ct = phs.hg_sample_costheta(g_sel, rng.uniform(keys, _TAG_SCATTER_CT))
+    phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+    return phs.rotate_direction(dirn, ct, phi)
+
+
+def survives_cutoff(opts: TransportOptions, lum_new, nscat_new, lum0):
+    """Weight-cutoff / min-scattering termination test
+    (ref: MonteCarloSimulation.cpp:563)."""
+    return (lum_new * opts.min_weight_reduction > lum0) | \
+        (nscat_new < opts.min_scatt_events)
+
+
 # ------------------------------------------------------------------- peel-off
 
 def _observer_groups(inst_cfgs) -> list[list[int]]:
@@ -566,32 +614,9 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             tau_before = jnp.cumsum(dtau_s, axis=0) - dtau_s
             tau_path = tau_before[-1] + dtau_s[-1]
 
-        if opts.force_scattering:
-            # forced scattering with composite path-length bias
-            # (ref: MonteCarloSimulation::simulateForcedPropagation :696,
-            # bias mix :709-721)
-            xi = opts.path_length_bias
-            one_minus_exp = -jnp.expm1(-tau_path)
-            if xi > 0:
-                u_choice = rng.uniform(keys, _TAG_PATH_CHOICE)
-                tau_uni = rng.uniform(keys, _TAG_PATH_TAU_UNI) * tau_path
-                tau_exp = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
-                tau_int = jnp.where(u_choice < xi, tau_uni, tau_exp)
-                p = jnp.exp(-tau_int) / jnp.maximum(one_minus_exp, 1e-30)
-                q = (1.0 - xi) * p + xi / jnp.maximum(tau_path, 1e-30)
-                w_bias = one_minus_exp * p / jnp.maximum(q, 1e-30)
-            else:
-                tau_int = rng.expon_cutoff(keys, _TAG_PATH_TAU_EXP, tau_path)
-                w_bias = one_minus_exp
-            # a packet whose path has (nearly) no optical depth escapes
-            active_int = active & (tau_path > 1e-6)
-        else:
-            # non-forced: plain exponential free path; packets whose path
-            # ends before tau_int escape the model
-            # (ref: MonteCarloSimulation::simulateNonForcedPropagation :746)
-            tau_int = rng.expon(keys, _TAG_PATH_TAU_EXP)
-            w_bias = jnp.ones_like(tau_path)
-            active_int = active
+        tau_int, w_bias, tau_ok = sample_interaction_tau(opts, keys,
+                                                         tau_path)
+        active_int = active & tau_ok
 
         if use_sweep:
             # pass 2: deposits + exact interaction resolution in one kernel
@@ -980,10 +1005,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             pass  # direction and wavelength already updated above
         elif not polarized:
             g_sel = jnp.take_along_axis(opt_int.g, h[..., None], axis=-1)[..., 0]
-            ct = phs.hg_sample_costheta(g_sel,
-                                        rng.uniform(keys, _TAG_SCATTER_CT))
-            phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
-            newdir = phs.rotate_direction(pkt.dir, ct, phi)
+            newdir = hg_scatter_direction(keys, g_sel, pkt.dir)
         else:
             # sample (theta, phi) from the polarized phase function and
             # update direction, reference normal and Stokes state
@@ -1013,9 +1035,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
 
         lum_new = pkt.lum * albedo
         nscat_new = pkt.nscat + 1
-        # termination (ref: MonteCarloSimulation.cpp:563 weight cutoff)
-        survive = (lum_new * opts.min_weight_reduction > pkt.lum0) | \
-                  (nscat_new < opts.min_scatt_events)
+        survive = survives_cutoff(opts, lum_new, nscat_new, pkt.lum0)
         alive_new = active_int & survive & (lum_new > 0)
 
         pkt = pkt._replace(
