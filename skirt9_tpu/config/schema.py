@@ -1,0 +1,259 @@
+"""Declarative item schema: defaults + conditional relevance.
+
+TPU-build counterpart of the SMILE schema layer (ref: SMILE/schema/
+NameManager.hpp:42 name-set accumulation, BooleanExpression.hpp:56
+condition evaluation, ItemInfo ATTRIBUTE_DEFAULT_VALUE /
+ATTRIBUTE_RELEVANT_IF declarations). Instead of C++ macros compiled into a
+SchemaDef, item metadata lives in one python registry that BOTH the writer
+(config/skiwriter.py: materializing defaults into parameters.xml) and the
+round-trip tests consume — a single source of truth, so a loader default
+cannot silently diverge from the regenerated record (round-2 advisory:
+skiwriter._DEFAULTS drift risk).
+
+Name sets: walking the hierarchy accumulates names (item tags plus names
+INSERTED by enum values — e.g. simulationMode="DustEmission" inserts
+"Emission" like MonteCarloSimulation.hpp:227-236); a property's
+`relevant_if` boolean expression is evaluated against the accumulated set,
+and only relevant properties get their defaults materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Prop:
+    """One declared property (ref: ITEM PROPERTY_* + ATTRIBUTE_* macros)."""
+
+    name: str
+    default: str | None = None       # ski-syntax literal (with units)
+    relevant_if: str | None = None   # boolean expression over the name set
+
+
+@dataclasses.dataclass(frozen=True)
+class ItemDef:
+    props: tuple = ()
+    # names inserted when the item appears (beyond its own tag), possibly
+    # keyed on an attribute value: list of (attr, value_or_None, names)
+    inserts: tuple = ()
+
+
+# ------------------------------------------------- boolean expressions
+
+def evaluate(expr: str, names: set) -> bool:
+    """Evaluate a SMILE-style boolean expression ("A&(B|!C)") against a
+    name set (ref: BooleanExpression.hpp:56 — identifiers, !, &, |,
+    parentheses; & binds tighter than |)."""
+    pos = 0
+
+    def peek():
+        nonlocal pos
+        while pos < len(expr) and expr[pos].isspace():
+            pos += 1
+        return expr[pos] if pos < len(expr) else ""
+
+    def parse_or():
+        v = parse_and()
+        while peek() == "|":
+            nonlocal pos
+            pos += 1
+            v2 = parse_and()
+            v = v or v2
+        return v
+
+    def parse_and():
+        v = parse_not()
+        while peek() == "&":
+            nonlocal pos
+            pos += 1
+            v2 = parse_not()
+            v = v and v2
+        return v
+
+    def parse_not():
+        nonlocal pos
+        c = peek()
+        if c == "!":
+            pos += 1
+            return not parse_not()
+        if c == "(":
+            pos += 1
+            v = parse_or()
+            if peek() == ")":
+                pos += 1
+            return v
+        start = pos
+        while pos < len(expr) and (expr[pos].isalnum() or expr[pos] == "_"):
+            pos += 1
+        return expr[start:pos] in names
+
+    return parse_or()
+
+
+# --------------------------------------------------------------- registry
+
+_MODE_NAMES = {
+    "ExtinctionOnly": ("ExtinctionOnly", "NoMedium?"),
+    "DustEmission": ("Emission", "DustEmission"),
+    "ExtinctionOnly(oligochromatic)": ("Oligochromatic",),
+    "LyaExtinctionOnly": ("Lya", "ExtinctionOnly"),
+    "NoMedium": ("NoMedium",),
+    "GasEmission": ("Emission", "GasEmission"),
+    "DustAndGasEmission": ("Emission", "DustEmission", "GasEmission"),
+}
+
+REGISTRY: dict[str, ItemDef] = {
+    "MonteCarloSimulation": ItemDef(
+        props=(
+            Prop("userLevel", "Regular"),
+            Prop("simulationMode", "ExtinctionOnly"),
+            Prop("numPackets", "1e6"),
+            Prop("iterateSecondaryEmission", "false",
+                 relevant_if="Emission"),
+            Prop("iteratePrimaryEmission", "false"),
+        ),
+        inserts=(("simulationMode", None, _MODE_NAMES),
+                 ("iterateSecondaryEmission", "true", ("IterateSecondary",)),
+                 ("iteratePrimaryEmission", "true", ("IteratePrimary",))),
+    ),
+    "Random": ItemDef(props=(Prop("seed", "0"),)),
+    "SourceSystem": ItemDef(props=(Prop("sourceBias", "0.5"),)),
+    "PointSource": ItemDef(props=(
+        Prop("positionX", "0 pc"), Prop("positionY", "0 pc"),
+        Prop("positionZ", "0 pc"), Prop("sourceWeight", "1"),
+        Prop("wavelengthBias", "0.5"),
+    )),
+    "GeometricSource": ItemDef(props=(
+        Prop("sourceWeight", "1"), Prop("wavelengthBias", "0.5"),
+    )),
+    "ParticleSource": ItemDef(props=(
+        Prop("importVelocity", "false"), Prop("sourceWeight", "1"),
+        Prop("wavelengthBias", "0.5"),
+    )),
+    "GeometricMedium": ItemDef(props=(
+        Prop("velocityMagnitude", "0 km/s"),
+    )),
+    "PhotonPacketOptions": ItemDef(props=(
+        Prop("forceScattering", "true"),
+        Prop("explicitAbsorption", "false"),
+        Prop("minWeightReduction", "1e4"),
+        Prop("minScattEvents", "0"),
+        # the bias only applies to the forced-scattering cycle
+        # (ref: PhotonPacketOptions.hpp:83 RELEVANT_IF ForceScattering;
+        # kinematics forces it to 0 at the derived-config level)
+        Prop("pathLengthBias", "0.5", relevant_if="ForceScattering"),
+    ), inserts=(("forceScattering", "true", ("ForceScattering",)),)),
+    "RadiationFieldOptions": ItemDef(props=(
+        Prop("storeRadiationField", "true", relevant_if="Emission"),
+    )),
+    "DustEmissionOptions": ItemDef(props=(
+        Prop("dustEmissionType", "Equilibrium", relevant_if="DustEmission"),
+        Prop("includeHeatingByCMB", "false", relevant_if="DustEmission"),
+        Prop("maxFractionOfPrimary", "0.01",
+             relevant_if="DustEmission&IterateSecondary"),
+        Prop("maxFractionOfPrevious", "0.03",
+             relevant_if="DustEmission&IterateSecondary"),
+        Prop("sourceWeight", "1", relevant_if="DustEmission"),
+        Prop("wavelengthBias", "0.5", relevant_if="DustEmission"),
+    ), inserts=(("dustEmissionType", "Stochastic", ("StochasticHeating",)),)),
+    "IterationOptions": ItemDef(props=(
+        Prop("minSecondaryIterations", "1", relevant_if="IterateSecondary"),
+        Prop("maxSecondaryIterations", "10", relevant_if="IterateSecondary"),
+        Prop("includePrimaryEmission", "false",
+             relevant_if="IterateSecondary"),
+        Prop("minPrimaryIterations", "1", relevant_if="IteratePrimary"),
+        Prop("maxPrimaryIterations", "10", relevant_if="IteratePrimary"),
+    )),
+    "SecondaryEmissionOptions": ItemDef(props=(
+        Prop("spatialBias", "0.5", relevant_if="Emission"),
+        Prop("sourceBias", "0.5", relevant_if="Emission"),
+        Prop("secondaryPacketsMultiplier", "1", relevant_if="Emission"),
+    )),
+    "ElectronMix": ItemDef(
+        props=(Prop("includePolarization", "false"),),
+        inserts=(("includePolarization", "true", ("Polarization",)),)),
+    "XRayAtomicGasMix": ItemDef(props=(
+        Prop("scatterBoundElectrons", "Good"),
+    )),
+    "LinMesh": ItemDef(props=(Prop("numBins", "32"),)),
+    "LogMesh": ItemDef(props=(Prop("numBins", "32"),)),
+    "PowMesh": ItemDef(props=(Prop("numBins", "32"),)),
+    "FullInstrument": ItemDef(props=(
+        Prop("recordComponents", "false"),
+        Prop("recordPolarization", "false", relevant_if="Polarization"),
+        Prop("recordStatistics", "false"),
+        Prop("numScatteringLevels", "0"),
+        Prop("centerX", "0 pc"), Prop("centerY", "0 pc"),
+        Prop("inclination", "0 deg"), Prop("azimuth", "0 deg"),
+        Prop("roll", "0 deg"),
+    )),
+    "FrameInstrument": ItemDef(props=(
+        Prop("centerX", "0 pc"), Prop("centerY", "0 pc"),
+        Prop("inclination", "0 deg"), Prop("azimuth", "0 deg"),
+        Prop("roll", "0 deg"),
+    )),
+    "SEDInstrument": ItemDef(props=(
+        Prop("inclination", "0 deg"), Prop("azimuth", "0 deg"),
+        Prop("roll", "0 deg"),
+    )),
+    "RadialVectorField": ItemDef(props=(
+        Prop("unityRadius", "0 pc"), Prop("exponent", "1"),
+    )),
+    "CylindricalVectorField": ItemDef(props=(
+        Prop("unityRadius", "0 pc"), Prop("exponent", "1"),
+    )),
+    "DensityTreePolicy": ItemDef(props=(
+        Prop("minLevel", "2"), Prop("maxLevel", "6"),
+        Prop("maxDustFraction", "1e-6"),
+        Prop("maxDustOpticalDepth", "0"),
+        Prop("maxDustDensityDispersion", "0"),
+        Prop("maxElectronFraction", "1e-6"),
+        Prop("maxGasFraction", "1e-6"),
+    )),
+}
+
+
+def collect_names(root) -> set:
+    """Accumulate the name set over a parsed element tree (the walk order
+    mirrors the reference's top-down NameManager accumulation)."""
+    names = set()
+
+    def visit(el):
+        names.add(el.tag)
+        d = REGISTRY.get(el.tag)
+        if d:
+            for attr, val, ins in d.inserts:
+                got = el.attrib.get(attr)
+                if isinstance(ins, dict):
+                    for n in ins.get(got or "", ()):
+                        if not n.endswith("?"):
+                            names.add(n)
+                elif got == val or (val is None and got is not None):
+                    names.update(ins)
+        for c in el:
+            visit(c)
+
+    visit(root)
+    return names
+
+
+def materialize(root) -> None:
+    """Set every RELEVANT property that is absent to its schema default,
+    in place (the XmlHierarchyWriter contract: the written hierarchy holds
+    every property the run actually used)."""
+    names = collect_names(root)
+
+    def visit(el):
+        d = REGISTRY.get(el.tag)
+        if d:
+            for p in d.props:
+                if p.default is None or p.name in el.attrib:
+                    continue
+                if p.relevant_if and not evaluate(p.relevant_if, names):
+                    continue
+                el.attrib[p.name] = p.default
+        for c in el:
+            visit(c)
+
+    visit(root)

@@ -20,54 +20,14 @@ import datetime
 import xml.etree.ElementTree as ET
 
 
-# defaults the engine applies when an attribute is absent, keyed by item
-# tag; regenerating them makes the implicit configuration explicit
-# (values mirror the reference's ATTRIBUTE_DEFAULT_VALUE declarations for
-# the corresponding items and the loader's behavior in config/ski.py)
-_DEFAULTS = {
-    "MonteCarloSimulation": {"simulationMode": "ExtinctionOnly",
-                             "numPackets": "1e6"},
-    "Random": {"seed": "0"},
-    "SourceSystem": {"sourceBias": "0.5"},
-    "PointSource": {"positionX": "0 pc", "positionY": "0 pc",
-                    "positionZ": "0 pc", "sourceWeight": "1",
-                    "wavelengthBias": "0.5"},
-    "GeometricSource": {"sourceWeight": "1", "wavelengthBias": "0.5"},
-    "ParticleSource": {"importVelocity": "false", "sourceWeight": "1",
-                       "wavelengthBias": "0.5"},
-    "GeometricMedium": {"velocityMagnitude": "0 km/s"},
-    "PhotonPacketOptions": {"forceScattering": "true",
-                            "minWeightReduction": "1e4",
-                            "minScattEvents": "0",
-                            "pathLengthBias": "0.5",
-                            "explicitAbsorption": "false"},
-    "ElectronMix": {"includePolarization": "false"},
-    "RadialVectorField": {"unityRadius": "0 pc", "exponent": "1"},
-    "CylindricalVectorField": {"unityRadius": "0 pc", "exponent": "1"},
-    "LinMesh": {"numBins": "32"},
-    "LogMesh": {"numBins": "32"},
-    "FullInstrument": {"recordComponents": "false",
-                       "recordPolarization": "false",
-                       "recordStatistics": "false",
-                       "numScatteringLevels": "0",
-                       "centerX": "0 pc", "centerY": "0 pc",
-                       "inclination": "0 deg", "azimuth": "0 deg",
-                       "roll": "0 deg"},
-    "FrameInstrument": {"centerX": "0 pc", "centerY": "0 pc",
-                        "inclination": "0 deg", "azimuth": "0 deg",
-                        "roll": "0 deg"},
-    "SEDInstrument": {"inclination": "0 deg", "azimuth": "0 deg",
-                      "roll": "0 deg"},
-}
+from . import schema as _schema
 
 
 def _materialize_defaults(el: ET.Element):
-    d = _DEFAULTS.get(el.tag)
-    if d:
-        for k, v in d.items():
-            el.attrib.setdefault(k, v)
-    for c in el:
-        _materialize_defaults(c)
+    # single source of truth: the declarative item registry with
+    # conditional relevance (config/schema.py; ref: NameManager +
+    # ATTRIBUTE_DEFAULT_VALUE/RELEVANT_IF declarations)
+    _schema.materialize(el)
 
 
 def _indent(el: ET.Element, depth: int = 0):

@@ -134,6 +134,10 @@ def init_accumulators(cfg: DistantInstrumentCfg) -> dict:
         acc["stokes"] = jnp.zeros((3, nb), jnp.float32)
     if cfg.has_frame:
         acc["frame"] = jnp.zeros((NUM_KINDS, nb, cfg.npy, cfg.npx), jnp.float32)
+        if cfg.record_polarization:
+            # per-pixel Stokes Q/U/V frames (ref: FluxRecorder ifuQ/U/V)
+            acc["frame_stokes"] = jnp.zeros((3, nb, cfg.npy, cfg.npx),
+                                            jnp.float32)
     if cfg.ntime > 0:
         # timelag response cube (ref: FluxRecorder includeLightCurve /
         # spectral-time map arrays)
@@ -216,6 +220,14 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
                              nb * cfg.npy * cfg.npx)
         acc["frame"] = acc["frame"].at[kind].add(
             fr.reshape(nb, cfg.npy, cfg.npx))
+        if cfg.record_polarization and stokes_quv is not None \
+                and kind != KIND_TRANSPARENT:
+            cq = jnp.where(okf, contrib, 0.0)
+            qf = jnp.stack([sca.scatter_add(flat, stokes_quv[..., i] * cq,
+                                            nb * cfg.npy * cfg.npx)
+                            for i in range(3)])
+            acc["frame_stokes"] = acc["frame_stokes"] + qf.reshape(
+                3, nb, cfg.npy, cfg.npx)
     return acc
 
 
@@ -316,6 +328,20 @@ def calibrate_timecube(cfg: DistantInstrumentCfg, acc: dict) -> np.ndarray:
     dlam = np.diff(borders)[:, None]
     d2 = cfg.distance ** 2
     return np.asarray(acc["timecube"], np.float64) / (d2 * dlam)
+
+
+def calibrate_stokes_frames(cfg: DistantInstrumentCfg, acc: dict):
+    """Calibrated per-pixel Stokes Q/U/V cubes [W/m^2/m/sr], (3, nb, npy,
+    npx) (ref: FluxRecorder ifu Stokes arrays, same calibration as total)."""
+    borders = np.asarray(cfg.wave_borders, np.float64)
+    dlam = np.diff(borders)[None, :, None, None]
+    pix_x = cfg.fovx / cfg.npx
+    pix_y = cfg.fovy / cfg.npy
+    d_ang = cfg.angular_distance or cfg.distance
+    omega = 4.0 * np.arctan(0.5 * pix_x / d_ang) \
+        * np.arctan(0.5 * pix_y / d_ang)
+    fs = np.asarray(acc["frame_stokes"], np.float64)
+    return fs / (cfg.distance**2 * dlam * omega)
 
 
 def calibrate_frame(cfg: DistantInstrumentCfg, acc: dict) -> np.ndarray:

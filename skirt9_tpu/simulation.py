@@ -1000,6 +1000,19 @@ class Simulation:
                     "CDELT2": cfg.fovy / cfg.npy,
                 })
                 paths.append(p2)
+                if cfg.record_polarization and "frame_stokes" in acc:
+                    qc = dinst.calibrate_stokes_frames(cfg,
+                                                       jax.device_get(acc))
+                    for i, nm in enumerate(("stokesQ", "stokesU",
+                                            "stokesV")):
+                        p3 = os.path.join(
+                            outdir, f"{prefix}_{cfg.name}_{nm}.fits")
+                        fitsio.write_fits(p3, qc[i].astype(np.float32), {
+                            "BUNIT": "W/m2/m/sr",
+                            "CDELT1": cfg.fovx / cfg.npx,
+                            "CDELT2": cfg.fovy / cfg.npy,
+                        })
+                        paths.append(p3)
             if getattr(cfg, "ntime", 0) > 0:
                 # light curve (lambda-integrated) + spectral-time map
                 # (ref: FluxRecorder lightcurve/STM outputs)

@@ -186,9 +186,70 @@ def _analyze(grid) -> dict:
         m = lev == l
         cl = np.rint((clo[m] - lo0) / (box / (1 << l))).astype(np.int64)
         coords[l] = (np.flatnonzero(m), cl)
+    levels_present, coords = _merge_coarse_levels(levels_present, coords,
+                                                 Lmax)
     return {"levels_present": levels_present, "coords": coords,
             "Lmax": Lmax, "nf": nf, "lo0": lo0, "box": box,
             "levels": _level_meta(levels_present, coords, Lmax)}
+
+
+def _level_cost(levels_present, coords, Lmax) -> float:
+    """Per-fine-slab lookup cost: sum over (level, axis) of minor rows
+    weighted by the fraction of fine slabs inside the level's box."""
+    cost = 0.0
+    for l in levels_present:
+        _, cl = coords[l]
+        lo = cl.min(axis=0)
+        hi = cl.max(axis=0) + 1
+        sh = Lmax - l
+        for a in range(3):
+            u, v = [x for x in range(3) if x != a]
+            rows = -(-int((hi[u] - lo[u]) * (hi[v] - lo[v])) // 128)
+            frac = (hi[a] - lo[a]) / (1 << l)
+            cost += rows * frac
+    return cost
+
+
+def _merge_coarse_levels(levels_present, coords, Lmax):
+    """Merge coarse levels into a finer raster when that LOWERS the
+    per-slab lookup cost: a coarse leaf is exactly a block of finer
+    voxels, so re-rasterizing is free of approximation — it just trades
+    (several small level tables visited on every slab) for (one slightly
+    larger table). Greedy search over 'merge everything coarser than L
+    into L'."""
+    best = (levels_present, coords)
+    best_cost = _level_cost(levels_present, coords, Lmax)
+    for tgt in levels_present[1:]:
+        merged_ids = []
+        merged_cl = []
+        keep = [l for l in levels_present if l >= tgt]
+        for l in levels_present:
+            if l > tgt:
+                continue
+            ids, cl = coords[l]
+            f = 1 << (tgt - l)
+            if f == 1:
+                merged_ids.append(ids)
+                merged_cl.append(cl)
+                continue
+            # expand each coarse cell into its f^3 target-level voxels
+            off = np.stack(np.meshgrid(np.arange(f), np.arange(f),
+                                       np.arange(f), indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+            merged_ids.append(np.repeat(ids, f ** 3))
+            merged_cl.append((cl[:, None, :] * f + off[None, :, :])
+                             .reshape(-1, 3))
+        new_coords = {tgt: (np.concatenate(merged_ids),
+                            np.concatenate(merged_cl))}
+        for l in keep:
+            if l != tgt:
+                new_coords[l] = coords[l]
+        new_levels = sorted(new_coords.keys())
+        c = _level_cost(new_levels, new_coords, Lmax)
+        if c < best_cost:
+            best_cost = c
+            best = (new_levels, new_coords)
+    return best
 
 
 def _level_meta(levels_present, coords, Lmax):
@@ -292,7 +353,7 @@ def build_tables(grid, med) -> MLTables:
 # ------------------------------------------------------------------- kernels
 
 def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
-                  want_enc: bool):
+                  want_enc: bool, nfine: int = 1 << 30):
     """Density (and deposit encoding) at fine coords through the level stack.
 
     Returns (k, enc_row, enc_col, leaf_any); enc outputs are None unless
@@ -317,27 +378,58 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
             iu_l = iu_l0 - g.u0
             iv_l = iv_l0 - g.v0
             inbox = ((a == aa) & (iu_l >= 0) & (iu_l < g.nu)
-                     & (iv_l >= 0) & (iv_l < g.nv) & ok_t)
+                     & (iv_l >= 0) & (iv_l < g.nv))
             m = iu_l * g.nv + iv_l
             row = m >> 7
             col = m & 127
             rref = rho_refs[li * 3 + aa]
-            for r in range(g.rows):
-                sel = inbox & (row == r)
-                rv0 = jnp.broadcast_to(
-                    rref[0, tloc, r, :].reshape(1, 128), shape)
-                gv0 = jnp.take_along_axis(rv0, col, axis=1)
-                isleaf = sel & (gv0 >= 0.0)   # -1 marks non-leaf voxels
-                k = k + jnp.where(sel, jnp.maximum(gv0, 0.0) * sig[0], 0.0)
-                for c in range(1, C):
-                    rv = jnp.broadcast_to(
-                        rref[c, tloc, r, :].reshape(1, 128), shape)
-                    gv = jnp.take_along_axis(rv, col, axis=1)
-                    k = k + jnp.where(sel, gv * sig[c], 0.0)
-                leaf_any = jnp.where(isleaf, 1.0, leaf_any)
-                if want_enc:
-                    enc_r = jnp.where(isleaf, g.off + r, enc_r)
-                    enc_c = jnp.where(isleaf, col, enc_c)
+
+            def _level_axis(tloc=tloc, inbox=inbox, row=row, col=col,
+                            rref=rref, g=g):
+                kk = jnp.zeros(shape, jnp.float32)
+                lf = jnp.zeros(shape, jnp.float32)
+                er = jnp.zeros(shape, jnp.int32)
+                ec = jnp.zeros(shape, jnp.int32)
+                for r in range(g.rows):
+                    sel = inbox & (row == r)
+                    rv0 = jnp.broadcast_to(
+                        rref[0, tloc, r, :].reshape(1, 128), shape)
+                    gv0 = jnp.take_along_axis(rv0, col, axis=1)
+                    isleaf = sel & (gv0 >= 0.0)  # -1 marks non-leaf voxels
+                    kk = kk + jnp.where(sel, jnp.maximum(gv0, 0.0)
+                                        * sig[0], 0.0)
+                    for c in range(1, C):
+                        rv = jnp.broadcast_to(
+                            rref[c, tloc, r, :].reshape(1, 128), shape)
+                        gv = jnp.take_along_axis(rv, col, axis=1)
+                        kk = kk + jnp.where(sel, gv * sig[c], 0.0)
+                    lf = jnp.where(isleaf, 1.0, lf)
+                    er = jnp.where(isleaf, g.off + r, er)
+                    ec = jnp.where(isleaf, col, ec)
+                return kk, lf, er, ec
+
+            def _skip():
+                z = jnp.zeros(shape, jnp.float32)
+                zi = jnp.zeros(shape, jnp.int32)
+                return z, z, zi, zi
+
+            # scalar cond: slabs outside this level's bounding box skip its
+            # whole row loop — but branching itself costs pipeline stalls
+            # in Mosaic, so only gate levels whose box covers a minority of
+            # slabs (measured: unconditional wins for near-full coverage)
+            coverage = ntl * (1 << sh) / float(nfine)
+            if coverage < 0.55 and g.rows >= 2:
+                kk, lf, er, ec = jax.lax.cond(ok_t, _level_axis, _skip)
+            else:
+                kk, lf, er, ec = _level_axis()
+                zero_f = jnp.where(ok_t, 1.0, 0.0)
+                kk = kk * zero_f
+                lf = lf * zero_f
+            k = k + kk
+            leaf_any = jnp.maximum(leaf_any, lf)
+            if want_enc:
+                enc_r = jnp.where(lf > 0, er, enc_r)
+                enc_c = jnp.where(lf > 0, ec, enc_c)
     return k, enc_r, enc_c, leaf_any
 
 
@@ -365,7 +457,8 @@ def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             k, _, _, _ = _stack_lookup(levels, rho_refs, sig, C,
-                                       a, t, iu, iv, want_enc=False)
+                                       a, t, iu, iv, want_enc=False,
+                                       nfine=nmax)
             dtau = dtau + k * ds
             cross_u = su <= sv
             iu = jnp.clip(iu + jnp.where(cross_u,
@@ -422,7 +515,7 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             k, er, ec, leaf_any = _stack_lookup(
                 levels, rho_refs, sig, C, a, t, iu, iv,
-                want_enc=True)
+                want_enc=True, nfine=nmax)
             dtau = k * ds
             small = dtau < 1e-3
             gfac = jnp.where(small, 1.0 - 0.5 * dtau,
