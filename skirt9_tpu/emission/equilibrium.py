@@ -134,6 +134,58 @@ def cell_emission_spectra(med: MediumTables, tabs: EmissionTables,
     return eps
 
 
+@jax.jit
+def _absorbed_scaled(rf, sab, nd):
+    """(rf @ sab.T): per-cell absorbed power in rf_scale units — f32-safe
+    (the rf_scale factor ~1e36 is applied OUTSIDE, by the caller, to keep
+    intermediates in range)."""
+    a = rf @ sab.T                                   # (ncells, H)
+    return a, a * nd
+
+
+def emission_state_device(med: MediumTables, tabs: EmissionTables, rf,
+                          volumes, rf_scale: float):
+    """Device-side per-cell emission state: (L_cell [W], T [K], eps).
+
+    The host round trip of the round-2 pipeline (pull rf -> numpy solve ->
+    push spectra, ~20 MB per iteration over the axon tunnel) shrinks to a
+    single (ncells,) pull for the launch cdf: absorbed power, temperature
+    inversion (log-log on the precomputed P_em table) and the emission
+    spectra all stay on device.
+    """
+    rf32 = jnp.asarray(rf, jnp.float32)
+    nd = jnp.asarray(med.nd, jnp.float32)
+    a, an = _absorbed_scaled(rf32, tabs.sigma_abs_rf, nd)
+    # rf_scale (~1e42) exceeds the f32 range: apply it as two sqrt factors
+    half = jnp.float32(np.sqrt(rf_scale))
+    L_cell = (jnp.sum(an, axis=1) * half) * half              # [W]
+    # temperature: work in logs — volumes (~1e47 m^3) and rf_scale both
+    # overflow/underflow plain f32, their LOGS do not
+    log_v = jnp.asarray(np.log(np.asarray(volumes, np.float64)),
+                        jnp.float32)
+    log_pabs = (jnp.log(jnp.maximum(a, 1e-30)) + np.log(rf_scale)
+                - log_v[:, None])
+    lT = jnp.log(tabs.T_grid)
+    Ts = []
+    for h in range(tabs.P_em.shape[0]):
+        lP = jnp.log(jnp.maximum(tabs.P_em[h], 1e-300))
+        Ts.append(jnp.exp(sampling.interp_linlin(log_pabs[:, h], lP, lT)))
+    T = jnp.stack(Ts, axis=1)                                  # (ncells, H)
+    eps = cell_emission_spectra(med, tabs, T)
+    return L_cell, T, eps
+
+
+def total_absorbed_device(med: MediumTables, tabs: EmissionTables, rf,
+                          rf_scale: float) -> float:
+    """Total absorbed (= emitted) power [W] without pulling rf to host —
+    only a scalar crosses the link (convergence checks run per iteration,
+    ref: DustAbsorptionConvergence)."""
+    rf32 = jnp.asarray(rf, jnp.float32)
+    nd = jnp.asarray(med.nd, jnp.float32)
+    a = rf32 @ tabs.sigma_abs_rf.T
+    return float(jnp.sum(a * nd)) * rf_scale  # scalar float64 on host
+
+
 def dust_luminosities(med: MediumTables, tabs: EmissionTables,
                       rf, rf_scale: float = 1.0) -> np.ndarray:
     """Bolometric dust luminosity per cell (ncells,) [W]: the absorbed power

@@ -671,8 +671,8 @@ class Simulation:
         med = self.medium
         vols = self.grid.volumes()
         etabs = self._emission_tables()
-        L_prim_abs = float(jnp.sum(eq.dust_luminosities(
-            med, etabs, rf_prim, self.rf_scale)))
+        L_prim_abs = eq.total_absorbed_device(med, etabs, rf_prim,
+                                              self.rf_scale)
 
         n2 = int(self.num_packets * self.secondary_packets_multiplier)
         opts2 = dataclasses.replace(self.options, primary=False)
@@ -694,8 +694,8 @@ class Simulation:
                 seg_key=("seco-iter",))
             rf_seco = self._rf_finalize(rf_seco)
             rf_total = rf_prim + rf_seco
-            L_abs = float(jnp.sum(eq.dust_luminosities(
-                med, etabs, rf_seco, self.rf_scale)))
+            L_abs = eq.total_absorbed_device(med, etabs, rf_seco,
+                                             self.rf_scale)
             iterations += 1
             if verbose:
                 from .utils.log import default as _log
@@ -777,8 +777,8 @@ class Simulation:
                 hist_base += n_src
             rf_prim = self._rf_finalize(rf_prim)
             rf_total = rf_prim + rf_seco
-            L_prim_abs = float(jnp.sum(eq.dust_luminosities(
-                self.medium, etabs, rf_prim, self.rf_scale)))
+            L_prim_abs = eq.total_absorbed_device(self.medium, etabs,
+                                                  rf_prim, self.rf_scale)
 
             # --- dynamic medium state on the total field -------------------
             recipes_conv = True
@@ -808,8 +808,8 @@ class Simulation:
                 jax.random.fold_in(seed_key, 2000 + it), rf_seco, [],
                 seg_key=("merged-seco",))
             rf_seco = self._rf_finalize(rf_seco)
-            L_abs = float(jnp.sum(eq.dust_luminosities(
-                self.medium, etabs, rf_seco, self.rf_scale)))
+            L_abs = eq.total_absorbed_device(self.medium, etabs, rf_seco,
+                                             self.rf_scale)
             if verbose:
                 _log().info(f"merged iteration {it}: "
                             f"L_abs(seco)={L_abs:.4e} W "
@@ -863,6 +863,20 @@ class Simulation:
     def _make_secondary(self, etabs, rf):
         med = self.medium
         vols = self.grid.volumes()
+        if (self.dust_emission_type != "Stochastic"
+                and self.cell_library is None):
+            # fast path: the whole emission state stays on device (the
+            # host round trip was ~1s/iteration over the remote link)
+            L_cell, T, eps = eq.emission_state_device(med, etabs, rf, vols,
+                                                      self.rf_scale)
+            if getattr(self, "_bounds_dev", None) is None:
+                lo, hi = sec.cell_bounds(self.grid)
+                self._bounds_dev = (jnp.asarray(lo, jnp.float32),
+                                    jnp.asarray(hi, jnp.float32))
+            return sec.prepare_device(self.grid, L_cell, eps,
+                                      np.asarray(self.ems_borders),
+                                      self.spatial_bias,
+                                      bounds_dev=self._bounds_dev)
         L_cell = eq.dust_luminosities(med, etabs, rf, self.rf_scale)
         if self.dust_emission_type == "Stochastic":
             # per-cell temperature-probability distributions for every grain

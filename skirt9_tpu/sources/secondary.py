@@ -47,7 +47,11 @@ class DustSecondarySource:
         u_cell = rng.uniform(keys, rng.LAUNCH_CELL)
         cell = jnp.clip(jnp.searchsorted(cell_cdf, u_cell, side="right"),
                         0, cell_cdf.shape[0] - 1).astype(jnp.int32)
-        lum = (self.luminosity / n_total) * tabs["cell_weight"][cell]
+        # total luminosity flows through the TRACED tables: segment runners
+        # are jit-cached per flow and reused across self-absorption
+        # iterations whose source luminosity changes — a closed-over python
+        # float would go stale (round-3 bugfix)
+        lum = (tabs["lum_total"] / n_total) * tabs["cell_weight"][cell]
 
         # --- wavelength from the cell's emission spectrum cdf
         rows = tabs["spec_cdf"][cell]                   # (B, L)
@@ -150,12 +154,60 @@ def prepare(grid, L_cell, eps, ems_borders: np.ndarray,
     lo, hi = cell_bounds(grid)
 
     tables = {
+        "lum_total": jnp.asarray(total, jnp.float32),
         "cell_cdf": jnp.asarray(cdf, jnp.float32),
         "cell_weight": jnp.asarray(weight, jnp.float32),
         "lam_borders": jnp.asarray(ems_borders, jnp.float32),
         "spec_cdf": jnp.asarray(spec_cdf, jnp.float32),
         "cell_lo": jnp.asarray(lo, jnp.float32),
         "cell_hi": jnp.asarray(hi, jnp.float32),
+    }
+    return DustSecondarySource(luminosity=total, spatial_bias=spatial_bias,
+                               lam_range=(float(ems_borders[0]),
+                                          float(ems_borders[-1])),
+                               _tables=tables)
+
+
+def prepare_device(grid, L_cell, eps, ems_borders: np.ndarray,
+                   spatial_bias: float = 0.5,
+                   bounds_dev=None) -> DustSecondarySource:
+    """Device-resident variant of prepare(): the emission spectra stay on
+    device (only the (ncells,) luminosities cross the link for the exact
+    f64 launch cdf). bounds_dev: cached (cell_lo, cell_hi) device arrays.
+    """
+    L_np = np.asarray(L_cell, np.float64)       # small pull
+    total = float(L_np.sum())
+    nonzero = L_np > 0
+    n_nonzero = max(int(nonzero.sum()), 1)
+    wl = np.where(nonzero, L_np / max(total, 1e-300), 0.0)
+    xi = spatial_bias
+    w = (1 - xi) * wl + xi * nonzero / n_nonzero
+    wsum = w.sum()
+    if wsum <= 0:
+        w = np.full_like(w, 1.0 / len(w))
+        wsum = 1.0
+    w = w / wsum
+    cdf = np.cumsum(w)
+    weight = np.where(w > 0, wl / np.maximum(w, 1e-300), 0.0)
+
+    emsb = jnp.asarray(ems_borders, jnp.float32)
+    dlam = emsb[1:] - emsb[:-1]
+    wspec = jnp.maximum(eps, 0.0) * dlam[None, :]
+    tot = jnp.sum(wspec, axis=1, keepdims=True)
+    spec_cdf = jnp.cumsum(wspec, axis=1) / jnp.maximum(tot, 1e-30)
+
+    if bounds_dev is None:
+        lo, hi = cell_bounds(grid)
+        bounds_dev = (jnp.asarray(lo, jnp.float32),
+                      jnp.asarray(hi, jnp.float32))
+    tables = {
+        "lum_total": jnp.asarray(total, jnp.float32),
+        "cell_cdf": jnp.asarray(cdf, jnp.float32),
+        "cell_weight": jnp.asarray(weight, jnp.float32),
+        "lam_borders": emsb,
+        "spec_cdf": spec_cdf,
+        "cell_lo": bounds_dev[0],
+        "cell_hi": bounds_dev[1],
     }
     return DustSecondarySource(luminosity=total, spatial_bias=spatial_bias,
                                lam_range=(float(ems_borders[0]),
