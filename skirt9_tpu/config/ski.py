@@ -169,6 +169,16 @@ def build_geometry(el):
                     _q(a, "centerY", "length", 0.0),
                     _q(a, "centerZ", "length", 0.0)),
             radius=_q(a, "clipRadius", "length"))
+    if t == "SphePowerLawRedistributeGeometryDecorator":
+        return dec.SphePowerLawRedistributeDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            exponent=_f(a, "exponent", 1.0),
+            min_radius=_q(a, "minRadius", "length"))
+    if t == "AxPowerLawRedistributeGeometryDecorator":
+        return dec.AxPowerLawRedistributeDecorator(
+            base=build_geometry(_child(el, "geometry")),
+            exponent=_f(a, "exponent", 1.0),
+            min_radius=_q(a, "minRadius", "length"))
     if t == "BoxClipGeometryDecorator":
         return dec.BoxClipDecorator(
             base=build_geometry(_child(el, "geometry")),
@@ -594,9 +604,35 @@ def build_grid(el, base_dir: str = "."):
                (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
         pol = _child(el, "policy")
         pa = pol.attrib if pol is not None else {}
-        return ("octree", ext,
-                int(pa.get("minLevel", 2)), int(pa.get("maxLevel", 6)),
-                float(pa.get("maxDustFraction", 1e-6)))
+        tree_type = a.get("treeType", "OctTree")
+        # level numbers in the ski count OCTREE levels; bintree levels
+        # count single-axis splits (ref: BinTreeNode.hpp — 3 bintree
+        # levels == 1 octree level)
+        mul = 3 if tree_type == "BinTree" else 1
+        spec = {"kind": tree_type, "ext": ext,
+                "min_level": int(pa.get("minLevel", 2)) * mul,
+                "max_level": int(pa.get("maxLevel", 6)) * mul,
+                "policy": (pol.tag if pol is not None
+                           else "DensityTreePolicy"),
+                "max_fraction": float(pa.get("maxDustFraction", 1e-6))}
+        if pol is not None and pol.tag == "NestedDensityTreePolicy":
+            # an inner box refined by a second, typically stricter policy
+            # (ref: NestedDensityTreePolicy.hpp)
+            inner = _child(pol, "innerPolicy")
+            ia_ = inner.attrib if inner is not None else {}
+            spec["inner"] = {
+                "lo": (_q(pa, "minXInner", "length"),
+                       _q(pa, "minYInner", "length"),
+                       _q(pa, "minZInner", "length")),
+                "hi": (_q(pa, "maxXInner", "length"),
+                       _q(pa, "maxYInner", "length"),
+                       _q(pa, "maxZInner", "length")),
+                "max_level": int(ia_.get("maxLevel", 8)) * mul,
+                "max_fraction": float(ia_.get("maxDustFraction", 1e-6)),
+            }
+        if pol is not None and pol.tag == "SiteListTreePolicy":
+            spec["max_fraction"] = None  # sites drive refinement
+        return ("tree", spec)
 
     def _scaled(name, default, lo, hi):
         n, b = _mesh(name, default)
@@ -991,12 +1027,50 @@ def load_ski(path: str, num_packets: int | None = None,
             components = [(None, mix, None)]
         else:
             grid = build_grid(grid_el, base_dir=_base_dir)
-            if isinstance(grid, tuple) and grid[0] == "octree":
-                _, ext, minl, maxl, maxfrac = grid
+            if isinstance(grid, tuple) and grid[0] == "tree":
+                spec = grid[1]
                 geom0 = components[0][0]
-                grid = build_octree(ext, geom0.density_np, max_level=maxl,
-                                    min_level=minl,
-                                    max_fraction=max(maxfrac, 1e-4))
+                builder = build_octree
+                if spec["kind"] == "BinTree":
+                    from ..grids.bintree import build_bintree
+                    builder = build_bintree
+                refine_fn = None
+                if spec.get("inner"):
+                    # nested policy: the inner box refines further
+                    # (ref: NestedDensityTreePolicy.hpp)
+                    inn = spec["inner"]
+                    outer_frac = max(spec["max_fraction"], 1e-4)
+                    inner_frac = max(inn["max_fraction"], 1e-5)
+                    import numpy as _np
+                    rs_n = _np.random.default_rng(7)
+
+                    def refine_fn(lo, hi, level, geom=geom0, inn=inn,
+                                  of=outer_frac, inf_=inner_frac):
+                        u = rs_n.uniform(size=(64, lo.shape[0], 3))
+                        pts = lo[None] + u * (hi - lo)[None]
+                        dens = geom.density_np(pts.reshape(-1, 3)) \
+                            .reshape(64, -1)
+                        vol = _np.prod(hi - lo, axis=-1)
+                        frac = dens.mean(axis=0) * vol
+                        c = 0.5 * (lo + hi)
+                        inside = _np.all(
+                            (c >= _np.asarray(inn["lo"]))
+                            & (c <= _np.asarray(inn["hi"])), axis=-1)
+                        out = (frac > of) & (level < spec["max_level"])
+                        deep = inside & (frac > inf_) \
+                            & (level < inn["max_level"])
+                        return out | deep
+                    grid = builder(spec["ext"], geom0.density_np,
+                                   max_level=max(spec["max_level"],
+                                                 inn["max_level"]),
+                                   min_level=spec["min_level"],
+                                   refine_fn=refine_fn)
+                else:
+                    grid = builder(spec["ext"], geom0.density_np,
+                                   max_level=spec["max_level"],
+                                   min_level=spec["min_level"],
+                                   max_fraction=max(
+                                       spec["max_fraction"] or 1e-4, 1e-4))
             medium = gm.build_medium(grid, components)
         if velocity_fields:
             # per-cell aggregate bulk velocity: number-density-weighted

@@ -343,3 +343,81 @@ class SpiralStructureDecorator(Geometry):
         phi = self._gamma(R) - 2.0 * theta / self.num_arms
         return jnp.stack([R * jnp.cos(phi), R * jnp.sin(phi), p[..., 2]],
                          axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class RedistributeDecorator(Geometry):
+    """Multiply a geometry's density by a weight function, renormalized
+    (ref: RedistributeGeometryDecorator — importance-sampling norm from the
+    base distribution, position sampling by rejection against w/maxw)."""
+
+    base: Geometry
+
+    def weight_np(self, pos):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def max_weight(self) -> float:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __post_init__(self):
+        import jax
+        keys = rng.history_keys(jax.random.PRNGKey(20240817),
+                                jnp.arange(16384, dtype=jnp.int32))
+        pts = np.asarray(self.base.sample(keys), np.float64)
+        mean_w = float(self.weight_np(pts).mean())
+        object.__setattr__(self, "_norm", 1.0 / max(mean_w, 1e-300))
+
+    def density_np(self, pos):
+        return self.base.density_np(pos) * self.weight_np(np.asarray(pos)) \
+            * self._norm
+
+    def sample(self, keys, tag: int = rng.LAUNCH_POSITION):
+        pts = np.asarray(self.base.sample(keys, tag), np.float64)
+        maxw = self.max_weight()
+        rs = np.random.default_rng(1234)
+        accept = rs.uniform(size=len(pts)) * maxw < self.weight_np(pts)
+        bad = np.flatnonzero(~accept)
+        tries = 0
+        while len(bad) and tries < 24:
+            keys2 = rng.purpose_key(keys[bad], 7100 + tries)
+            newp = np.asarray(self.base.sample(keys2, tag), np.float64)
+            ok = rs.uniform(size=len(newp)) * maxw < self.weight_np(newp)
+            pts[bad[ok]] = newp[ok]
+            bad = bad[~ok]
+            tries += 1
+        return jnp.asarray(pts, jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SphePowerLawRedistributeDecorator(RedistributeDecorator):
+    """Spherical power-law weight r^-p outside a clipping sphere
+    (ref: SphePowerLawRedistributeGeometryDecorator)."""
+
+    exponent: float = 1.0
+    min_radius: float = 1.0
+
+    def weight_np(self, pos):
+        r = np.linalg.norm(np.asarray(pos), axis=-1)
+        return np.where(r >= self.min_radius, np.maximum(r, 1e-300)
+                        ** (-self.exponent), 0.0)
+
+    def max_weight(self) -> float:
+        return self.min_radius ** (-self.exponent)
+
+
+@dataclasses.dataclass(frozen=True)
+class AxPowerLawRedistributeDecorator(RedistributeDecorator):
+    """Cylindrical power-law weight R^-p outside a clipping cylinder
+    (ref: AxPowerLawRedistributeGeometryDecorator)."""
+
+    exponent: float = 1.0
+    min_radius: float = 1.0
+
+    def weight_np(self, pos):
+        pos = np.asarray(pos)
+        R = np.hypot(pos[..., 0], pos[..., 1])
+        return np.where(R >= self.min_radius, np.maximum(R, 1e-300)
+                        ** (-self.exponent), 0.0)
+
+    def max_weight(self) -> float:
+        return self.min_radius ** (-self.exponent)

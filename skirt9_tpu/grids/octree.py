@@ -134,7 +134,7 @@ class OctreeGrid(NamedTuple):
 
 def build_octree(extent, density_fn, max_level: int = 6, min_level: int = 2,
                  max_fraction: float = 1e-2, samples: int = 64,
-                 seed: int = 7) -> OctreeGrid:
+                 seed: int = 7, refine_fn=None) -> OctreeGrid:
     """Density-policy octree construction (host-side, numpy).
 
     Subdivide while a node contains more than `max_fraction` of the total
@@ -142,6 +142,9 @@ def build_octree(extent, density_fn, max_level: int = 6, min_level: int = 2,
     ref: DensityTreePolicy.hpp:81) or is below min_level.
 
     density_fn(pos (N,3)) -> (N,) mass density (any normalization).
+    refine_fn(lo (M,3), hi (M,3), level) -> (M,) bool overrides the
+    density criterion entirely (custom TreePolicy analog: nested policies,
+    site lists — ref: TreePolicy.hpp:27-32).
     """
     lo0 = np.array([extent[a][0] for a in range(3)], np.float64)
     hi0 = np.array([extent[a][1] for a in range(3)], np.float64)
@@ -155,7 +158,8 @@ def build_octree(extent, density_fn, max_level: int = 6, min_level: int = 2,
         vol = np.prod(hi - lo, axis=-1)
         return dens.mean(axis=0) * vol
 
-    total_mass = max(node_mass(lo0[None], hi0[None])[0], 1e-300)
+    total_mass = (max(node_mass(lo0[None], hi0[None])[0], 1e-300)
+                  if density_fn is not None else 1.0)
 
     # BFS arrays
     nodes_lo = [lo0]
@@ -169,6 +173,8 @@ def build_octree(extent, density_fn, max_level: int = 6, min_level: int = 2,
         hi = np.array([nodes_hi[i] for i in frontier])
         if level < min_level:
             refine = np.ones(len(frontier), bool)
+        elif refine_fn is not None:
+            refine = np.asarray(refine_fn(lo, hi, level), bool)
         else:
             m = node_mass(lo, hi)
             refine = m / total_mass > max_fraction
@@ -238,3 +244,20 @@ def load_topology(path: str) -> OctreeGrid:
         box_hi=jnp.asarray(d["box_hi"]),
         levels=int(d["levels"]),
     )
+
+
+def site_list_refine_fn(sites: np.ndarray, max_sites_per_leaf: int = 1):
+    """TreePolicy that subdivides while a node holds more than
+    `max_sites_per_leaf` sites (ref: SiteListTreePolicy.hpp — builds the
+    tree from the positions of an imported site list so each site ends up
+    in its own leaf, within the level bounds)."""
+    sites = np.asarray(sites, np.float64)
+
+    def refine(lo, hi, level):
+        out = np.zeros(lo.shape[0], bool)
+        for i in range(lo.shape[0]):
+            inside = np.all((sites >= lo[i]) & (sites < hi[i]), axis=-1)
+            out[i] = inside.sum() > max_sites_per_leaf
+        return out
+
+    return refine

@@ -312,10 +312,19 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
     if cfg.record_statistics and "stats" in acc:
         w = np.asarray(acc["stats"], np.float64)
         n = np.maximum(w[0], 1.0)
-        w1, w2 = w[1], w[2]
+        w1, w2, w3, w4 = w[1], w[2], w[3], w[4]
         with np.errstate(divide="ignore", invalid="ignore"):
             rel = np.sqrt(np.maximum(w2 / np.maximum(w1, 1e-300) ** 2 - 1.0 / n, 0.0))
+            # variance of the variance (MCNP estimator; ref:
+            # FluxRecorder.hpp:50-63 and Camps & Baes 2018 eq. for VOV):
+            # central 4th/2nd-moment combination of the power sums
+            m1 = w1 / n
+            s2 = np.maximum(w2 - n * m1**2, 0.0)
+            s4 = (w4 - 4.0 * m1 * w3 + 6.0 * m1**2 * w2
+                  - 3.0 * n * m1**4)
+            vov = np.where(s2 > 0, s4 / np.maximum(s2, 1e-300) ** 2, 0.0)
         out["R"] = np.where(w1 > 0, rel, 0.0)
+        out["VOV"] = np.where(w1 > 0, np.maximum(vov, 0.0), 0.0)
         out["N"] = w[0]
     return out
 

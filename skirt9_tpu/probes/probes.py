@@ -325,6 +325,29 @@ def linear_cut_form(path: str, grid, per_cell: np.ndarray, p0, p1,
     return path
 
 
+def meridional_cut_form(path: str, grid, per_cell: np.ndarray,
+                        radius: float, azimuth: float = 0.0,
+                        npts: int = 512, unit_note: str = "") -> str:
+    """Field values along a meridian half-circle of given radius at fixed
+    azimuth: inclination runs 0..pi (ref: MeridionalCutForm.hpp — the form
+    samples the quantity at positions on a meridian through the poles)."""
+    import jax.numpy as jnp
+    theta = np.linspace(0.0, np.pi, npts)
+    ca, sa = np.cos(azimuth), np.sin(azimuth)
+    pos = np.stack([radius * np.sin(theta) * ca,
+                    radius * np.sin(theta) * sa,
+                    radius * np.cos(theta)], axis=-1)
+    c = np.asarray(grid.locate(jnp.asarray(pos, jnp.float32)))
+    vals = np.where(c >= 0, np.asarray(per_cell, np.float64)[
+        np.maximum(c, 0)], 0.0)
+    with open(path, "w") as fh:
+        fh.write("# skirt9_tpu meridional cut\n"
+                 "# columns: inclination [deg] value"
+                 + ("\n# " + unit_note if unit_note else "") + "\n")
+        np.savetxt(fh, np.column_stack([np.degrees(theta), vals]))
+    return path
+
+
 # ----------------------------------------------------------- more probes
 
 def velocity_probe(sim, prefix: str, outdir: str = "."):

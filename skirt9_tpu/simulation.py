@@ -999,6 +999,10 @@ class Simulation:
                 cols.append(np.atleast_1d(sed["R"]))
                 k += 1
                 hdr.append(f"# column {k}: relative error R (1)")
+                cols.append(np.atleast_1d(sed["VOV"]))
+                k += 1
+                hdr.append(f"# column {k}: variance of the variance "
+                           f"VOV (1)")
             header = ("# skirt9_tpu SED output\n" + "\n".join(hdr) + "\n")
             arr = np.column_stack(cols)
             with open(p, "w") as f:

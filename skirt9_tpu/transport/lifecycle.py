@@ -592,7 +592,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             sig_ev = opt_ev.sigma_ext.T if lam_changing else sigma_lanes
             dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
                                         sig_ev, active)
-            grp = jnp.argmax(jnp.abs(pkt.dir), axis=-1)
+            grp = _sw.dominant_axis(sweep_tabs, pkt.dir)
             dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
             tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
         else:

@@ -86,10 +86,13 @@ class _LevelAxis(NamedTuple):
     nv: int
     rows: int      # ceil(nu*nv/128)
     off: int       # encoding-row offset in the combined deposit tile
+    sht: int = 0   # fine->level shifts: major, minor-u, minor-v (per-axis
+    shu: int = 0   # refinement levels support anisotropic trees: bintree,
+    shv: int = 0   # block AMR)
 
 
 class _Level(NamedTuple):
-    shift: int          # fine level minus this level (voxel ratio 2^shift)
+    shift: tuple        # per-PHYSICAL-axis fine-minus-level shifts
     ax: tuple           # (_LevelAxis,)*3
     box: tuple          # (x0,x1,y0,y1,z0,z1) in level coords
     nvox: int           # bounding-box voxel count (x-major flat)
@@ -122,12 +125,13 @@ def supports(grid, med, options=None) -> bool:
     """True when (grid, medium) fits the multi-level sweep kernels."""
     import os
 
+    from ..grids.bintree import BinTreeGrid
     from ..grids.octree import OctreeGrid
 
     if (jax.default_backend() not in ("tpu", "axon")
             and os.environ.get("SKIRT9_TPU_FORCE_SWEEP") != "1"):
         return False
-    if not isinstance(grid, OctreeGrid):
+    if not isinstance(grid, (OctreeGrid, BinTreeGrid)):
         return False
     if options is not None and (options.kinematics or options.lya
                                 or options.compton
@@ -156,10 +160,13 @@ def supports(grid, med, options=None) -> bool:
 
 
 def _analyze(grid) -> dict:
-    """Host: classify leaves by level and compute per-level bounding boxes.
+    """Host: classify leaves by their per-axis refinement levels and
+    compute per-level bounding boxes.
 
-    Raises ValueError when the grid is not a power-of-two refinement of its
-    root box (the octree builder guarantees it; loaded topologies too).
+    A leaf's SIGNATURE is (lx, ly, lz): its size is box/2^l along each
+    axis. Octrees give equal triples; bintrees (alternate-axis halving)
+    give mixed ones. Raises ValueError when a cell is not a power-of-two
+    fraction of the root box.
     """
     lo0 = np.asarray(grid.box_lo, np.float64)
     hi0 = np.asarray(grid.box_hi, np.float64)
@@ -168,120 +175,114 @@ def _analyze(grid) -> dict:
     size = chi - clo
     box = hi0 - lo0
     ratio = box[None, :] / np.maximum(size, 1e-300)
-    lev_f = np.log2(ratio[:, 0])
+    lev_f = np.log2(ratio)                       # (ncells, 3)
     lev = np.rint(lev_f).astype(np.int64)
     if (np.abs(lev_f - lev) > 1e-3).any():
         raise ValueError("cells are not power-of-two fractions of the box")
-    # all three axes must agree (cubic-octant splits)
-    for a in (1, 2):
-        la = np.rint(np.log2(ratio[:, a])).astype(np.int64)
-        if (la != lev).any():
-            raise ValueError("anisotropic refinement unsupported")
-    Lmax = int(lev.max())
-    nf = (1 << Lmax, 1 << Lmax, 1 << Lmax)
-    # integer coords per cell at its own level
+    Lmax = tuple(int(v) for v in lev.max(axis=0))
+    nf = tuple(1 << L for L in Lmax)
     coords = {}
-    levels_present = sorted(set(int(x) for x in lev))
-    for l in levels_present:
-        m = lev == l
-        cl = np.rint((clo[m] - lo0) / (box / (1 << l))).astype(np.int64)
-        coords[l] = (np.flatnonzero(m), cl)
-    levels_present, coords = _merge_coarse_levels(levels_present, coords,
-                                                 Lmax)
-    return {"levels_present": levels_present, "coords": coords,
+    sigs = sorted({tuple(int(v) for v in row) for row in lev},
+                  key=lambda t: (sum(t), t))
+    for sig in sigs:
+        m = np.all(lev == np.asarray(sig), axis=1)
+        hsig = box / (1 << np.asarray(sig))
+        cl = np.rint((clo[m] - lo0) / hsig).astype(np.int64)
+        coords[sig] = (np.flatnonzero(m), cl)
+    sigs, coords = _merge_coarse_levels(sigs, coords, Lmax)
+    return {"levels_present": sigs, "coords": coords,
             "Lmax": Lmax, "nf": nf, "lo0": lo0, "box": box,
-            "levels": _level_meta(levels_present, coords, Lmax)}
+            "levels": _level_meta(sigs, coords, Lmax)}
 
 
-def _level_cost(levels_present, coords, Lmax) -> float:
-    """Per-fine-slab lookup cost: sum over (level, axis) of minor rows
-    weighted by the fraction of fine slabs inside the level's box."""
+_MINOR = {0: (1, 2), 1: (0, 2), 2: (0, 1)}   # layout a -> (u, v) phys axes
+
+
+def _level_cost(sigs, coords, Lmax) -> float:
+    """Per-fine-slab lookup cost: sum over (level, layout axis) of minor
+    rows weighted by the fraction of fine slabs inside the level box."""
     cost = 0.0
-    for l in levels_present:
-        _, cl = coords[l]
+    for sig in sigs:
+        _, cl = coords[sig]
         lo = cl.min(axis=0)
         hi = cl.max(axis=0) + 1
-        sh = Lmax - l
         for a in range(3):
-            u, v = [x for x in range(3) if x != a]
+            u, v = _MINOR[a]
             rows = -(-int((hi[u] - lo[u]) * (hi[v] - lo[v])) // 128)
-            frac = (hi[a] - lo[a]) / (1 << l)
+            frac = (hi[a] - lo[a]) / (1 << sig[a])
             cost += rows * frac
     return cost
 
 
-def _merge_coarse_levels(levels_present, coords, Lmax):
-    """Merge coarse levels into a finer raster when that LOWERS the
-    per-slab lookup cost: a coarse leaf is exactly a block of finer
-    voxels, so re-rasterizing is free of approximation — it just trades
-    (several small level tables visited on every slab) for (one slightly
-    larger table). Greedy search over 'merge everything coarser than L
-    into L'."""
-    best = (levels_present, coords)
-    best_cost = _level_cost(levels_present, coords, Lmax)
-    for tgt in levels_present[1:]:
+def _merge_coarse_levels(sigs, coords, Lmax):
+    """Merge coarser levels into a finer raster when that LOWERS the
+    per-slab lookup cost: a coarse leaf is exactly a block of finer voxels
+    (componentwise-dominated signatures only), so re-rasterizing is free
+    of approximation. Greedy search over single merge targets."""
+    best = (sigs, coords)
+    best_cost = _level_cost(sigs, coords, Lmax)
+    for tgt in sigs:
+        merged = [s for s in sigs
+                  if all(s[i] <= tgt[i] for i in range(3))]
+        if len(merged) < 2:
+            continue
         merged_ids = []
         merged_cl = []
-        keep = [l for l in levels_present if l >= tgt]
-        for l in levels_present:
-            if l > tgt:
-                continue
-            ids, cl = coords[l]
-            f = 1 << (tgt - l)
-            if f == 1:
+        for sig in merged:
+            ids, cl = coords[sig]
+            f = tuple(1 << (tgt[i] - sig[i]) for i in range(3))
+            if f == (1, 1, 1):
                 merged_ids.append(ids)
                 merged_cl.append(cl)
                 continue
-            # expand each coarse cell into its f^3 target-level voxels
-            off = np.stack(np.meshgrid(np.arange(f), np.arange(f),
-                                       np.arange(f), indexing="ij"),
+            off = np.stack(np.meshgrid(np.arange(f[0]), np.arange(f[1]),
+                                       np.arange(f[2]), indexing="ij"),
                            axis=-1).reshape(-1, 3)
-            merged_ids.append(np.repeat(ids, f ** 3))
-            merged_cl.append((cl[:, None, :] * f + off[None, :, :])
-                             .reshape(-1, 3))
+            n_off = off.shape[0]
+            merged_ids.append(np.repeat(ids, n_off))
+            merged_cl.append((cl[:, None, :] * np.asarray(f)
+                              + off[None, :, :]).reshape(-1, 3))
         new_coords = {tgt: (np.concatenate(merged_ids),
                             np.concatenate(merged_cl))}
-        for l in keep:
-            if l != tgt:
-                new_coords[l] = coords[l]
-        new_levels = sorted(new_coords.keys())
-        c = _level_cost(new_levels, new_coords, Lmax)
+        for sig in sigs:
+            if sig not in merged:
+                new_coords[sig] = coords[sig]
+        new_sigs = sorted(new_coords.keys(), key=lambda t: (sum(t), t))
+        c = _level_cost(new_sigs, new_coords, Lmax)
         if c < best_cost:
             best_cost = c
-            best = (new_levels, new_coords)
+            best = (new_sigs, new_coords)
     return best
 
 
-def _level_meta(levels_present, coords, Lmax):
+def _level_meta(sigs, coords, Lmax):
     levels = []
     off = 0
-    for l in levels_present:
-        _, cl = coords[l]
+    for sig in sigs:
+        _, cl = coords[sig]
+        shifts = tuple(Lmax[i] - sig[i] for i in range(3))
         x0, y0, z0 = (int(v) for v in cl.min(axis=0))
         x1, y1, z1 = (int(v) + 1 for v in cl.max(axis=0))
+        b = ((x0, x1), (y0, y1), (z0, z1))
         ax = []
         for a in range(3):
-            if a == 0:
-                t0, t1, u0, v0 = x0, x1, y0, z0
-                nu, nv = y1 - y0, z1 - z0
-            elif a == 1:
-                t0, t1, u0, v0 = y0, y1, x0, z0
-                nu, nv = x1 - x0, z1 - z0
-            else:
-                t0, t1, u0, v0 = z0, z1, x0, y0
-                nu, nv = x1 - x0, y1 - y0
+            u, v = _MINOR[a]
+            t0, t1 = b[a]
+            u0, u1 = b[u]
+            v0, v1 = b[v]
+            nu, nv = u1 - u0, v1 - v0
             rows = -(-(nu * nv) // 128)
-            ax.append(_LevelAxis(t0, t1, u0, v0, nu, nv, rows, off))
+            ax.append(_LevelAxis(t0, t1, u0, v0, nu, nv, rows, off,
+                                 shifts[a], shifts[u], shifts[v]))
             off += rows
         nvox = (x1 - x0) * (y1 - y0) * (z1 - z0)
-        levels.append(_Level(shift=Lmax - l, ax=tuple(ax),
+        levels.append(_Level(shift=shifts, ax=tuple(ax),
                              box=(x0, x1, y0, y1, z0, z1), nvox=nvox))
     return tuple(levels)
 
 
 def build_tables(grid, med) -> MLTables:
     meta = _analyze(grid)
-    Lmax = meta["Lmax"]
     nf = meta["nf"]
     lo0, box = meta["lo0"], meta["box"]
     levels = meta["levels"]
@@ -292,8 +293,8 @@ def build_tables(grid, med) -> MLTables:
     cells_vox = []
     cells_id = []
     leafmap = np.full(nf, -1, np.int32)
-    for li, l in enumerate(meta["levels_present"]):
-        ids, cl = meta["coords"][l]
+    for li, sig in enumerate(meta["levels_present"]):
+        ids, cl = meta["coords"][sig]
         lv = levels[li]
         x0, x1, y0, y1, z0, z1 = lv.box
         bx, by, bz = x1 - x0, y1 - y0, z1 - z0
@@ -307,12 +308,12 @@ def build_tables(grid, med) -> MLTables:
             ((ix * by) + iy) * bz + iz, jnp.int32))
         cells_id.append(jnp.asarray(ids, jnp.int32))
         # fine-voxel leaf map (locate + interaction cell resolve)
-        sh = lv.shift
+        sx, sy, sz = lv.shift
         for cidx, (cx, cy, cz) in zip(ids, cl):
-            leafmap[cx << sh:(cx + 1) << sh,
-                    cy << sh:(cy + 1) << sh,
-                    cz << sh:(cz + 1) << sh] = cidx
-        # three axis-major layouts, each (C/1, ntl, rows*128)
+            leafmap[cx << sx:(cx + 1) << sx,
+                    cy << sy:(cy + 1) << sy,
+                    cz << sz:(cz + 1) << sz] = cidx
+        # three axis-major layouts, each (C, ntl, rows*128)
         for a in range(3):
             g = lv.ax[a]
             if a == 0:
@@ -366,17 +367,14 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
     enc_c = jnp.zeros(shape, jnp.int32) if want_enc else None
     leaf_any = jnp.zeros(shape, jnp.float32)
     for li, lv in enumerate(levels):
-        sh = lv.shift
-        tl = t >> sh                       # scalar
-        iu_l0 = iu_f >> sh
-        iv_l0 = iv_f >> sh
         for aa in range(3):
             g = lv.ax[aa]
+            tl = t >> g.sht                # scalar
             ntl = g.t1 - g.t0
             ok_t = (tl >= g.t0) & (tl < g.t1)
             tloc = jnp.clip(tl - g.t0, 0, ntl - 1)
-            iu_l = iu_l0 - g.u0
-            iv_l = iv_l0 - g.v0
+            iu_l = (iu_f >> g.shu) - g.u0
+            iv_l = (iv_f >> g.shv) - g.v0
             inbox = ((a == aa) & (iu_l >= 0) & (iu_l < g.nu)
                      & (iv_l >= 0) & (iv_l < g.nv))
             m = iu_l * g.nv + iv_l
@@ -417,7 +415,7 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
             # whole row loop — but branching itself costs pipeline stalls
             # in Mosaic, so only gate levels whose box covers a minority of
             # slabs (measured: unconditional wins for near-full coverage)
-            coverage = ntl * (1 << sh) / float(nfine)
+            coverage = ntl * (1 << g.sht) / float(nfine)
             if coverage < 0.55 and g.rows >= 2:
                 kk, lf, er, ec = jax.lax.cond(ok_t, _level_axis, _skip)
             else:
@@ -667,12 +665,12 @@ def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
     # decode the (level, axis, row)-encoded planes into per-level box grids
     deltas = []
     for li, lv in enumerate(tabs.levels):
-        sh = lv.shift
         x0, x1, y0, y1, z0, z1 = lv.box
         bx, by, bz = x1 - x0, y1 - y0, z1 - z0
         total = None
         for a in range(3):
             g = lv.ax[a]
+            sh = g.sht
             sub = acc[:, g.t0 << sh:g.t1 << sh, g.off:g.off + g.rows, :]
             ntl = g.t1 - g.t0
             sub = sub.reshape(n_groups, ntl, 1 << sh, g.rows * 128)

@@ -399,6 +399,16 @@ def _lane_block(NB: int, n_groups: int = 1) -> int:
     return best * 128
 
 
+def dominant_axis(tabs, dirn):
+    """Slab axis per lane: the axis with the highest CELL-crossing rate
+    |dir_i|/h_i. For anisotropic cells a plain argmax|dir| would let the
+    minor coordinate cross >1 cell per slab and break the 3-substep
+    sub-DDA bound (round-3 bugfix, caught by the bintree tests)."""
+    inv_h = jnp.asarray([1.0 / tabs.h[0], 1.0 / tabs.h[1], 1.0 / tabs.h[2]],
+                        jnp.float32)
+    return jnp.argmax(jnp.abs(dirn) * inv_h, axis=-1).astype(jnp.int32)
+
+
 def _prep(tabs: SweepTables, pos, dirn, sigma, active):
     """XLA-side per-lane setup: dominant axis, in-grid parameter range.
 
@@ -407,7 +417,7 @@ def _prep(tabs: SweepTables, pos, dirn, sigma, active):
     B = pos.shape[0]
     lo = jnp.asarray(tabs.lo, jnp.float32)
     hi = lo + jnp.asarray(tabs.n, jnp.float32) * jnp.asarray(tabs.h, jnp.float32)
-    group = jnp.argmax(jnp.abs(dirn), axis=-1).astype(jnp.int32)
+    group = dominant_axis(tabs, dirn)
     tiny = jnp.abs(dirn) < 1e-30
     inv = 1.0 / jnp.where(tiny, 1e-30, dirn)
     t1 = (lo[None] - pos) * inv

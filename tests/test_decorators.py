@@ -154,3 +154,38 @@ def test_offset_clip_from_ski():
     assert isinstance(g, dec.OffsetDecorator)
     PC = 3.0857e16
     assert g.offset[0] == pytest.approx(PC, rel=1e-4)
+
+
+def test_redistribute_spherical_power_law():
+    """rho' = n rho r^-p; sampled positions follow the redistributed
+    density (ref: SphePowerLawRedistributeGeometryDecorator)."""
+    from skirt9_tpu.geometries.analytic import PlummerGeometry
+    from skirt9_tpu.geometries.decorators import \
+        SphePowerLawRedistributeDecorator
+
+    b = 1.0
+    base = PlummerGeometry(b=b)
+    dec = SphePowerLawRedistributeDecorator(base=base, exponent=1.0,
+                                            min_radius=0.2 * b)
+    # density ratio follows r^-p (where defined)
+    pts = np.array([[0.5, 0, 0], [1.0, 0, 0], [0, 2.0, 0]])
+    ratio = dec.density_np(pts) / base.density_np(pts)
+    r = np.linalg.norm(pts, axis=-1)
+    expect = r ** -1.0
+    np.testing.assert_allclose(ratio / ratio[0], expect / expect[0],
+                               rtol=1e-6)
+    # inside the clipping sphere the density vanishes
+    assert dec.density_np(np.array([[0.05, 0, 0]]))[0] == 0.0
+    # normalization: MC integral of the redistributed density ~ 1
+    keys = rng.history_keys(jax.random.PRNGKey(3),
+                            jnp.arange(1 << 15, dtype=jnp.int32))
+    pts_b = np.asarray(base.sample(keys), np.float64)
+    w = dec.density_np(pts_b) / np.maximum(base.density_np(pts_b), 1e-300)
+    assert abs(w.mean() - 1.0) < 0.05
+    # sampling matches the redistributed radial distribution: median radius
+    # shifts INWARD vs the base (weight favors small r)
+    pts_d = np.asarray(dec.sample(keys), np.float64)
+    r_d = np.linalg.norm(pts_d, axis=-1)
+    r_b = np.linalg.norm(pts_b, axis=-1)
+    assert np.median(r_d) < 0.8 * np.median(r_b)
+    assert (r_d > 0.2 * b * (1 - 1e-6)).mean() > 0.999

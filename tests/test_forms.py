@@ -87,3 +87,23 @@ def test_probe_system_when_hooks(tmp_path):
     assert run_paths
     for p in run_paths:
         assert os.path.exists(p)
+
+
+def test_meridional_cut_form(tmp_path):
+    """MeridionalCutForm: samples a per-cell field along a meridian
+    (ref: MeridionalCutForm.hpp)."""
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.probes.probes import meridional_cut_form
+
+    grid = make_cartesian(((-1.0, 1.0),) * 3, (16,) * 3)
+    centers = np.asarray(grid.cell_centers(), np.float64)
+    field = centers[:, 2]  # z-coordinate field
+    p = tmp_path / "meri.dat"
+    meridional_cut_form(str(p), grid, field, radius=0.8, azimuth=0.3,
+                        npts=181)
+    d = np.loadtxt(p)
+    assert d.shape == (181, 2)
+    # field == z == r cos(theta): check monotone decrease pole to pole
+    theta = np.radians(d[:, 0])
+    expect = 0.8 * np.cos(theta)
+    assert np.corrcoef(d[:, 1], expect)[0, 1] > 0.99

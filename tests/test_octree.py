@@ -113,3 +113,83 @@ def test_octree_transport_matches_cartesian():
     assert octo["total"][0] == pytest.approx(cart["total"][0], rel=0.05)
     assert octo["primarydirect"][0] == pytest.approx(cart["primarydirect"][0],
                                                      rel=0.02)
+
+
+def test_bintree_build_and_march():
+    """BinTree grid: alternate-axis splits, locate/step consistent, and
+    the multi-level sweep accepts its anisotropic leaves
+    (ref: BinTreeNode.hpp; PolicyTreeSpatialGrid treeType=BinTree)."""
+    import os
+
+    from skirt9_tpu.grids.bintree import build_bintree
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.transport import lifecycle as lc
+    from skirt9_tpu.transport import mlsweep as ml
+
+    R = 1.0
+
+    def dens(p):
+        r = np.linalg.norm(p, axis=-1)
+        return np.where(r < R, 1.0, 0.0)
+
+    grid = build_bintree(((-1.2, 1.2),) * 3, dens, max_level=12,
+                         min_level=3, max_fraction=3e-2)
+    assert grid.ncells > 8
+    # anisotropic leaves exist (bintree signature)
+    d = np.asarray(grid.cell_hi) - np.asarray(grid.cell_lo)
+    assert not np.allclose(d[:, 0], d[:, 1]) or \
+        not np.allclose(d[:, 1], d[:, 2])
+    # locate agrees with box membership
+    rs = np.random.default_rng(0)
+    pts = rs.uniform(-1.1, 1.1, (256, 3)).astype(np.float32)
+    c = np.asarray(grid.locate(jnp.asarray(pts)))
+    lo = np.asarray(grid.cell_lo)[np.maximum(c, 0)]
+    hi = np.asarray(grid.cell_hi)[np.maximum(c, 0)]
+    ok = c >= 0
+    assert ok.all()
+    assert (pts[ok] >= lo[ok] - 1e-5).all() and (pts[ok] <= hi[ok] + 1e-5).all()
+
+    # multi-level sweep dtau matches the scan march (interpret mode)
+    os.environ["SKIRT9_TPU_FORCE_SWEEP"] = "1"
+    try:
+        nd = dens(np.asarray(grid.cell_centers(), np.float64))
+        med = msys.make_medium(grid, nd.astype(np.float32),
+                               np.array([0.4e-6, 0.7e-6]),
+                               sigma_ext=np.full((1, 2), 1.0),
+                               albedo=np.full((1, 2), 0.5),
+                               g=np.zeros((1, 2)))
+        assert ml.supports(grid, med)
+        tabs = ml.build_tables(grid, med)
+        B = 256
+        pos = jnp.asarray(rs.uniform(-0.8, 0.8, (B, 3)), jnp.float32)
+        dirn = rs.normal(size=(B, 3))
+        dirn = jnp.asarray(dirn / np.linalg.norm(dirn, axis=-1,
+                                                 keepdims=True), jnp.float32)
+        opt = msys.optics_at(med, jnp.full((B,), 0.55e-6))
+        cell = grid.locate(pos)
+        active = cell >= 0
+        tau_ref = lc.trace_tau(grid, med, opt, pos, dirn, cell,
+                               grid.max_steps(), active)
+        tau_ml = jnp.sum(ml.sweep_dtau(tabs, pos, dirn, opt.sigma_ext.T,
+                                       active), axis=0)
+        np.testing.assert_allclose(np.asarray(tau_ml)[np.asarray(active)],
+                                   np.asarray(tau_ref)[np.asarray(active)],
+                                   rtol=3e-4, atol=1e-5)
+    finally:
+        del os.environ["SKIRT9_TPU_FORCE_SWEEP"]
+
+
+def test_site_list_policy():
+    from skirt9_tpu.grids.octree import build_octree, site_list_refine_fn
+
+    rs = np.random.default_rng(5)
+    sites = rs.uniform(-0.9, 0.9, (40, 3))
+    grid = build_octree(((-1.0, 1.0),) * 3, None, max_level=6, min_level=1,
+                        refine_fn=site_list_refine_fn(sites))
+    # every leaf holds at most one site (up to the level cap)
+    lo = np.asarray(grid.cell_lo)
+    hi = np.asarray(grid.cell_hi)
+    counts = np.array([np.sum(np.all((sites >= lo[i]) & (sites < hi[i]),
+                                     axis=-1)) for i in range(grid.ncells)])
+    deep = (hi - lo)[:, 0] > 2.0 / 64 * 1.001  # above the level cap
+    assert (counts[deep] <= 1).all()
