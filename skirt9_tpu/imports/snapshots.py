@@ -138,6 +138,83 @@ class CellSnapshot:
         return out / samples
 
 
+@dataclasses.dataclass(frozen=True)
+class CylindricalCellSnapshot:
+    """Cylindrical cells (Rmin, phimin, zmin, Rmax, phimax, zmax) with a
+    mass per cell (ref: CylindricalCellSnapshot.hpp — the cylindrical
+    analog of CellSnapshot; angles in radians)."""
+
+    lo: np.ndarray        # (N,3) [R, phi, z]
+    hi: np.ndarray
+    mass: np.ndarray
+    velocity: np.ndarray | None = None
+
+    def _rho(self):
+        lo, hi = np.asarray(self.lo, np.float64), np.asarray(self.hi,
+                                                             np.float64)
+        vol = 0.5 * (hi[:, 0] ** 2 - lo[:, 0] ** 2) \
+            * (hi[:, 1] - lo[:, 1]) * (hi[:, 2] - lo[:, 2])
+        return np.asarray(self.mass, np.float64) / np.maximum(vol, 1e-300)
+
+    def density_at(self, pos):
+        pos = np.asarray(pos, np.float64)
+        R = np.hypot(pos[..., 0], pos[..., 1])
+        phi = np.mod(np.arctan2(pos[..., 1], pos[..., 0]), 2 * np.pi)
+        z = pos[..., 2]
+        lo, hi = np.asarray(self.lo), np.asarray(self.hi)
+        rho = self._rho()
+        out = np.zeros(pos.shape[:-1])
+        for j in range(len(rho)):
+            sel = ((R >= lo[j, 0]) & (R < hi[j, 0])
+                   & (phi >= lo[j, 1]) & (phi < hi[j, 1])
+                   & (z >= lo[j, 2]) & (z < hi[j, 2]))
+            out = np.where(sel, rho[j], out)
+        return out
+
+    def density_on_cells(self, grid, samples: int = 1, seed: int = 9):
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        return self.density_at(centers)
+
+
+@dataclasses.dataclass(frozen=True)
+class SphericalCellSnapshot:
+    """Spherical cells (rmin, thetamin, phimin, ...) with a mass per cell
+    (ref: SphericalCellSnapshot.hpp; angles in radians)."""
+
+    lo: np.ndarray        # (N,3) [r, theta, phi]
+    hi: np.ndarray
+    mass: np.ndarray
+    velocity: np.ndarray | None = None
+
+    def _rho(self):
+        lo, hi = np.asarray(self.lo, np.float64), np.asarray(self.hi,
+                                                             np.float64)
+        vol = (hi[:, 0] ** 3 - lo[:, 0] ** 3) / 3.0 \
+            * (np.cos(lo[:, 1]) - np.cos(hi[:, 1])) \
+            * (hi[:, 2] - lo[:, 2])
+        return np.asarray(self.mass, np.float64) / np.maximum(vol, 1e-300)
+
+    def density_at(self, pos):
+        pos = np.asarray(pos, np.float64)
+        r = np.linalg.norm(pos, axis=-1)
+        theta = np.arccos(np.clip(pos[..., 2] / np.maximum(r, 1e-300),
+                                  -1, 1))
+        phi = np.mod(np.arctan2(pos[..., 1], pos[..., 0]), 2 * np.pi)
+        lo, hi = np.asarray(self.lo), np.asarray(self.hi)
+        rho = self._rho()
+        out = np.zeros(pos.shape[:-1])
+        for j in range(len(rho)):
+            sel = ((r >= lo[j, 0]) & (r < hi[j, 0])
+                   & (theta >= lo[j, 1]) & (theta < hi[j, 1])
+                   & (phi >= lo[j, 2]) & (phi < hi[j, 2]))
+            out = np.where(sel, rho[j], out)
+        return out
+
+    def density_on_cells(self, grid, samples: int = 1, seed: int = 9):
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        return self.density_at(centers)
+
+
 def imported_medium(grid, snapshot, mix, samples: int = 1) -> msys.MediumTables:
     """Build MediumTables from a snapshot + material mix: number density =
     mass density / mix.mu (ref: ImportedMedium with massType Mass)."""

@@ -156,3 +156,61 @@ class LinearDustDestructionRecipe:
         nd[:, self.component] = nd0[:, self.component] * f_cell
         self._prev_frac = f_cell
         return UpdateResult(nd, int(updated.sum()), int(not_conv.sum()))
+
+
+@dataclasses.dataclass
+class NonLTELineRecipe:
+    """Couple NonLTE level populations to the radiation field through the
+    primary-emission iteration flow (ref: NonLTELineGasMix.hpp:289 — the
+    statistical-equilibrium solve repeats each primary iteration with the
+    current mean intensity until the populations converge).
+
+    The recipe updates the line component's EFFECTIVE absorber density
+    n_eff = n_l - (g_l/g_u) n_u for the configured transition (stimulated
+    emission enters as negative absorption, the reference's negative-
+    extinction capability) from populations solved with J at the line
+    frequency taken from the stored radiation field.
+    """
+
+    mol: object                 # nonlte.MoleculeData
+    component: int              # medium component holding the line opacity
+    n_mol: np.ndarray           # (ncells,) molecule number density [1/m^3]
+    n_col: np.ndarray           # (ncells,) collision-partner density
+    T_kin: np.ndarray           # (ncells,) kinetic temperature [K]
+    rf_borders: np.ndarray      # RF wavelength borders (for J at lines)
+    transition: int = 0         # line index driving the opacity
+    max_change: float = 0.05    # convergence: max relative pop change
+
+    def update(self, nd: np.ndarray, rf, volumes,
+               rf_scale: float, context=None) -> UpdateResult:
+        from . import nonlte as nl
+
+        rf64 = np.asarray(rf, np.float64)
+        v = np.asarray(volumes, np.float64)
+        rb = np.asarray(self.rf_borders, np.float64)
+        dlam = np.diff(rb)
+        # J_lambda per cell per bin [W/m^3/sr] -> J_nu at line frequencies
+        J_lam = rf64 * rf_scale / (4.0 * np.pi * v[:, None] * dlam[None, :])
+        lam_line = np.asarray(self.mol.line_lam)
+        k = np.clip(np.searchsorted(rb, lam_line) - 1, 0, rf64.shape[1] - 1)
+        C = 2.99792458e8
+        J_nu = J_lam[:, k] * (lam_line[None, :] ** 2 / C)   # (ncells, M)
+        pops = np.asarray(nl.solve_populations(self.mol, self.n_col,
+                                               self.T_kin, J_rad=J_nu))
+        prev = context.get("nonlte_pops") if context else None
+        if context is not None:
+            context["nonlte_pops"] = pops
+        li = self.transition
+        u, l = int(self.mol.up[li]), int(self.mol.lo[li])
+        g = np.asarray(self.mol.g, np.float64)
+        n_eff = self.n_mol * (pops[:, l] - (g[l] / g[u]) * pops[:, u])
+        nd = np.array(nd, np.float64, copy=True)
+        changed = np.abs(nd[:, self.component] - n_eff) \
+            > 1e-6 * np.maximum(np.abs(n_eff), 1e-300)
+        nd[:, self.component] = n_eff
+        if prev is None:
+            n_not = len(nd)
+        else:
+            rel = np.abs(pops - prev) / np.maximum(np.abs(prev), 1e-12)
+            n_not = int((rel.max(axis=1) > self.max_change).sum())
+        return UpdateResult(nd, int(changed.sum()), n_not)

@@ -645,7 +645,7 @@ class Simulation:
             launched += n_src
             hist_base += n_src
         rf = self._rf_finalize(rf)
-        self._block(rf, accs)
+        self._block(rf, accs, phase="primary emission")
         dt = time.perf_counter() - t0
         if verbose:
             from .utils.log import default as _log
@@ -721,7 +721,7 @@ class Simulation:
                 src2, src2.tables(), dataclasses.replace(opts2, store_rf=False),
                 n2, jax.random.fold_in(seed_key, 777), None, accs,
                 seg_key=("seco-final",))
-        self._block(rf_total, accs)
+        self._block(rf_total, accs, phase="dust emission")
         if verbose:
             dt = time.perf_counter() - t_all
             from .utils.log import default as _log
@@ -841,7 +841,7 @@ class Simulation:
                 src2, src2.tables(), opts2, n2,
                 jax.random.fold_in(seed_key, 777), None, accs,
                 seg_key=("seco-final",))
-        self._block(rf_total, accs)
+        self._block(rf_total, accs, phase="merged emission")
         if verbose:
             dt = time.perf_counter() - t_all
             _log().success(f"merged emission done in {dt:.1f} s "
@@ -925,12 +925,17 @@ class Simulation:
                                   self.grid.volumes(), self.rf_scale)
         return eq.equilibrium_temperature(etabs, p_abs)
 
-    @staticmethod
-    def _block(rf, accs):
+    def _block(self, rf, accs, phase: str = "segment"):
         if accs:
             jax.block_until_ready(jax.tree.leaves(accs))
         elif rf is not None:
             jax.block_until_ready(rf)
+        # failure detection at segment boundaries (ref: FatalError /
+        # SignalHandler layer; utils/guards.py)
+        from .utils.guards import check_finite, guards_enabled
+        if guards_enabled():
+            from .utils.log import default as _log
+            check_finite({"rf": rf, "accs": accs}, phase, _log())
 
     # ----------------------------------------------------------------- output
 

@@ -146,3 +146,19 @@ def test_move_inside():
     assert c2[0] >= 0          # enters through the -x face
     assert c2[1] == -1         # misses the box
     assert c2[2] >= 0 and np.asarray(t)[2] == 0.0  # already inside
+
+
+def test_finiteness_guards():
+    """Failure-detection layer (ref: FatalError/SignalHandler mapping,
+    SURVEY §5): non-finite accumulators raise a phase-named EngineError."""
+    import pytest as _pt
+
+    from skirt9_tpu.utils.guards import EngineError, check_finite
+
+    ok = {"rf": jnp.ones((4, 2)), "accs": [{"sed": jnp.zeros((3,))}]}
+    check_finite(ok, "test")  # no raise
+    bad = {"rf": jnp.array([1.0, np.nan]), "accs": []}
+    with _pt.raises(EngineError) as e:
+        check_finite(bad, "primary emission")
+    assert "primary emission" in str(e.value)
+    assert "rf" in str(e.value)

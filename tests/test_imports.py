@@ -115,3 +115,33 @@ def test_read_column_file(tmp_path):
         ("h", "length", "pc"), ("M", "mass", "Msun")])
     assert cols["x"][0] == pytest.approx(PC, rel=1e-3)
     assert cols["M"][1] == pytest.approx(3 * c.SOLAR_MASS)
+
+
+def test_cylindrical_cell_snapshot():
+    """CylindricalCellSnapshot: density from (R, phi, z) cells
+    (ref: CylindricalCellSnapshot.hpp)."""
+    from skirt9_tpu.imports.snapshots import CylindricalCellSnapshot
+
+    # one full ring R in [1,2], z in [-1,1]
+    lo = np.array([[1.0, 0.0, -1.0]])
+    hi = np.array([[2.0, 2 * np.pi, 1.0]])
+    vol = 0.5 * (4 - 1) * 2 * np.pi * 2
+    snap = CylindricalCellSnapshot(lo=lo, hi=hi, mass=np.array([vol]))
+    d = snap.density_at(np.array([[1.5, 0.0, 0.0],    # inside
+                                  [0.5, 0.0, 0.0],    # inner hole
+                                  [1.5, 0.0, 1.5]]))  # above
+    np.testing.assert_allclose(d, [1.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_spherical_cell_snapshot():
+    from skirt9_tpu.imports.snapshots import SphericalCellSnapshot
+
+    # full shell r in [1,2]
+    lo = np.array([[1.0, 0.0, 0.0]])
+    hi = np.array([[2.0, np.pi, 2 * np.pi]])
+    vol = (8 - 1) / 3 * 2 * 2 * np.pi
+    snap = SphericalCellSnapshot(lo=lo, hi=hi, mass=np.array([vol]))
+    d = snap.density_at(np.array([[0.0, 0.0, 1.5],
+                                  [0.0, 0.0, 0.5],
+                                  [2.5, 0.0, 0.0]]))
+    np.testing.assert_allclose(d, [1.0, 0.0, 0.0], atol=1e-12)

@@ -200,3 +200,56 @@ def test_multi_source_allocation_energy():
     assert F == pytest.approx(expect, rel=1e-4)
     # every source contributed: four distinct bins lit
     assert (np.asarray(sed["transparent"]) > 0).sum() == 4
+
+
+def test_nonlte_rf_iteration_flow():
+    """Populations <-> radiation-field coupling through the primary
+    iteration flow (ref: NonLTELineGasMix.hpp:289): the recipe updates the
+    effective absorber density from statistical equilibrium with J from
+    the stored RF, and the flow converges."""
+    import jax
+    import jax.numpy as jnp
+
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.media import dynamic as dyn
+    from skirt9_tpu.media import nonlte as nl
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+
+    PC = 3.0857e16
+    mol = nl.linear_rotor(nlevels=4)
+    lam0 = float(mol.line_lam[0])
+    grid = make_cartesian(((-PC, PC),) * 3, (6,) * 3)
+    nc = grid.ncells
+    n_mol = np.full(nc, 1e8)
+    n_col = np.full(nc, 1e9)
+    T_kin = np.full(nc, 20.0)
+    # start from LTE populations for the initial opacity
+    pops0 = np.asarray(nl.lte_populations(mol, jnp.asarray(T_kin)))
+    g = np.asarray(mol.g, np.float64)
+    u, l = int(mol.up[0]), int(mol.lo[0])
+    n_eff0 = n_mol * (pops0[:, l] - g[l] / g[u] * pops0[:, u])
+    lam_t = np.array([lam0 * 0.8, lam0 * 1.2])
+    sigma = 1e-22
+    med = msys.make_medium(grid, n_eff0.astype(np.float32), lam_t,
+                           sigma_ext=np.full((1, 2), sigma),
+                           albedo=np.zeros((1, 2)), g=np.zeros((1, 2)))
+    rfb = np.array([lam0 * 0.9, lam0 * 1.1])
+    recipe = dyn.NonLTELineRecipe(mol=mol, component=0, n_mol=n_mol,
+                                  n_col=n_col, T_kin=T_kin, rf_borders=rfb)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=2)
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[PointSource(luminosity=1e20, lam0=lam0)],
+                     instruments=[], options=opts, rf_borders=rfb,
+                     num_packets=2048, batch_size=1024, seed=6,
+                     dynamic_recipes=[recipe], iterate_primary=True,
+                     max_primary_iterations=6)
+    info = sim.run_primary_iterations(verbose=False)
+    assert info["iterations"] >= 2
+    assert info["converged"]
+    # the medium now holds the converged effective density (changed vs LTE)
+    nd_final = np.asarray(sim.medium.nd[:, 0], np.float64)
+    assert not np.allclose(nd_final, n_eff0, rtol=1e-6)
+    assert np.isfinite(nd_final).all()
