@@ -1326,6 +1326,14 @@ def load_ski(path: str, num_packets: int | None = None,
         "ImportedMediumMetallicityProbe": ("metallicity", "Setup"),
         "DustEmissionWavelengthGridProbe": ("wavelengths", "Setup"),
         "ConvergenceInfoProbe": ("convergence", "Setup"),
+        "InputModelFormProbe": ("inputmodel", "Setup"),
+        "ConvergenceCutsProbe": ("convergencecuts", "Setup"),
+        "DustEmissivityProbe": ("dustemissivity", "Setup"),
+        "CustomStateProbe": ("cellprops", "Setup"),
+        "SpatialCellPropertiesProbe": ("cellprops", "Setup"),
+        "ImportedSourceDensityProbe": ("sourcedensity", "Setup"),
+        "ImportedSourceLuminosityProbe": ("luminosity", "Setup"),
+        "InstrumentTimeGridProbe": ("wavelengths", "Setup"),
     }
     probes = []
     plist = mcs.find("probeSystem/ProbeSystem/probes")

@@ -215,6 +215,68 @@ class SphericalCellSnapshot:
         return self.density_at(centers)
 
 
+@dataclasses.dataclass(frozen=True)
+class MeshSnapshot:
+    """Data on a regular Cartesian mesh spanning a box: values (nx,ny,nz)
+    of mass per mesh cell (ref: MeshSnapshot backing MeshGeometry /
+    MeshSource / MeshMedium — the reference reads a value per cell of a
+    user-declared linear mesh)."""
+
+    lo: np.ndarray         # (3,) box corner [m]
+    hi: np.ndarray
+    mass: np.ndarray       # (nx, ny, nz) mass per mesh cell [kg]
+    velocity: np.ndarray | None = None   # (nx, ny, nz, 3)
+
+    @property
+    def shape(self):
+        return self.mass.shape
+
+    def _cellsize(self):
+        return (np.asarray(self.hi, np.float64)
+                - np.asarray(self.lo, np.float64)) \
+            / np.asarray(self.mass.shape, np.float64)
+
+    def density_at(self, pos):
+        pos = np.asarray(pos, np.float64)
+        h = self._cellsize()
+        ijk = np.floor((pos - np.asarray(self.lo)) / h).astype(np.int64)
+        n = np.asarray(self.mass.shape)
+        inside = np.all((ijk >= 0) & (ijk < n), axis=-1)
+        ijk = np.clip(ijk, 0, n - 1)
+        rho = np.asarray(self.mass, np.float64) / np.prod(h)
+        return np.where(inside, rho[ijk[..., 0], ijk[..., 1], ijk[..., 2]],
+                        0.0)
+
+    def density_on_cells(self, grid, samples: int = 1, seed: int = 9):
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        return self.density_at(centers)
+
+    def as_cell_source(self, luminosity_per_cell: np.ndarray,
+                      ems_borders, spectra, spatial_bias: float = 0.5):
+        """A source launching from mesh cells with given per-cell spectra
+        (ref: MeshSource): reuses the per-cell-spectrum launch machinery
+        of the secondary source."""
+        from ..sources import secondary as sec
+
+        class _MeshGrid:
+            def cell_bounds(self_inner):
+                n = self.mass.shape
+                h = self._cellsize()
+                idx = np.stack(np.meshgrid(np.arange(n[0]), np.arange(n[1]),
+                                           np.arange(n[2]), indexing="ij"),
+                               axis=-1).reshape(-1, 3)
+                lo = np.asarray(self.lo) + idx * h
+                return lo, lo + h
+
+        return sec.prepare(_MeshGrid(),
+                           np.asarray(luminosity_per_cell,
+                                      np.float64).reshape(-1),
+                           np.asarray(spectra, np.float64).reshape(
+                               -1, np.asarray(spectra).shape[-1]),
+                           np.asarray(ems_borders, np.float64),
+                           spatial_bias)
+
+
 def imported_medium(grid, snapshot, mix, samples: int = 1) -> msys.MediumTables:
     """Build MediumTables from a snapshot + material mix: number density =
     mass density / mix.mu (ref: ImportedMedium with massType Mass)."""

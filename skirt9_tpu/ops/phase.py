@@ -72,3 +72,85 @@ def rotate_direction(k: jnp.ndarray, costheta: jnp.ndarray, phi: jnp.ndarray) ->
     )
     # renormalize to counter f32 drift over many scatterings
     return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+
+# ------------------------------------------------- tabulated phase functions
+
+def build_tabulated_phase(lam_grid, ct_grid, phase):
+    """Device tables for a custom (lambda, costheta) phase function
+    (ref: DustMix ScatteringMode::MaterialPhaseFunction — scattering by a
+    tabulated phase function instead of Henyey-Greenstein,
+    DustMix.hpp:319). `phase` (T, A) is normalized so that
+    (1/2) integral phase d(costheta) = 1 per wavelength row; a sampling
+    cdf over costheta accompanies it."""
+    import numpy as np
+    lam_grid = np.asarray(lam_grid, np.float64)
+    ct = np.asarray(ct_grid, np.float64)
+    ph = np.maximum(np.asarray(phase, np.float64), 0.0)
+    norm = 0.5 * np.trapezoid(ph, ct, axis=-1)
+    ph = ph / np.maximum(norm[:, None], 1e-300)
+    seg = 0.5 * (ph[:, 1:] + ph[:, :-1]) * np.diff(ct)[None, :]
+    cdf = np.concatenate([np.zeros((ph.shape[0], 1)),
+                          np.cumsum(seg, axis=-1)], axis=-1)
+    cdf = cdf / np.maximum(cdf[:, -1:], 1e-300)
+    return {"lam": jnp.asarray(lam_grid, jnp.float32),
+            "ct": jnp.asarray(ct, jnp.float32),
+            "phase": jnp.asarray(ph, jnp.float32),
+            "cdf": jnp.asarray(cdf, jnp.float32)}
+
+
+def _lam_row_weights(tabs, lam):
+    from . import sampling as smp
+    lg = tabs["lam"]
+    i = jnp.clip(smp.searchsorted_right(lg, lam) - 1, 0, lg.shape[0] - 2)
+    l0 = smp.take_small(lg, i)
+    l1 = smp.take_small(lg, i + 1)
+    f = jnp.clip((lam - l0) / jnp.maximum(l1 - l0, 1e-37), 0.0, 1.0)
+    return i, f
+
+
+def tabulated_phase_value(tabs, lam, ct):
+    """Phase value per (lane lambda, lane costheta), normalized per sr
+    times 4pi (divide by 4pi for per-steradian peel-off weights)."""
+    from . import sampling as smp
+    i, f = _lam_row_weights(tabs, lam)
+    ctg = tabs["ct"]
+    j = jnp.clip(smp.searchsorted_right(ctg, ct) - 1, 0,
+                 ctg.shape[0] - 2)
+    c0 = smp.take_small(ctg, j)
+    c1 = smp.take_small(ctg, j + 1)
+    g = jnp.clip((ct - c0) / jnp.maximum(c1 - c0, 1e-37), 0.0, 1.0)
+
+    def at(ii, jj):
+        # dense 2-D lookup: one-hot over rows x one-hot over cols
+        P = tabs["phase"]
+        oh_r = (ii[:, None] == jnp.arange(P.shape[0], dtype=jnp.int32))
+        rows = oh_r.astype(P.dtype) @ P            # (B, A)
+        return smp.take_along_small(rows, jj)
+
+    v00 = at(i, j)
+    v01 = at(i, j + 1)
+    v10 = at(i + 1, j)
+    v11 = at(i + 1, j + 1)
+    return ((1 - f) * ((1 - g) * v00 + g * v01)
+            + f * ((1 - g) * v10 + g * v11))
+
+
+def tabulated_phase_sample(tabs, lam, u):
+    """Sample costheta from the tabulated phase function's cdf at each
+    lane's wavelength (nearest wavelength row; the reference interpolates
+    the cdf rows the same way its per-lambda tables do)."""
+    from . import sampling as smp
+    i, f = _lam_row_weights(tabs, lam)
+    irow = jnp.where(f > 0.5, i + 1, i)
+    C = tabs["cdf"]
+    oh_r = (irow[:, None] == jnp.arange(C.shape[0], dtype=jnp.int32))
+    rows = oh_r.astype(C.dtype) @ C                # (B, A)
+    j = jnp.clip(jnp.sum((rows < u[:, None]).astype(jnp.int32),
+                         axis=-1) - 1, 0, C.shape[1] - 2)
+    c0 = smp.take_along_small(rows, j)
+    c1 = smp.take_along_small(rows, j + 1)
+    g = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-37), 0.5)
+    ctg = tabs["ct"]
+    t0 = smp.take_small(ctg, j)
+    return t0 + g * (smp.take_small(ctg, j + 1) - t0)

@@ -605,6 +605,71 @@ class ProbeSpec:
         if k == "absorption":
             return [] if rf is None else absorption_probe(sim, rf, tag,
                                                           outdir)
+        if k == "inputmodel":
+            import jax.numpy as jnp
+            # probe the INPUT geometries (pre-gridding) on planar cuts
+            # (ref: InputModelFormProbe — quantities from the input model
+            # rather than the gridded medium state)
+            comps = [c for c in getattr(sim, "medium_components", [])
+                     if c[0] is not None]
+            out = []
+            for i, (geom, _, _) in enumerate(comps):
+                out.append(planar_cut_form(
+                    os.path.join(outdir, f"{tag}_input_{i}_xy.fits"),
+                    sim.grid,
+                    lambda pos, g=geom: jnp.asarray(
+                        g.density_np(np.asarray(pos, np.float64))),
+                    axis="z"))
+            return out
+        if k == "convergencecuts":
+            import jax.numpy as jnp
+            # gridded vs input density on midplane cuts
+            # (ref: ConvergenceCutsProbe)
+            comps = [c for c in getattr(sim, "medium_components", [])
+                     if c[0] is not None]
+            if not comps:
+                return []
+            nd = np.asarray(sim.medium.nd, np.float64)
+            out = [planar_cut_form(
+                os.path.join(outdir, f"{tag}_gridded_xy.fits"), sim.grid,
+                cell_scalar_fn(sim.grid, nd.sum(axis=1)), axis="z")]
+            geom = comps[0][0]
+            out.append(planar_cut_form(
+                os.path.join(outdir, f"{tag}_input_xy.fits"), sim.grid,
+                lambda pos: jnp.asarray(
+                    geom.density_np(np.asarray(pos, np.float64))),
+                axis="z"))
+            return out
+        if k == "dustemissivity":
+            # emissivity spectrum of the dust mix in scaled Mathis fields
+            # (ref: DustEmissivityProbe — emissivity for a range of input
+            # field strengths)
+            from ..emission import equilibrium as eq
+            if sim.rf_borders is None or sim.ems_borders is None:
+                return []
+            etabs = sim._emission_tables()
+            rb = np.asarray(sim.rf_borders, np.float64)
+            lam_c = np.sqrt(rb[1:] * rb[:-1])
+            # Mathis-like U=1 field shape: lam J_lam ~ const in the optical
+            J1 = 1e-6 / (lam_c * np.log(rb[-1] / rb[0]))
+            rows = []
+            sab = np.asarray(etabs.sigma_abs_rf, np.float64)
+            for U in (0.1, 1.0, 10.0, 100.0):
+                p_abs = (4 * np.pi * U * J1[None, :] * np.diff(rb)[None, :]
+                         * sab).sum(axis=1)[None, :]
+                T = eq.equilibrium_temperature(etabs, p_abs)
+                ems = np.asarray(eq.cell_emission_spectra(
+                    sim.medium, etabs,
+                    np.tile(T, (sim.grid.ncells, 1))))[0]
+                rows.append(ems)
+            path = os.path.join(outdir, f"{tag}_emissivity.dat")
+            lam_e = np.asarray(etabs.lam_ems, np.float64)
+            with open(path, "w") as f:
+                f.write("# dust emissivity for U = 0.1, 1, 10, 100 x "
+                        "reference field\n# col 1: wavelength [m]; "
+                        "cols 2-5: emissivity [W/m per H]\n")
+                np.savetxt(f, np.column_stack([lam_e] + rows))
+            return [path]
         if k == "cellprops":
             vols = np.asarray(sim.grid.volumes(), np.float64)
             nd = np.asarray(sim.medium.nd, np.float64)

@@ -120,6 +120,10 @@ class Simulation:
     # X-ray gas channel tables (media.xray.device_tables) consumed by the
     # lifecycle when options.xray is set
     xray_tabs: object = None
+    # tabulated custom phase function (ops.phase.build_tabulated_phase) —
+    # the reference's MaterialPhaseFunction scattering mode
+    # (ref: DustMix.hpp:319); applies to the medium's scattering events
+    phase_tabs: object = None
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -312,7 +316,8 @@ class Simulation:
                                  emission_phase=emission_phase,
                                  emission_polarization=getattr(
                                      source, "polarization", None),
-                                 xray_tabs=self.xray_tabs)
+                                 xray_tabs=self.xray_tabs,
+                                 phase_tabs=self.phase_tabs)
 
         if self.mesh is None:
             fn = jax.jit(step, static_argnums=(0, 1), donate_argnums=(6, 7))
@@ -484,7 +489,8 @@ class Simulation:
                                     emission_polarization=getattr(
                                         source, "polarization", None),
                                     emit_mask=refill, return_state=True,
-                                    xray_tabs=self.xray_tabs)
+                                    xray_tabs=self.xray_tabs,
+                                    phase_tabs=self.phase_tabs)
                 rf, accs, pkt = out
                 nh = next_hist + jnp.sum(refill).astype(jnp.int32)
                 return pkt, nh, rf, accs

@@ -417,7 +417,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                emission_polarization=None,
                mueller: "stk.MuellerTables | None" = None,
                sweep_tabs=None, emit_mask: jax.Array | None = None,
-               return_state: bool = False, xray_tabs: dict | None = None):
+               return_state: bool = False, xray_tabs: dict | None = None,
+               phase_tabs: dict | None = None):
     """Run the complete life cycle of one launched packet batch.
 
     Equivalent of performLifeCycle for the whole batch: emission peel-off,
@@ -915,12 +916,21 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             w_comp = msys.scattering_weights(med, opt_int, icell)  # (B,H)
 
             if not polarized:
-                def per_sr(kobs):
-                    ct = jnp.sum(pkt.dir * kobs, axis=-1)
-                    ph = jnp.sum(w_comp * phs.hg_phase(opt_int.g,
-                                                       ct[..., None]),
-                                 axis=-1)
-                    return pkt.lum * albedo * ph
+                if phase_tabs is not None:
+                    # MaterialPhaseFunction mode: tabulated custom phase
+                    # (ref: DustMix.hpp:319 ScatteringMode enum)
+                    def per_sr(kobs):
+                        ct = jnp.sum(pkt.dir * kobs, axis=-1)
+                        ph = phs.tabulated_phase_value(
+                            phase_tabs, lam_cell, ct) / (4.0 * jnp.pi)
+                        return pkt.lum * albedo * ph
+                else:
+                    def per_sr(kobs):
+                        ct = jnp.sum(pkt.dir * kobs, axis=-1)
+                        ph = jnp.sum(w_comp * phs.hg_phase(opt_int.g,
+                                                           ct[..., None]),
+                                     axis=-1)
+                        return pkt.lum * albedo * ph
 
                 lam_fn = None
                 lam_march1 = pkt.lam if opts.kinematics else None
@@ -1004,8 +1014,15 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if opts.lya or opts.compton or opts.xray:
             pass  # direction and wavelength already updated above
         elif not polarized:
-            g_sel = jnp.take_along_axis(opt_int.g, h[..., None], axis=-1)[..., 0]
-            newdir = hg_scatter_direction(keys, g_sel, pkt.dir)
+            if phase_tabs is not None:
+                ct_t = phs.tabulated_phase_sample(
+                    phase_tabs, lam_cell, rng.uniform(keys, _TAG_SCATTER_CT))
+                phi_t = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+                newdir = phs.rotate_direction(pkt.dir, ct_t, phi_t)
+            else:
+                g_sel = jnp.take_along_axis(opt_int.g, h[..., None],
+                                            axis=-1)[..., 0]
+                newdir = hg_scatter_direction(keys, g_sel, pkt.dir)
         else:
             # sample (theta, phi) from the polarized phase function and
             # update direction, reference normal and Stokes state

@@ -145,3 +145,39 @@ def test_spherical_cell_snapshot():
                                   [0.0, 0.0, 0.5],
                                   [2.5, 0.0, 0.0]]))
     np.testing.assert_allclose(d, [1.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_mesh_snapshot_medium_and_source():
+    """MeshSnapshot: regular-mesh import backing MeshMedium/MeshSource
+    (ref: MeshGeometry/MeshSource/MeshMedium)."""
+    from skirt9_tpu.imports.snapshots import MeshSnapshot
+
+    n = (4, 4, 4)
+    mass = np.zeros(n)
+    mass[1, 2, 3] = 8.0
+    snap = MeshSnapshot(lo=np.array([0.0, 0.0, 0.0]),
+                        hi=np.array([4.0, 4.0, 4.0]), mass=mass)
+    # density: mass / unit cell volume, localized
+    d = snap.density_at(np.array([[1.5, 2.5, 3.5], [0.5, 0.5, 0.5],
+                                  [5.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(d, [8.0, 0.0, 0.0])
+
+    # mesh source: launches come from the luminous cell
+    import jax
+    import jax.numpy as jnp
+
+    from skirt9_tpu.ops import rng
+    L = np.zeros(64)
+    L[1 * 16 + 2 * 4 + 3] = 5.0
+    emsb = np.array([1e-6, 2e-6, 4e-6])
+    spectra = np.tile(np.array([1.0, 1.0]), (64, 1))
+    src = snap.as_cell_source(L, emsb, spectra)
+    assert src.luminosity == 5.0
+    keys = rng.event_keys(rng.history_keys(jax.random.PRNGKey(0),
+                                           jnp.arange(512, dtype=jnp.int32)),
+                          rng.LAUNCH_EVENT)
+    f = src.launch(src.tables(), keys, 512)
+    pos = np.asarray(f["pos"])
+    assert (pos[:, 0] >= 1).all() and (pos[:, 0] <= 2).all()
+    assert (pos[:, 1] >= 2).all() and (pos[:, 1] <= 3).all()
+    assert (pos[:, 2] >= 3).all() and (pos[:, 2] <= 4).all()

@@ -126,3 +126,22 @@ def test_new_probe_kinds(tmp_path):
             assert len(open(p).readlines()) > 1, kind
     # secondaryluminosity without rf is a clean no-op
     assert pr.ProbeSpec("secondaryluminosity", "t").run(sim, "x", out) == []
+
+
+def test_new_probe_kinds(tmp_path):
+    """InputModelFormProbe / ConvergenceCutsProbe / DustEmissivityProbe
+    kinds produce output files (ref: same-named reference probes)."""
+    import os
+
+    from skirt9_tpu.config.ski import load_ski
+    from skirt9_tpu.probes.probes import ProbeSpec
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+    sim = load_ski(os.path.join(G, "bench2.ski"), num_packets=256,
+                   batch_size=256, max_events=2)
+    for kind in ("inputmodel", "convergencecuts", "dustemissivity"):
+        paths = ProbeSpec(kind, kind).run(sim, "t", str(tmp_path))
+        assert paths, kind
+        for p in paths:
+            assert os.path.exists(p)
+            assert os.path.getsize(p) > 0
