@@ -150,19 +150,6 @@ def _slab_march(grid_loc, nd_local, pos, dirn, sigma, mask, max_steps):
     return p0, cells, ds, dtau
 
 
-def _tau_before_slab(ptau_all: jax.Array, d: jax.Array, dx: jax.Array):
-    """Ray-ordered optical depth accumulated in slabs crossed BEFORE slab d.
-
-    ptau_all: (n_slabs, N) per-slab partial taus; dx: (N,) ray x-direction.
-    Slabs are crossed in increasing index for dx>0, decreasing for dx<0.
-    """
-    n = ptau_all.shape[0]
-    iota = jnp.arange(n)
-    up = jnp.sum(jnp.where((iota < d)[:, None], ptau_all, 0.0), axis=0)
-    dn = jnp.sum(jnp.where((iota > d)[:, None], ptau_all, 0.0), axis=0)
-    return jnp.where(dx > 0, up, dn)
-
-
 def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
                opts: lc.TransportOptions, inst_cfgs, inst_tabs,
                rf_borders, source, source_tabs, n_total: int):
@@ -180,7 +167,6 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
     use_rf = opts.store_rf and rf_borders is not None
     nrf = (rf_borders.shape[0] - 1) if use_rf else 1
     inv_sqrt = 1.0 / float(np.sqrt(opts.rf_scale))
-    groups = lc._observer_groups(inst_cfgs)
     kind_direct = (dinst.KIND_PRIMARY_DIRECT if opts.primary
                    else dinst.KIND_SECONDARY_DIRECT)
     kind_scat = (dinst.KIND_PRIMARY_SCATTERED if opts.primary
