@@ -53,22 +53,22 @@ _BIG = 3e37
 _CAP_ROWS = 16
 
 
-def _lane_block(NB: int, n_groups: int = 1) -> int:
+def _lane_block(NB: int, n_groups: int = 1, cap: int = _CAP_ROWS) -> int:
     if NB % n_groups:
         raise ValueError(f"{NB} rows not divisible into {n_groups} groups")
     grows = NB // n_groups
     best = None
-    for d in range(1, min(grows, _CAP_ROWS) + 1):
+    for d in range(1, min(grows, cap) + 1):
         if grows % d == 0 and (d % 8 == 0 or d == NB):
             best = d
     if best is None:
         if grows == NB:
-            best = min(grows, _CAP_ROWS)
+            best = min(grows, cap)
             while NB % best:
                 best -= 1
         elif sw._interpret():
             best = max(d for d in range(1, grows + 1)
-                       if grows % d == 0 and d <= _CAP_ROWS)
+                       if grows % d == 0 and d <= cap)
         else:
             raise ValueError(
                 f"bin group of {grows} lane-rows has no 8-divisible block")
