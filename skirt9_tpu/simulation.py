@@ -394,10 +394,7 @@ class Simulation:
             mono_bin = self._mono_rf_bin(source, opts)
             if mono_bin >= 0:
                 opts = dataclasses.replace(opts, rf_mono_bin=mono_bin)
-        if self.refill_events > 0 and strata is None and self.mesh is None:
-            # (refill under a mesh falls through to the plain sharded
-            # segment — stream-identical by construction, see
-            # _run_segment_refilled docstring)
+        if self.refill_events > 0 and strata is None:
             return self._run_segment_refilled(
                 source, stabs, opts, n_packets, seed_key, rf, accs,
                 hist_base, lum_weight, seg_key, B)
@@ -445,13 +442,16 @@ class Simulation:
         next packet, ref: MonteCarloSimulation.cpp:538 per-index loop) on
         lockstep vector hardware.
         """
-        key = ("refill", seg_key, B)
+        D = 1 if self.mesh is None else int(self.mesh.devices.size)
+        key = ("refill", seg_key, B, D)
+        lanes = B // D            # per-device resident lanes
+        npd = -(-n_packets // D)  # per-device history range
         hist_end = jnp.int32(hist_base + n_packets)
         # generation guard: lanes die by weight cutoff; allow generous but
         # finite lifetimes (pure-scattering albedo=1 media would otherwise
         # spin forever)
         K = max(self.refill_events, 1)
-        max_gens = (n_packets // B + 2) * (
+        max_gens = (npd // lanes + 2) * (
             max(4 * self.options.max_events, 64) // K + 2)
         if key not in self._seg_cache:
             grid = self.grid
@@ -501,7 +501,8 @@ class Simulation:
                 # path synced next_hist to the host every K events, one
                 # tunnel round trip per generation (round-2 weak #2)
                 pkt0 = src.launch_batch(source, stabs, grid, seed_key,
-                                        jnp.full((B,), hist_end, jnp.int32),
+                                        jnp.full((lanes,), hist_end,
+                                                 jnp.int32),
                                         n_tot, hist_end=hist_end)
 
                 def cond(st):
@@ -521,16 +522,74 @@ class Simulation:
                     (jnp.int32(0), pkt0, jnp.int32(hist_base_), rf, accs))
                 return rf, accs, nh, jnp.sum(pkt.alive)
 
-            self._seg_cache[key] = jax.jit(segment, static_argnums=(0, 1, 2),
-                                           donate_argnums=(7, 8))
-        segment = self._seg_cache[key]
-        rf, accs, next_hist, n_alive = segment(
-            n_packets, float(lum_weight), int(max_gens), seed_key,
-            hist_base, hist_end, stabs, rf, accs)
-        if int(next_hist) < hist_base + n_packets or int(n_alive) > 0:
+            if self.mesh is None:
+                self._seg_cache[key] = jax.jit(
+                    segment, static_argnums=(0, 1, 2),
+                    donate_argnums=(7, 8))
+            else:
+                # sharded refill: each device refills from ITS OWN history
+                # subrange — every flow (including high-tau refill runs)
+                # scales over the mesh
+                from jax.sharding import PartitionSpec as P
+                mesh = self.mesh
+                ax = self.mesh_axis
+
+                def sharded(n_tot: int, lum_w: float, max_g: int, seed_key,
+                            hb0, he0, stabs, rf, accs):
+                    def per_device(seed_key, hb0, he0, stabs, rf, accs):
+                        d = jax.lax.axis_index(ax)
+                        hb = hb0 + d * npd
+                        he = jnp.minimum(hb + npd, he0)
+                        rf_l = None if rf is None else rf[0]
+                        accs_l = jax.tree.map(lambda a: a[0], accs)
+                        rf_o, accs_o, nh, na = segment(
+                            n_tot, lum_w, max_g, seed_key, hb, he, stabs,
+                            rf_l, accs_l)
+                        exp = lambda a: a[None]
+                        return ((None if rf_o is None else rf_o[None]),
+                                jax.tree.map(exp, accs_o), nh[None],
+                                na[None])
+
+                    return jax.shard_map(
+                        per_device, mesh=mesh,
+                        in_specs=(P(), P(), P(), P(), P(ax), P(ax)),
+                        out_specs=(P(ax), P(ax), P(ax), P(ax)),
+                        check_vma=False,
+                    )(seed_key, hb0, he0, stabs, rf, accs)
+
+                self._seg_cache[key] = jax.jit(
+                    sharded, static_argnums=(0, 1, 2),
+                    donate_argnums=(7, 8))
+        runner = self._seg_cache[key]
+        if self.mesh is None:
+            rf, accs, next_hist, n_alive = runner(
+                n_packets, float(lum_weight), int(max_gens), seed_key,
+                hist_base, hist_end, stabs, rf, accs)
+            done = int(next_hist) >= hist_base + n_packets
+            leftover = int(n_alive)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(self.mesh_axis))
+            dz = lambda a: jax.device_put(
+                jnp.zeros((D,) + a.shape, a.dtype), sh)
+            prf = None if rf is None else dz(rf)
+            paccs = jax.tree.map(dz, accs)
+            prf, paccs, nh, na = runner(
+                n_packets, float(lum_weight), int(max_gens), seed_key,
+                jnp.int32(hist_base), hist_end, stabs, prf, paccs)
+            if rf is not None:
+                rf = jax.tree.map(lambda a, p: a + p.sum(axis=0), rf, prf)
+            accs = jax.tree.map(lambda a, p: a + p.sum(axis=0), accs,
+                                paccs)
+            nh = np.asarray(nh)
+            expected = np.minimum(hist_base + (np.arange(D) + 1) * npd,
+                                  hist_base + n_packets)
+            done = bool((nh >= expected).all())
+            leftover = int(np.asarray(na).sum())
+        if not done or leftover > 0:
             from .utils.log import default as _log
             _log().warning(f"refill generation cap reached ({max_gens}); "
-                           f"{int(n_alive)} lanes abandoned")
+                           f"{leftover} lanes abandoned")
         return rf, accs
 
     def _init_rf(self):

@@ -127,3 +127,26 @@ def test_polarized_segment_sharded():
     # physics: 90-degree Thomson scattering of the blob is polarized
     sed = dinst.calibrate_sed(inst, jax.device_get(a8[0]))
     assert abs(sed["Q"][0]) > 0.1 * abs(sed["primaryscattered"][0])
+
+
+@needs8
+def test_refill_segment_sharded():
+    """Lane-refilled segments shard over the mesh: per-device history
+    subranges, one reduction at the end; totals match the single-device
+    refilled run within f32 noise."""
+    grid, med = _grey_problem(albedo=0.8)
+
+    def build(mesh):
+        s = _sim(grid, med, mesh, num_packets=8192, batch_size=2048)
+        s.refill_events = 4
+        return s
+
+    rf1, a1 = build(None).run_primary(verbose=False)
+    rf8, a8 = build(_mesh()).run_primary(verbose=False)
+    # refill order differs across devices (different subranges), but the
+    # estimator is the same set of histories -> identical totals
+    np.testing.assert_allclose(np.asarray(rf8).sum(),
+                               np.asarray(rf1).sum(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a8[0]["sed"]).sum(axis=1),
+                               np.asarray(a1[0]["sed"]).sum(axis=1),
+                               rtol=2e-4)
