@@ -464,11 +464,20 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
             mg = gr.themis_mix(nb)
         else:  # ConfigurableDustMix: explicit GrainPopulation children
             pops = []
+            polarized = []
             for p_el in el.iter("GrainPopulation"):
                 comp_el = _child(p_el, "composition")
                 comp = (gr.graphite_composition()
                         if comp_el is not None and "Graphite" in comp_el.tag
                         else gr.silicate_composition())
+                if comp_el is not None and "Polarized" in comp_el.tag:
+                    # Polarized{Silicate,Graphite}GrainComposition select
+                    # the SphericalPolarization scattering mode; the
+                    # Mueller tables come from our Mie pipeline instead of
+                    # resource packs (ref: DustMix.hpp:319)
+                    polarized.append(gr.nk_graphite_approx
+                                     if "Graphite" in comp_el.tag
+                                     else gr.nk_silicate_approx)
                 sd_el = _child(p_el, "sizeDistribution")
                 a = sd_el.attrib if sd_el is not None else {}
                 amin = _q(a, "minSize", "grainsize") if "minSize" in a else 5e-9
@@ -487,7 +496,14 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                 mass = _q(p_el.attrib, "dustMassPerHydrogenAtom", "mass") \
                     if "dustMassPerHydrogenAtom" in p_el.attrib else 1e-29
                 pops.append(gr.GrainPopulation(comp, sd, nbins, mass))
+                if (comp_el is not None and "Polarized" in comp_el.tag):
+                    polarized[-1] = (polarized[-1], sd)
             mg = gr.build_multi_grain(pops)
+            if polarized:
+                lam0 = 0.55e-6
+                mt = gr.mie_mueller([p for p in polarized
+                                     if isinstance(p, tuple)], lam0)
+                object.__setattr__(mg.mix, "_mueller", mt)
         # MixTables is a frozen (but slot-less) dataclass; carry the
         # size-bin payload for the stochastic calculator on the object
         # itself so its lifetime is tied to the mix (no global cache)

@@ -540,3 +540,104 @@ def themis_mix(nbins: int = 6) -> MultiGrainTables:
                         log_normal_sizes(0.5e-9, 3e-6, 160e-9, 0.35),
                         nbins, mass_per_h=0.8e-30),
     ])
+
+
+def mie_amplitudes(m, x, costheta):
+    """Mie scattering amplitudes S1, S2 for homogeneous spheres
+    (Bohren & Huffman §4.3): returns complex (len(x), len(costheta)).
+
+    Basis for SPHERICAL-polarization Mueller matrices computed from our
+    own Mie pipeline instead of resource-pack tables (ref: DustMix
+    ScatteringMode::SphericalPolarization + PolarizedSilicate/Graphite
+    GrainComposition resources).
+    """
+    x = np.atleast_1d(np.asarray(x, np.float64))
+    ct = np.atleast_1d(np.asarray(costheta, np.float64))
+    m = np.broadcast_to(np.asarray(m, np.complex128), x.shape).copy()
+    x = np.maximum(x, 1e-8)
+    nmax_e = np.ceil(x + 4.0 * x ** (1.0 / 3.0) + 2.0).astype(int)
+    nmax = int(np.max(nmax_e))
+    mx = m * x
+    nstart = nmax + 16
+    D = np.zeros(x.shape, np.complex128)
+    Dlist = [None] * (nmax + 1)
+    for n in range(nstart, 1, -1):
+        D = n / mx - 1.0 / (D + n / mx)
+        if n - 1 <= nmax:
+            Dlist[n - 1] = D.copy()
+    psi0, psi1 = np.cos(x), np.sin(x)
+    chi0, chi1 = -np.sin(x), np.cos(x)
+    S1 = np.zeros((len(x), len(ct)), np.complex128)
+    S2 = np.zeros((len(x), len(ct)), np.complex128)
+    pi_prev = np.zeros(len(ct))          # pi_0
+    pi_cur = np.ones(len(ct))            # pi_1
+    with np.errstate(over="ignore", invalid="ignore"):
+        for n in range(1, nmax + 1):
+            live = (n <= nmax_e)[:, None]
+            psi = (2 * n - 1) / x * psi1 - psi0
+            chi = (2 * n - 1) / x * chi1 - chi0
+            xi1 = psi1 - 1j * chi1
+            xi = psi - 1j * chi
+            Dn = Dlist[n]
+            da = Dn / m + n / x
+            db = Dn * m + n / x
+            an = np.nan_to_num((da * psi - psi1) / (da * xi - xi1))
+            bn = np.nan_to_num((db * psi - psi1) / (db * xi - xi1))
+            tau = n * ct * pi_cur - (n + 1) * pi_prev
+            f = (2 * n + 1) / (n * (n + 1.0))
+            S1 += np.where(live, f * (an[:, None] * pi_cur[None, :]
+                                      + bn[:, None] * tau[None, :]), 0.0)
+            S2 += np.where(live, f * (an[:, None] * tau[None, :]
+                                      + bn[:, None] * pi_cur[None, :]), 0.0)
+            pi_next = ((2 * n + 1) / n) * ct * pi_cur - ((n + 1) / n) * pi_prev
+            pi_prev, pi_cur = pi_cur, pi_next
+            cap = 1e150
+            psi0 = np.clip(psi1, -cap, cap)
+            psi1 = np.clip(psi, -cap, cap)
+            chi0 = np.clip(chi1, -cap, cap)
+            chi1 = np.clip(chi, -cap, cap)
+    return S1, S2
+
+
+def mie_mueller(nk_sizes, lam0: float, n_theta: int = 91,
+                nsizes: int = 24):
+    """Size-distribution-averaged Mueller matrix of a grain mix at lam0
+    (ref: the polarized grain compositions' Mueller resources,
+    PolarizedSilicateGrainComposition et al.; amplitudes add incoherently
+    across the ensemble).
+
+    nk_sizes: list of (nk_fn(lam)->complex, SizeDistribution) pairs.
+    Returns ops.stokes MuellerTables (single component; evaluated at the
+    representative wavelength lam0 — the lam-resolved refinement follows
+    the same path per wavelength bin).
+    """
+    from ..ops import stokes as stk
+    theta = np.linspace(0.0, np.pi, n_theta)
+    ct = np.cos(theta)
+    S11 = np.zeros(n_theta)
+    S12 = np.zeros(n_theta)
+    S33 = np.zeros(n_theta)
+    S34 = np.zeros(n_theta)
+    for nk_fn, sizes in nk_sizes:
+        a = np.geomspace(sizes.a_min, sizes.a_max, nsizes)
+        w = sizes.dnda(a) * np.gradient(a)
+        nk = nk_fn(np.array([lam0]))[0]
+        x = 2 * np.pi * a / lam0
+        s1, s2 = mie_amplitudes(nk, x, ct)
+        # weight each size by its number; |S|^2 carries the a-dependence
+        W = w[:, None]
+        S11 += (W * 0.5 * (np.abs(s1) ** 2 + np.abs(s2) ** 2)).sum(0)
+        S12 += (W * 0.5 * (np.abs(s2) ** 2 - np.abs(s1) ** 2)).sum(0)
+        S33 += (W * (s2 * np.conj(s1)).real).sum(0)
+        S34 += (W * (s2 * np.conj(s1)).imag).sum(0)
+    return stk.build_mueller(theta[None, :], S11[None, :], S12[None, :],
+                             S33[None, :], S34[None, :])
+
+
+def mrn_mueller(lam0: float = 0.55e-6, n_theta: int = 91):
+    """Polarized-scattering Mueller tables for the MRN silicate+graphite
+    mixture at lam0 (the dust SphericalPolarization mode without resource
+    packs)."""
+    return mie_mueller([(nk_silicate_approx, power_law_sizes()),
+                        (nk_graphite_approx, power_law_sizes())], lam0,
+                       n_theta=n_theta)

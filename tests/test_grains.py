@@ -198,3 +198,73 @@ def test_stochastic_emission_end_to_end():
     sec_flux = np.asarray(sed["secondarydirect"])
     assert sec_flux.sum() > 0
     assert sec_flux[w < 1e-6].sum() == pytest.approx(0.0, abs=1e-30)
+
+
+def test_mie_amplitudes_rayleigh_limit():
+    """Tiny spheres reproduce the Rayleigh/dipole Mueller pattern and the
+    optical theorem: Qsca x^2 = integral(|S1|^2+|S2|^2) sin t dt."""
+    from skirt9_tpu.media.grains import mie_amplitudes, mie_q
+
+    m = 1.5 + 0.01j
+    theta = np.linspace(0, np.pi, 181)
+    ct = np.cos(theta)
+    S1, S2 = mie_amplitudes(m, np.array([0.05]), ct)
+    # dipole: S1 ~ const, S2 ~ S1 * cos(theta)
+    np.testing.assert_allclose(np.abs(S1[0]) / np.abs(S1[0, 0]),
+                               np.ones_like(ct), rtol=5e-3)
+    np.testing.assert_allclose((S2[0] / S1[0]).real, ct, atol=2e-3)
+    # polarization degree -S12/S11 = sin^2/(1+cos^2)
+    S11 = 0.5 * (np.abs(S1[0])**2 + np.abs(S2[0])**2)
+    S12 = 0.5 * (np.abs(S2[0])**2 - np.abs(S1[0])**2)
+    np.testing.assert_allclose(-S12 / S11,
+                               (1 - ct**2) / (1 + ct**2), atol=2e-3)
+    # energy consistency at a Mie-regime size
+    x = np.array([3.0])
+    S1b, S2b = mie_amplitudes(m, x, ct)
+    qext, qsca, g = mie_q(m, x)
+    integ = np.trapezoid((np.abs(S1b[0])**2 + np.abs(S2b[0])**2)
+                         * np.sin(theta), theta)
+    np.testing.assert_allclose(integ, qsca[0] * x[0]**2, rtol=1e-2)
+
+
+def test_mrn_mueller_tables():
+    """Dust SphericalPolarization Mueller tables from our Mie pipeline:
+    valid shapes, forward-peaked S11, physical polarization bound."""
+    from skirt9_tpu.media.grains import mrn_mueller
+
+    mt = mrn_mueller(0.55e-6, n_theta=61)
+    S11 = np.asarray(mt.S11[0])
+    S12 = np.asarray(mt.S12[0])
+    assert S11[0] > S11[-1]          # forward scattering dominates
+    assert (S11 > 0).all()
+    p = -S12 / S11
+    assert (np.abs(p) <= 1.0 + 1e-9).all()
+    assert np.abs(p).max() > 0.05    # genuinely polarizing
+
+
+def test_polarized_grain_composition_from_ski():
+    """ConfigurableDustMix with PolarizedSilicateGrainComposition switches
+    on SphericalPolarization with Mie-derived Mueller tables."""
+    import xml.etree.ElementTree as ET
+
+    from skirt9_tpu.config.ski import build_mix
+
+    el = ET.fromstring("""
+      <ConfigurableDustMix scatteringType="SphericalPolarization">
+       <populations type="GrainPopulation">
+        <GrainPopulation numSizes="4" dustMassPerHydrogenAtom="1e-29 kg">
+         <composition type="GrainComposition">
+          <PolarizedSilicateGrainComposition/>
+         </composition>
+         <sizeDistribution type="GrainSizeDistribution">
+          <PowerLawGrainSizeDistribution minSize="0.005 micron"
+              maxSize="0.25 micron" exponent="3.5"/>
+         </sizeDistribution>
+        </GrainPopulation>
+       </populations>
+      </ConfigurableDustMix>""")
+    mix = build_mix(el)
+    mt = getattr(mix, "_mueller", None)
+    assert mt is not None
+    S11 = np.asarray(mt.S11[0])
+    assert (S11 > 0).all() and S11[0] > S11[-1]
