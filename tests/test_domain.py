@@ -159,3 +159,42 @@ def test_multi_event_draw_for_draw():
     fa = np.asarray(accs_a[0]["frame"], np.float64).sum(axis=(2, 3))
     fb = np.asarray(accs_b[0]["frame"], np.float64).sum(axis=(2, 3))
     assert np.allclose(fb, fa, rtol=3e-3, atol=1e-6 * max(fa.max(), 1e-30))
+
+
+def test_meshed_cartesian_decomposition():
+    """Second decomposable grid family: mesh-bordered Cartesian grids
+    split at x mesh borders; exact match vs the replicated engine."""
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.sources.base import PointSource
+
+    # log-spaced x mesh, linear y/z
+    xb = np.concatenate([[-PC], -PC + 2 * PC * np.geomspace(0.05, 1.0, 16)])
+    grid = make_cartesian(((-PC, PC),) * 3, (16, 8, 8),
+                          meshes=(xb, None, None))
+    sigma = 1e-24
+    centers = np.asarray(grid.cell_centers(), np.float64)
+    r = np.linalg.norm(centers, axis=-1)
+    nd = np.where(r < 0.8 * PC, 1.0 / (sigma * 0.8 * PC), 0.0)
+    med = msys.make_medium(grid, nd.astype(np.float32),
+                           np.array([0.4e-6, 0.7e-6]),
+                           np.array([[sigma, sigma]]),
+                           np.full((1, 2), 0.5), np.full((1, 2), 0.3))
+    inst = dinst.DistantInstrumentCfg(name="i",
+                                      wave_borders=(0.5e-6, 0.6e-6),
+                                      distance=100 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=3,
+                               rf_scale=1.0)
+    N = 1024
+    rf_a, accs_a = _run_replicated(grid, med, PointSource(luminosity=1.0,
+                                                          lam0=0.55e-6),
+                                   inst, jnp.asarray([0.5e-6, 0.6e-6],
+                                                     jnp.float32), opts, N)
+    rf_b, accs_b = _run_decomposed(grid, med, PointSource(luminosity=1.0,
+                                                          lam0=0.55e-6),
+                                   inst, jnp.asarray([0.5e-6, 0.6e-6],
+                                                     jnp.float32), opts, N)
+    scale = rf_a.max()
+    assert np.abs(rf_b - rf_a).max() < 2e-3 * scale
+    sa = np.asarray(accs_a[0]["sed"], np.float64)
+    sb = np.asarray(accs_b[0]["sed"], np.float64)
+    assert np.abs(sb - sa).max() < 3e-3 * max(sa.max(), 1e-30)
