@@ -711,7 +711,7 @@ def build_wavelength_grid(el) -> np.ndarray:
     raise NotImplementedError(f"wavelength grid '{t}' not supported yet")
 
 
-def build_instrument(el, default_wlg):
+def build_instrument(el, default_wlg, base_dir: str = "."):
     t = el.tag
     a = el.attrib
     wlg_el = _child(el, "wavelengthGrid")
@@ -740,6 +740,14 @@ def build_instrument(el, default_wlg):
         if tg is not None and tg.tag == "LogTimeGrid":
             off = _q(ta, "offset", "time", 0.0)
             tb = off + np.geomspace(max(t0 - off, 1e-30), t1 - off, nt + 1)
+        elif tg is not None and tg.tag == "FileTimeGrid":
+            # explicit time borders from a text file [s]
+            # (ref: FileTimeGrid)
+            import os as _os
+            fn = tg.attrib["filename"]
+            if not _os.path.isabs(fn):
+                fn = _os.path.join(base_dir, fn)
+            tb = np.sort(np.loadtxt(fn).reshape(-1))
         else:
             tb = np.linspace(t0, t1, nt + 1)
         return dinst.DistantInstrumentCfg(**common,
@@ -1131,7 +1139,7 @@ def load_ski(path: str, num_packets: int | None = None,
             default_wlg = build_wavelength_grid(list(dwlg_el)[0])
         inst_list = inst_sys.find("instruments")
         for i_el in (list(inst_list) if inst_list is not None else []):
-            instruments.append(build_instrument(i_el, default_wlg))
+            instruments.append(build_instrument(i_el, default_wlg, base_dir=_base_dir))
 
     with_emission = mode in ("DustEmission", "DustAndGasEmission")
     # radiation-field / dust-emission wavelength grids: explicit items in

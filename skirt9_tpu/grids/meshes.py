@@ -92,6 +92,20 @@ def from_ski(el, base_dir: str = ".", default_bins: int = 16) -> np.ndarray:
         return sym_pow_mesh(n, float(a.get("ratio", 1.0)))
     if t == "LogMesh":
         return log_mesh(n, float(a.get("centralBinFraction", 1e-3)))
+    if t == "SymCosMesh":
+        # symmetric cosine mesh: bins compressed at center and edges
+        # (ref: SymCosMesh — borders at (1 - cos(pi t))/2 over each half)
+        h = n // 2
+        tt = np.linspace(0.0, 1.0, max(h, 1) + 1)
+        half = 0.5 * (1.0 - np.cos(np.pi * tt)) * 0.5
+        b = np.concatenate([half, 1.0 - half[::-1][1:]])
+        return np.unique(b)
+    if t == "TabulatedMesh":
+        # explicit normalized mesh points given inline
+        # (ref: TabulatedMesh — like ListMesh but normalized to [0,1])
+        pts = np.array([float(v.split()[0]) for v in a["points"].split(",")])
+        pts = np.sort(np.unique(np.concatenate([[0.0], pts, [1.0]])))
+        return (pts - pts[0]) / (pts[-1] - pts[0])
     if t == "ListMesh":
         return list_mesh([float(v.split()[0])
                           for v in a["points"].split(",")])

@@ -171,3 +171,20 @@ def test_ski_wavelength_bias_distribution(tmp_path):
     # intersected with the source range
     assert lam[0] == pytest.approx(2e-7)
     assert lam[-1] == pytest.approx(3e-6)
+
+
+def test_symcos_and_tabulated_mesh():
+    import xml.etree.ElementTree as ET
+
+    from skirt9_tpu.grids import meshes as msh
+
+    el = ET.fromstring('<SymCosMesh numBins="8"/>')
+    b = msh.from_ski(el)
+    assert b[0] == 0.0 and b[-1] == 1.0
+    assert np.all(np.diff(b) > 0)
+    # cosine packing: outermost bins narrower than central ones
+    assert np.diff(b)[0] < np.diff(b)[len(b) // 2 - 1]
+
+    el2 = ET.fromstring('<TabulatedMesh points="0.1, 0.4, 0.9"/>')
+    b2 = msh.from_ski(el2)
+    np.testing.assert_allclose(b2, [0.0, 0.1, 0.4, 0.9, 1.0])
