@@ -753,6 +753,9 @@ def build_instrument(el, default_wlg, base_dir: str = "."):
         return dinst.DistantInstrumentCfg(**common,
                                           time_borders=tuple(tb))
     if t in ("FrameInstrument", "FullInstrument"):
+        if a.get("recordComponents", "false") == "true":
+            common["num_scattering_levels"] = int(
+                a.get("numScatteringLevels", 0))
         return dinst.DistantInstrumentCfg(
             **common,
             npx=int(a.get("numPixelsX", 250)),

@@ -79,6 +79,10 @@ class DistantInstrumentCfg:
     # circular aperture radius [m] in the image plane, 0 = none
     # (ref: ApertureInstrument.hpp:24)
     aperture: float = 0.0
+    # record individual scattering levels 1..N separately in addition to
+    # the aggregate scattered component (ref: FluxRecorder
+    # numScatteringLevels, FluxRecorder.hpp:50)
+    num_scattering_levels: int = 0
     # time-lag bin borders [s] for LightCurve/SpectralTimeMap instruments;
     # empty = no time axis (ref: TimeInstrument + TimeGrid; arrival-time
     # origin = direct photon from the spatial origin)
@@ -128,6 +132,11 @@ def init_accumulators(cfg: DistantInstrumentCfg) -> dict:
     acc = {"sed": jnp.zeros((NUM_KINDS, nb), jnp.float32)}
     if cfg.record_statistics:
         acc["stats"] = jnp.zeros((5, nb), jnp.float32)
+    if cfg.num_scattering_levels > 0:
+        # per-level scattered SEDs: rows 0..N-2 = levels 1..N-1, last row
+        # = higher levels (ref: FluxRecorder scattering-level arrays)
+        acc["sed_levels"] = jnp.zeros((cfg.num_scattering_levels, nb),
+                                      jnp.float32)
     if cfg.record_polarization:
         # Stokes Q,U,V sums (I is the ordinary sed; ref: FluxRecorder
         # polarization arrays, FluxRecorder.hpp:50)
@@ -149,7 +158,8 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
            lam: jax.Array, pos: jax.Array, contrib: jax.Array,
            kind: int, active: jax.Array,
            stokes_quv: jax.Array | None = None,
-           dist: jax.Array | None = None) -> dict:
+           dist: jax.Array | None = None,
+           level: jax.Array | None = None) -> dict:
     """Record a batch of peel-off contributions into the accumulators.
 
     tables holds device copies of (kobs, ex, ey, wave_borders). dist is
@@ -194,6 +204,13 @@ def detect(cfg: DistantInstrumentCfg, tables: dict, acc: dict,
     # all bin accumulations go through the Pallas one-hot matmul scatter
     # (ops/scatteradd.py) — XLA's serialized scatter is the TPU hot spot
     acc["sed"] = acc["sed"].at[kind].add(sca.scatter_add(bq, c, nb))
+    if (cfg.num_scattering_levels > 0 and level is not None
+            and kind in (KIND_PRIMARY_SCATTERED, KIND_SECONDARY_SCATTERED)):
+        L = cfg.num_scattering_levels
+        lv = jnp.clip(level, 1, L) - 1
+        flat_l = lv * nb + bq
+        acc["sed_levels"] = (acc["sed_levels"].reshape(-1).at[:].add(
+            sca.scatter_add(flat_l, c, L * nb))).reshape(L, nb)
     if cfg.record_polarization and stokes_quv is not None:
         quv = jnp.stack([sca.scatter_add(bq, stokes_quv[..., i] * c, nb)
                          for i in range(3)])
@@ -309,6 +326,10 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
         quv = np.asarray(acc["stokes"], np.float64)
         for i, name in enumerate(["Q", "U", "V"]):
             out[name] = quv[i] / (d2 * dlam)
+    if cfg.num_scattering_levels > 0 and "sed_levels" in acc:
+        lv = np.asarray(acc["sed_levels"], np.float64)
+        for i in range(lv.shape[0]):
+            out[f"scatteredlevel{i + 1}"] = lv[i] / (d2 * dlam)
     if cfg.record_statistics and "stats" in acc:
         w = np.asarray(acc["stats"], np.float64)
         n = np.maximum(w[0], 1.0)

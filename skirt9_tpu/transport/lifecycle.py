@@ -338,7 +338,7 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
              kind: int, max_steps: int, active: jax.Array,
              transparent_too: bool = False, lam_fn=None, lam_march=None,
              march_uses_lam_fn: bool = False, lya: bool = False,
-             tracer=None, dist=None, stokes_fn=None):
+             tracer=None, dist=None, stokes_fn=None, level=None):
     """Peel a batch of events off toward every instrument.
 
     contrib_per_sr(kobs) -> (B,) luminosity per steradian toward the observer
@@ -368,7 +368,7 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
                 else None
             accs[i] = dinst.detect(inst_cfgs[i], inst_tabs[i], accs[i],
                                    lam_i, pos, per_sr * att, kind, active,
-                                   dist=dist, stokes_quv=quv)
+                                   dist=dist, stokes_quv=quv, level=level)
             if transparent_too:
                 # Stokes accumulators record only arriving (attenuated)
                 # luminosity — the reference's FluxRecorder keeps no Stokes
@@ -945,7 +945,8 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                    pkt.lam, pkt.pos, pkt.cell, per_sr,
                                    kind_scat, opts.max_steps, active_int,
                                    lam_fn=lam_fn, lam_march=lam_march1,
-                                   tracer=tracer, dist=pkt.dist)
+                                   tracer=tracer, dist=pkt.dist,
+                                   level=pkt.nscat + 1)
                     accs = _stitch(accs, dist_ids, sub)
                 if local_ids:
                     sub = peel_off_local(grid, med, opt_int,

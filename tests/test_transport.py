@@ -222,3 +222,44 @@ def test_material_phase_function_mode():
     # backward, phase 1.5); inclination 0 looks down z (90-deg scattering,
     # phase 0.75) -> ratio ~2
     assert 1.5 < s90 / s0 < 2.7, (s0, s90)
+
+
+def test_scattering_level_recording():
+    """numScatteringLevels: per-level scattered components sum to the
+    aggregate scattered SED (ref: FluxRecorder.hpp:50 level arrays)."""
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+
+    PC = 3.0857e16
+    grid = make_cartesian(((-PC, PC),) * 3, (8,) * 3)
+    sigma = 1e-24
+    nd = msys.uniform_density_sphere(grid, 2.0, sigma, 0.8 * PC)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           np.array([[sigma, sigma]]),
+                           np.full((1, 2), 0.7), np.full((1, 2), 0.3))
+    inst = dinst.DistantInstrumentCfg(
+        name="i", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
+        num_scattering_levels=3)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=6,
+                               store_rf=False)
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
+                     instruments=[inst], options=opts, rf_borders=None,
+                     num_packets=20000, batch_size=4096, seed=5)
+    _, accs = sim.run_primary(verbose=False)
+    import jax
+    acc = jax.device_get(accs[0])
+    lv = np.asarray(acc["sed_levels"], np.float64)
+    tot_scat = float(np.asarray(acc["sed"])[dinst.KIND_PRIMARY_SCATTERED]
+                     .sum())
+    assert lv.shape[0] == 3
+    # every level contributes and together they equal the aggregate
+    # (at tau_r=2 second-order can rival first-order, so no monotonicity)
+    assert (lv.sum(axis=1) > 0).all()
+    np.testing.assert_allclose(lv.sum(), tot_scat, rtol=1e-5)
+    sed = dinst.calibrate_sed(inst, acc)
+    assert "scatteredlevel1" in sed
