@@ -105,6 +105,57 @@ class ParticleSnapshot:
         _, idx = tree.query(centers)
         return np.asarray(self.velocity, np.float64)[idx]
 
+    # --------------------------- EntityCollection-style overlap queries
+    # (ref: SKIRT/utils/EntityCollection.hpp — a set of (entity, weight)
+    # pairs answering "which entities overlap this position/path and with
+    # what kernel weight"; backs imported-medium/source probes and
+    # path-based column densities)
+
+    def entities_at(self, pos) -> list:
+        """(entity index, kernel weight) pairs overlapping a position."""
+        from scipy.spatial import cKDTree
+        pos = np.asarray(pos, np.float64)
+        tree = cKDTree(self.positions)
+        plist = tree.query_ball_point(pos, self.h.max())
+        out = []
+        for j in plist:
+            d = np.linalg.norm(self.positions[j] - pos)
+            q = d / self.h[j]
+            w = float(cubic_spline_w(np.array([q]))[0] / self.h[j] ** 3)
+            if w > 0:
+                out.append((int(j), w))
+        return out
+
+    def entities_along_path(self, r0, k, smax: float) -> list:
+        """(entity, column weight) pairs for the segment r0 + s*k, s in
+        [0, smax]: weight = kernel column integral through the particle
+        (ref: EntityCollection path variant used by column-density
+        queries and ImportedSourceWeightedProbe forms)."""
+        r0 = np.asarray(r0, np.float64)
+        k = np.asarray(k, np.float64)
+        k = k / np.linalg.norm(k)
+        rel = self.positions - r0
+        s_close = rel @ k
+        d_perp = np.linalg.norm(rel - s_close[:, None] * k[None, :],
+                                axis=-1)
+        hits = np.flatnonzero((d_perp < self.h)
+                              & (s_close > -self.h)
+                              & (s_close < smax + self.h))
+        out = []
+        for j in hits:
+            # kernel column: integrate w(sqrt(d^2+t^2)/h)/h^3 over t
+            t = np.linspace(-self.h[j], self.h[j], 33)
+            q = np.sqrt(d_perp[j] ** 2 + t ** 2) / self.h[j]
+            w = np.trapezoid(cubic_spline_w(q) / self.h[j] ** 3, t)
+            if w > 0:
+                out.append((int(j), float(w)))
+        return out
+
+    def column_density(self, r0, k, smax: float) -> float:
+        """Kernel-weighted mass column [kg/m^2] along a path."""
+        return sum(self.mass[j] * w
+                   for j, w in self.entities_along_path(r0, k, smax))
+
 
 @dataclasses.dataclass
 class CellSnapshot:

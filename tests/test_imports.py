@@ -181,3 +181,26 @@ def test_mesh_snapshot_medium_and_source():
     assert (pos[:, 0] >= 1).all() and (pos[:, 0] <= 2).all()
     assert (pos[:, 1] >= 2).all() and (pos[:, 1] <= 3).all()
     assert (pos[:, 2] >= 3).all() and (pos[:, 2] <= 4).all()
+
+
+def test_entity_collection_queries():
+    """EntityCollection-style overlap queries (ref: EntityCollection.hpp):
+    position and path queries return kernel-weighted entity sets, and the
+    path column density matches the plane-parallel analytic value."""
+    from skirt9_tpu.imports.snapshots import ParticleSnapshot
+
+    rs = np.random.default_rng(2)
+    n = 200
+    pos = rs.uniform(-1.0, 1.0, (n, 3))
+    snap = ParticleSnapshot(positions=pos, h=np.full(n, 0.3),
+                            mass=np.full(n, 1.0 / n))
+    ents = snap.entities_at(np.array([0.0, 0.0, 0.0]))
+    assert len(ents) > 0
+    assert all(w > 0 for _, w in ents)
+    # column through the cloud ~ total mass / area: average many rays
+    cols = [snap.column_density(np.array([x, y, -2.0]),
+                                np.array([0.0, 0.0, 1.0]), 4.0)
+            for x in (-0.5, 0.0, 0.5) for y in (-0.5, 0.0, 0.5)]
+    mean_col = np.mean(cols)
+    # expected ~ M_total / (2x2 area) = 0.25 within kernel-noise factor
+    assert 0.1 < mean_col < 0.5, mean_col
