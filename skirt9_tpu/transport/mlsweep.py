@@ -125,13 +125,14 @@ def supports(grid, med, options=None) -> bool:
     """True when (grid, medium) fits the multi-level sweep kernels."""
     import os
 
+    from ..grids.amr import AMRGrid
     from ..grids.bintree import BinTreeGrid
     from ..grids.octree import OctreeGrid
 
     if (jax.default_backend() not in ("tpu", "axon")
             and os.environ.get("SKIRT9_TPU_FORCE_SWEEP") != "1"):
         return False
-    if not isinstance(grid, (OctreeGrid, BinTreeGrid)):
+    if not isinstance(grid, (OctreeGrid, BinTreeGrid, AMRGrid)):
         return False
     if options is not None and (options.kinematics or options.lya
                                 or options.compton
