@@ -37,18 +37,31 @@ def tree_finite_summary(tree) -> dict:
 
 def check_finite(tree, phase: str, logger=None):
     """Raise EngineError naming the phase and the offending accumulators
-    when any floating leaf holds a non-finite value."""
+    when any floating leaf holds a non-finite value.
+
+    Fast path: ONE fused device reduction and ONE scalar transfer for the
+    healthy case (a per-leaf pull costs a tunnel round trip each on the
+    remote backend); the per-leaf breakdown only runs on failure."""
+    import jax.numpy as jnp
+    leaves = [leaf for leaf in jax.tree_util.tree_leaves(tree)
+              if hasattr(leaf, "dtype")
+              and jnp.issubdtype(leaf.dtype, jnp.floating)]
+    if not leaves:
+        return
+    ok = bool(jnp.all(jnp.stack(
+        [jnp.all(jnp.isfinite(leaf)) for leaf in leaves])))
+    if ok:
+        return
     bad = []
     for name, (finite, total) in tree_finite_summary(tree).items():
         if not finite or not np.isfinite(total):
             bad.append(name)
-    if bad:
-        msg = (f"non-finite accumulator(s) after phase '{phase}': "
-               f"{', '.join(bad)} — the device kernel output is corrupt; "
-               f"rerun with SKIRT9_TPU_GUARDS=verbose for per-batch checks")
-        if logger is not None:
-            logger.error(msg)
-        raise EngineError(msg)
+    msg = (f"non-finite accumulator(s) after phase '{phase}': "
+           f"{', '.join(bad)} — the device kernel output is corrupt; "
+           f"rerun with SKIRT9_TPU_GUARDS=verbose for per-batch checks")
+    if logger is not None:
+        logger.error(msg)
+    raise EngineError(msg)
 
 
 def guards_enabled() -> bool:
