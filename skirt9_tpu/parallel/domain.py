@@ -244,7 +244,8 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
         # ---- emission peel-off: REUSES the lifecycle's peel-off/detect
         # code via its tracer hook (one shared implementation, VERDICT r2
         # weak #4) ------------------------------------------------------
-        def dd_tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
+        def dd_tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False,
+                      kobs_host=None):
             return peel_tau(pos, kdir, o.sigma_ext, mask)
 
         if inst_cfgs and opts.peel_off:

@@ -354,8 +354,13 @@ def peel_off(grid, med, opt, inst_cfgs, inst_tabs, accs, lam, pos, cell,
         lam_for_march = lam_march
         if march_uses_lam_fn and lam_fn is not None:
             lam_for_march = lam_fn(kobs)
+        kobs_host = None
+        cfg0 = inst_cfgs[group[0]]
+        if hasattr(cfg0, "frame_axes"):
+            kobs_host = cfg0.frame_axes()[0]
         if tracer is not None:
-            tau_obs = tracer(opt, pos, kdir, cell, active, lam_for_march, lya)
+            tau_obs = tracer(opt, pos, kdir, cell, active, lam_for_march,
+                             lya, kobs_host=kobs_host)
         else:
             tau_obs = trace_tau(grid, med, opt, pos, kdir, cell, max_steps,
                                 active, lam=lam_for_march, lya=lya)
@@ -471,15 +476,25 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     if use_sweep:
         sigma_lanes = opt.sigma_ext.T  # (H, B)
 
-        def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
+        def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False,
+                   kobs_host=None):
             # per-observer wavelengths (fluorescence lines, Doppler) need
             # extinction at the DETECTION wavelength, not the packet's
             sig = (msys.optics_at(med, lam_m).sigma_ext.T
                    if lam_m is not None else o.sigma_ext.T)
+            hint = None
+            if kobs_host is not None:
+                # every lane marches toward the SAME observer: the slab
+                # layout is statically known -> 3x cheaper select loop
+                hk = np.asarray(kobs_host, np.float64)
+                hint = int(np.argmax(np.abs(hk)
+                                     / np.asarray(sweep_tabs.h)))
             return jnp.sum(_eng.sweep_dtau(sweep_tabs, pos, kdir,
-                                           sig, mask), axis=0)
+                                           sig, mask, axis_hint=hint),
+                           axis=0)
     else:
-        def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False):
+        def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False,
+                   kobs_host=None):
             return trace_tau(grid, med, o, pos, kdir, cell, opts.max_steps,
                              mask, lam=lam_m, lya=lya_f)
     # split instruments into distant observers (shared-direction peel-off)
@@ -998,8 +1013,11 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                     kobs = inst_tabs[gidx[0]]["kobs"]
                     B = pkt.lam.shape[0]
                     kdir = jnp.broadcast_to(kobs, (B, 3))
+                    kh = (inst_cfgs[gidx[0]].frame_axes()[0]
+                          if hasattr(inst_cfgs[gidx[0]], "frame_axes")
+                          else None)
                     tau_obs = tracer(opt_ev, pkt.pos, kdir, pkt.cell,
-                                     active_int)
+                                     active_int, kobs_host=kh)
                     att = jnp.exp(-tau_obs)
                     for i in gidx:
                         contrib, quv = stokes_per_sr(inst_tabs[i]["kobs"],

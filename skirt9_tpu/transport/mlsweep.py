@@ -355,7 +355,7 @@ def build_tables(grid, med) -> MLTables:
 # ------------------------------------------------------------------- kernels
 
 def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
-                  want_enc: bool, nfine: int = 1 << 30):
+                  want_enc: bool, nfine: int = 1 << 30, axes=(0, 1, 2)):
     """Density (and deposit encoding) at fine coords through the level stack.
 
     Returns (k, enc_row, enc_col, leaf_any); enc outputs are None unless
@@ -368,7 +368,7 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
     enc_c = jnp.zeros(shape, jnp.int32) if want_enc else None
     leaf_any = jnp.zeros(shape, jnp.float32)
     for li, lv in enumerate(levels):
-        for aa in range(3):
+        for aa in axes:
             g = lv.ax[aa]
             tl = t >> g.sht                # scalar
             ntl = g.t1 - g.t0
@@ -433,7 +433,8 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
 
 
 def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
-                    *refs, n, lo, h, nmax, lb, C, levels, nlev):
+                    *refs, n, lo, h, nmax, lb, C, levels, nlev,
+                    axes=(0, 1, 2)):
     rho_refs = refs[:3 * nlev]
     out_ref = refs[3 * nlev]
     a = grp_ref[...]
@@ -457,7 +458,7 @@ def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             k, _, _, _ = _stack_lookup(levels, rho_refs, sig, C,
                                        a, t, iu, iv, want_enc=False,
-                                       nfine=nmax)
+                                       nfine=nmax, axes=axes)
             dtau = dtau + k * ds
             cross_u = su <= sv
             iu = jnp.clip(iu + jnp.where(cross_u,
@@ -555,16 +556,23 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
 
 # ------------------------------------------------------------------ wrappers
 
-def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active):
-    """Per-fine-slab optical depth (nmax, B) through the level stack."""
+def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
+               axis_hint: int | None = None):
+    """Per-fine-slab optical depth (nmax, B) through the level stack.
+
+    axis_hint: statically known shared dominant axis (observer marches)
+    — one slab layout instead of three in the select loop."""
     pos3, dir3, grp, smin, smax, sig, NB = sw._prep(tabs, pos, dirn, sigma,
                                                     active)
     C = sig.shape[0]
+    axes = (0, 1, 2) if axis_hint is None else (int(axis_hint),)
+    if axis_hint is not None:
+        grp = jnp.full_like(grp, axis_hint)
     lb = _lane_block(NB)
     lbr = lb // 128
     nlev = len(tabs.levels)
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=tabs.nmax, lb=lb, C=C,
-                levels=tabs.levels, nlev=nlev)
+                levels=tabs.levels, nlev=nlev, axes=axes)
     kern = functools.partial(_ml_dtau_kernel, **meta)
     G = NB // lbr
     lane = lambda g: (g, 0)

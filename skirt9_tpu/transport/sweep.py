@@ -140,18 +140,20 @@ def _sel3(a, x0, x1, x2):
     return jnp.where(a == 0, x0, jnp.where(a == 1, x1, x2))
 
 
-def _lookup(rho_ref, c, a, t, m, rows):
+def _lookup(rho_ref, c, a, t, m, rows, axes=(0, 1, 2)):
     """Per-lane density lookup from the (C, 3, nmax, rows, 128) slab tables
     for component c.
 
     The lane-wise take_along_axis select-loop replaces a serialized XLA
     gather (measured ~16 Gelem/s vs 0.15).  m is the flat minor index.
+    `axes` restricts the layout loop when the dominant axis is statically
+    known (shared-observer peel-off marches) — a 3x cheaper select loop.
     """
     row = m >> 7
     col = m & 127
     shape = m.shape
     acc = jnp.zeros(shape, jnp.float32)
-    for aa in range(3):
+    for aa in axes:
         amask = a == aa
         for r in range(rows):
             rv = jnp.broadcast_to(rho_ref[c, aa, t, r, :].reshape(1, 128),
@@ -161,11 +163,11 @@ def _lookup(rho_ref, c, a, t, m, rows):
     return acc
 
 
-def _nd_dot_sig(rho_ref, sig_ref, a, t, m, rows, C):
+def _nd_dot_sig(rho_ref, sig_ref, a, t, m, rows, C, axes=(0, 1, 2)):
     """Total extinction coefficient sum_c nd_c(cell) * sigma_c(lane)."""
-    acc = _lookup(rho_ref, 0, a, t, m, rows) * sig_ref[0]
+    acc = _lookup(rho_ref, 0, a, t, m, rows, axes) * sig_ref[0]
     for c in range(1, C):
-        acc = acc + _lookup(rho_ref, c, a, t, m, rows) * sig_ref[c]
+        acc = acc + _lookup(rho_ref, c, a, t, m, rows, axes) * sig_ref[c]
     return acc
 
 
@@ -234,7 +236,8 @@ def _minor_crossing(g, iu, iv):
 # ------------------------------------------------------------------ kernels
 
 def _dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
-                 rho_ref, out_ref, *, n, lo, h, nmax, rows, lb, C):
+                 rho_ref, out_ref, *, n, lo, h, nmax, rows, lb, C,
+                 axes=(0, 1, 2)):
     a = grp_ref[...]
     pos = (pos_ref[0], pos_ref[1], pos_ref[2])
     dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
@@ -255,7 +258,7 @@ def _dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             m = iu * g["nv"] + iv
-            k = _nd_dot_sig(rho_ref, sig, a, t, m, rows, C)
+            k = _nd_dot_sig(rho_ref, sig, a, t, m, rows, C, axes)
             dtau = dtau + k * ds
             cross_u = su <= sv
             iu = jnp.clip(iu + jnp.where(cross_u, jnp.where(g["du"] > 0, 1, -1), 0),
@@ -439,18 +442,24 @@ def _prep(tabs: SweepTables, pos, dirn, sigma, active):
             sig3, NB)
 
 
-def sweep_dtau(tabs: SweepTables, pos, dirn, sigma, active):
+def sweep_dtau(tabs: SweepTables, pos, dirn, sigma, active,
+               axis_hint: int | None = None):
     """Per-slab optical depth table: (nmax, B) f32.
 
     Replaces the geometric march + per-step opacity gathers of
-    `lifecycle.march_record` (pass 1) for supported grids.
+    `lifecycle.march_record` (pass 1) for supported grids. axis_hint: the
+    statically known dominant axis shared by ALL lanes (peel-off marches
+    toward one observer) — specializes the kernel to one slab layout.
     """
     pos3, dir3, grp, smin, smax, sig, NB = _prep(tabs, pos, dirn, sigma, active)
     C = sig.shape[0]
+    axes = (0, 1, 2) if axis_hint is None else (int(axis_hint),)
+    if axis_hint is not None:
+        grp = jnp.full_like(grp, axis_hint)
     lb = _lane_block(NB)
     lbr = lb // 128
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=tabs.nmax, rows=tabs.rows,
-                lb=lb, C=C)
+                lb=lb, C=C, axes=axes)
     kern = functools.partial(_dtau_kernel, **meta)
     G = NB // lbr
     out = pl.pallas_call(
