@@ -67,9 +67,7 @@ from ..ops import phase as phs
 from ..ops import rng
 from ..sources import base as src
 from ..transport import lifecycle as lc
-from ..transport.lifecycle import (_TAG_PATH_CHOICE, _TAG_PATH_TAU_EXP,
-                                   _TAG_PATH_TAU_UNI, _TAG_SCATTER_COMP,
-                                   _TAG_SCATTER_CT, _TAG_SCATTER_PHI)
+from ..transport.lifecycle import _TAG_SCATTER_COMP
 
 DD_AXIS = "dd"
 

@@ -15,7 +15,6 @@ one compiled function per (source kind, options, batch shape).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 
 import jax
