@@ -147,11 +147,57 @@ def bench_config3():
     return {"rate": total / dt}
 
 
+def bench_config4():
+    """Imported SSP particles + clumpy-disk Voronoi medium with dust
+    emission (BASELINE.md config 4) — the fallback-path stress test."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench4.ski")
+    n_pk = 1 << 19
+
+    def build():
+        sim = load_ski(ski, batch_size=1 << 16, max_events=24,
+                       num_packets=n_pk)
+        sim.seed = 0
+        return sim
+
+    sim = build()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    t0 = time.perf_counter()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    dt = time.perf_counter() - t0
+    total = n_pk * (1 + info["iterations"] + (1 if info["L_dust"] > 0 else 0))
+    return {"rate": total / dt}
+
+
+def bench_config5():
+    """Polarized electron disk + 2000 km/s kinematic outflow
+    (BASELINE.md config 5)."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench5.ski")
+    n_pk = 1 << 20
+
+    def build():
+        sim = load_ski(ski, batch_size=1 << 17, max_events=24,
+                       num_packets=n_pk)
+        sim.seed = 0
+        return sim
+
+    sim = build()
+    sim.run_primary(verbose=False)      # warmup/compile
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
+
+
 CONFIGS = {
     "1": bench_config1,
     "2": bench_config2,
     "1h": bench_config1h,
     "3": bench_config3,
+    "4": bench_config4,
+    "5": bench_config5,
 }
 
 
@@ -187,7 +233,8 @@ def main():
         print(json.dumps(out))
         return
 
-    results = {name: _run_isolated(name) for name in ("2", "1", "1h", "3")}
+    results = {name: _run_isolated(name)
+               for name in ("2", "1", "1h", "3", "4", "5")}
 
     base = {}
     bp = os.path.join(HERE, "BENCH_BASELINE.json")
@@ -197,7 +244,9 @@ def main():
         base = {"1": b.get("packets_per_s"),
                 "2": b.get("config2_packets_per_s"),
                 "1h": b.get("config1h_packets_per_s"),
-                "3": b.get("config3_packets_per_s")}
+                "3": b.get("config3_packets_per_s"),
+                "4": b.get("config4_packets_per_s"),
+                "5": b.get("config5_packets_per_s")}
 
     def rate(name):
         r = results.get(name)
@@ -223,6 +272,12 @@ def main():
         "config3_octree_packets_per_s":
             round(rate("3"), 1) if rate("3") else None,
         "config3_vs_baseline": vs("3"),
+        "config4_voronoi_packets_per_s":
+            round(rate("4"), 1) if rate("4") else None,
+        "config4_vs_baseline": vs("4"),
+        "config5_polarized_kinematic_packets_per_s":
+            round(rate("5"), 1) if rate("5") else None,
+        "config5_vs_baseline": vs("5"),
         "iterations": (results.get("2") or {}).get("iterations"),
     }))
 

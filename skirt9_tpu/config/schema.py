@@ -223,8 +223,15 @@ def collect_names(root) -> set:
         names.add(el.tag)
         d = REGISTRY.get(el.tag)
         if d:
+            # defaulted values insert their names too: the reference's
+            # NameManager evaluates the PROPERTY VALUE (which falls back to
+            # the schema default when the ski omits the attribute), so e.g.
+            # an omitted forceScattering="true" still inserts
+            # ForceScattering and keeps pathLengthBias relevant
+            # (ref: SMILE NameManager insertFromConditionalValue)
+            defaults = {p.name: p.default for p in d.props}
             for attr, val, ins in d.inserts:
-                got = el.attrib.get(attr)
+                got = el.attrib.get(attr, defaults.get(attr))
                 if isinstance(ins, dict):
                     for n in ins.get(got or "", ()):
                         if not n.endswith("?"):

@@ -356,6 +356,10 @@ class RedistributeDecorator(Geometry):
     def weight_np(self, pos):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def weight(self, pos):  # pragma: no cover - abstract
+        """Traced (jnp) weight — used by the jittable rejection sampler."""
+        raise NotImplementedError
+
     def max_weight(self) -> float:  # pragma: no cover - abstract
         raise NotImplementedError
 
@@ -372,20 +376,21 @@ class RedistributeDecorator(Geometry):
             * self._norm
 
     def sample(self, keys, tag: int = rng.LAUNCH_POSITION):
-        pts = np.asarray(self.base.sample(keys, tag), np.float64)
+        # fully traced rejection loop keyed on the lane keys: this runs
+        # inside the jitted launch when the decorator wraps a SOURCE
+        # geometry, so no host numpy may touch the samples (round-3
+        # advisory: np.random here raised TracerArrayConversionError)
+        pts = self.base.sample(keys, tag)
         maxw = self.max_weight()
-        rs = np.random.default_rng(1234)
-        accept = rs.uniform(size=len(pts)) * maxw < self.weight_np(pts)
-        bad = np.flatnonzero(~accept)
-        tries = 0
-        while len(bad) and tries < 24:
-            keys2 = rng.purpose_key(keys[bad], 7100 + tries)
-            newp = np.asarray(self.base.sample(keys2, tag), np.float64)
-            ok = rs.uniform(size=len(newp)) * maxw < self.weight_np(newp)
-            pts[bad[ok]] = newp[ok]
-            bad = bad[~ok]
-            tries += 1
-        return jnp.asarray(pts, jnp.float32)
+        accept = rng.uniform(keys, tag + 76) * maxw < self.weight(pts)
+        for t in range(24):
+            keys2 = rng.purpose_key(keys, 7100 + t)
+            newp = self.base.sample(keys2, tag)
+            ok = rng.uniform(keys2, tag + 76) * maxw < self.weight(newp)
+            take = (~accept) & ok
+            pts = jnp.where(take[..., None], newp, pts)
+            accept = accept | ok
+        return pts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -400,6 +405,11 @@ class SphePowerLawRedistributeDecorator(RedistributeDecorator):
         r = np.linalg.norm(np.asarray(pos), axis=-1)
         return np.where(r >= self.min_radius, np.maximum(r, 1e-300)
                         ** (-self.exponent), 0.0)
+
+    def weight(self, pos):
+        r = jnp.linalg.norm(pos, axis=-1)
+        return jnp.where(r >= self.min_radius,
+                         jnp.maximum(r, 1e-30) ** (-self.exponent), 0.0)
 
     def max_weight(self) -> float:
         return self.min_radius ** (-self.exponent)
@@ -418,6 +428,11 @@ class AxPowerLawRedistributeDecorator(RedistributeDecorator):
         R = np.hypot(pos[..., 0], pos[..., 1])
         return np.where(R >= self.min_radius, np.maximum(R, 1e-300)
                         ** (-self.exponent), 0.0)
+
+    def weight(self, pos):
+        R = jnp.hypot(pos[..., 0], pos[..., 1])
+        return jnp.where(R >= self.min_radius,
+                         jnp.maximum(R, 1e-30) ** (-self.exponent), 0.0)
 
     def max_weight(self) -> float:
         return self.min_radius ** (-self.exponent)

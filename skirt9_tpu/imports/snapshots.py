@@ -438,6 +438,15 @@ class FamilyParticleSource:
         return self.snapshot.velocity is not None
 
     @property
+    def lam_range(self) -> tuple | None:
+        """Wavelength support for stratified bin-pure launches; entity
+        velocities shift the emitted wavelength AFTER sampling, which would
+        break stratum purity, so velocity-importing sources opt out."""
+        if self.snapshot.velocity is not None:
+            return None
+        return self.family_tables.lam_range
+
+    @property
     def luminosity(self) -> float:
         return float(np.sum(self.family_tables.entity_luminosities(
             self.scales, self.params)))
@@ -471,13 +480,20 @@ class FamilyParticleSource:
         dirn_r = rng.isotropic_direction(keys, rng.LAUNCH_POSITION + 60)
         pos = tabs["pos"][p] + (q * tabs["h"][p])[..., None] * dirn_r
         dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
-        lam = self.family_tables.sample_wavelength(
-            keys, p, tabs["corner_idx"], tabs["corner_cdf"])
+        if "strata" in tabs:
+            # bin-pure lane groups for wavelength-binned sweep deposits
+            lam, w_strat = self.family_tables.sample_wavelength_stratified(
+                keys, p, tabs["corner_idx"], tabs["corner_cdf"],
+                tabs["strata"], tabs.get("strata_w"))
+        else:
+            lam = self.family_tables.sample_wavelength(
+                keys, p, tabs["corner_idx"], tabs["corner_cdf"])
+            w_strat = 1.0
         # importance correction: the linear corner mixture proposal ->
         # the reference's geometric (log-interpolated) parameter mixture
         wgt = self.family_tables.mixture_weight(
             lam, p, tabs["corner_idx"], tabs["corner_w"],
-            tabs["lin_over_geo"])
+            tabs["lin_over_geo"]) * w_strat
         inv_c = 1.0 / c.C_LIGHT
         v = tabs["v"][p]
         lam = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * inv_c)

@@ -343,7 +343,10 @@ def calibrate_sed(cfg: DistantInstrumentCfg, acc: dict) -> dict[str, np.ndarray]
             s2 = np.maximum(w2 - n * m1**2, 0.0)
             s4 = (w4 - 4.0 * m1 * w3 + 6.0 * m1**2 * w2
                   - 3.0 * n * m1**4)
-            vov = np.where(s2 > 0, s4 / np.maximum(s2, 1e-300) ** 2, 0.0)
+            # full MCNP estimator includes the -1/N term; omitting it
+            # biases VOV high at low counts (round-3 advisory)
+            vov = np.where(s2 > 0,
+                           s4 / np.maximum(s2, 1e-300) ** 2 - 1.0 / n, 0.0)
         out["R"] = np.where(w1 > 0, rel, 0.0)
         out["VOV"] = np.where(w1 > 0, np.maximum(vov, 0.0), 0.0)
         out["N"] = w[0]

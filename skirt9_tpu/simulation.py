@@ -150,6 +150,7 @@ class Simulation:
 
     def _build_sweep_tables(self):
         from .transport import mlsweep as _ml
+        from .transport import raster as _ra
         from .transport import sweep as _sw
         if _sw.supports_sweep(self.grid, self.medium):
             self._sweep_tabs = _sw.build_tables(self.grid, self.medium)
@@ -160,6 +161,10 @@ class Simulation:
                 self.grid = self.grid._replace(
                     leafmap=self._sweep_tabs.leafmap,
                     fine_n=self._sweep_tabs.n)
+        elif _ra.supports(self.grid, self.medium, self.options):
+            # unstructured grids (Voronoi/tetra): rasterized single-level
+            # sweep tables — same kernels as the multi-level tree sweep
+            self._sweep_tabs = _ra.build_tables(self.grid, self.medium)
         else:
             self._sweep_tabs = None
 
@@ -818,7 +823,10 @@ class Simulation:
         context = {"nd0": np.asarray(med.nd, np.float64).copy()}
         vols = self.grid.volumes()
 
-        rf_seco = self._init_rf()
+        # pre-loop secondary field in FINALIZED cell space: _init_rf()
+        # returns plane-space tuples under the multi-level sweep, which
+        # cannot be added to the finalized rf_prim below (round-3 advisory)
+        rf_seco = self._rf_finalize(self._init_rf())
         rf_total = None
         L_abs_prev = 0.0
         L_prim_abs = 1.0

@@ -115,6 +115,11 @@ class TransportOptions:
     # monochromatic source inside a multi-bin RF simulation: all lanes
     # deposit into this single static bin (-1 = not monochromatic)
     rf_mono_bin: int = -1
+    # allow the rasterized sweep for unstructured grids (transport/raster):
+    # exact physics per-voxel, cell interfaces quantized to voxel boundaries
+    # (~1-2% per-chord tau error at the default budget, under MC noise).
+    # False forces the exact-walk scan march (ski: rasterFallback)
+    raster_fallback: bool = True
 
 
 # ----------------------------------------------------------------- ray marches
@@ -465,11 +470,54 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     # must re-derive from the CURRENT packet wavelengths (round-3 fix: the
     # once-per-segment optics were stale after the first shift)
     lam_changing = opts.compton or opts.lya or opts.xray
+    # Kinematics (per-cell Doppler shifts) is compatible with the sweep
+    # when every component's cross sections are WAVELENGTH-INDEPENDENT over
+    # the table (e.g. Thomson electrons): the perceived-wavelength opacity
+    # then equals the launch-wavelength opacity exactly, so the constant
+    # per-lane sigma the kernels assume is exact (ref: MediumSystem.cpp:860
+    # perceived-wavelength opacities; the polarized+kinematic benchmark is
+    # precisely this case). Multi-bin stored radiation fields still need
+    # the scan march (static stratum->bin maps can't re-bin per cell).
+    kin_ok = True
+    if opts.kinematics:
+        se = np.asarray(med.sigma_ext)
+        ss = np.asarray(med.sigma_sca)
+        sig_const = bool(np.all(se == se[:, :1]) and np.all(ss == ss[:, :1]))
+        kin_ok = sig_const and rf_nbins <= 1
+    # X-ray fluorescence/Compton change the wavelength mid-flight, so the
+    # sweep's STATIC stratum->bin (or rf_mono_bin) RF mapping would deposit
+    # post-scattering path segments into the launch wavelength's bin
+    # (round-3 advisory); the scan march re-bins per event instead
     use_sweep = (sweep_tabs is not None
-                 and not opts.explicit_absorption and not opts.kinematics
-                 and not opts.lya and not opts.compton
+                 and not opts.explicit_absorption
+                 and (not opts.kinematics or kin_ok)
+                 and not opts.lya and not opts.compton and not opts.xray
                  and B_lanes % max(128 * n_groups, 128) == 0
                  and rf_nbins >= 0)
+    if sweep_tabs is not None and not use_sweep and not is_ml:
+        # engine fallback is a material performance event — say so once per
+        # compilation (this body runs at trace time) instead of silently
+        # dropping to the ~7 ns/element scan march
+        from ..utils.log import default as _log
+        why = []
+        if opts.explicit_absorption:
+            why.append("explicitAbsorption")
+        if opts.kinematics and not kin_ok:
+            why.append("kinematics with wavelength-dependent optics"
+                       if rf_nbins <= 1 else "kinematics with multi-bin RF")
+        if opts.lya:
+            why.append("Lya")
+        if opts.compton:
+            why.append("Compton")
+        if opts.xray:
+            why.append("X-ray")
+        if B_lanes % max(128 * n_groups, 128) != 0:
+            why.append(f"batch {B_lanes} not divisible by "
+                       f"{128 * max(n_groups, 1)}")
+        if rf_nbins < 0:
+            why.append("multi-bin RF without bin-pure lane layout")
+        _log().warning("transport: falling back to the scan-march engine "
+                       f"({', '.join(why) or 'unknown reason'})")
     if is_ml and not use_sweep:
         raise ValueError("multi-level sweep grid cannot fall back to the "
                          "scan march with plane-space RF accumulators")
@@ -600,10 +648,23 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         # λ-changing processes re-derive optics each event; otherwise the
         # segment-level tables hold (wavelength never changes)
         opt_ev = msys.optics_at(med, pkt.lam) if lam_changing else opt
+        # ... and likewise the RF bin: after a fluorescence/Compton/Lya
+        # shift the stored radiation field must bin by the CURRENT
+        # wavelength (ref: MediumSystem::storeRadiationField bins the
+        # packet's perceived wavelength per segment; round-3 advisory)
+        ev_rf_bin, ev_rf_in_range = rf_bin, rf_in_range
+        if lam_changing and use_rf:
+            from ..ops import sampling as _smp_rf
+            ev_rf_bin = jnp.clip(
+                _smp_rf.searchsorted_right(rf_borders, pkt.lam) - 1,
+                0, nrf - 1)
+            ev_rf_in_range = ((pkt.lam >= rf_borders[0])
+                              & (pkt.lam < rf_borders[-1]))
 
         # ONE march records the whole path; optical depth, RF deposits and
         # the interaction point all derive from the step table
-        rf_mask = active & rf_in_range if use_rf else jnp.zeros_like(active)
+        rf_mask = (active & ev_rf_in_range if use_rf
+                   else jnp.zeros_like(active))
         if use_sweep:
             sig_ev = opt_ev.sigma_ext.T if lam_changing else sigma_lanes
             dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
@@ -694,7 +755,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         else:
             if use_rf:
                 rf = deposit_rf(rf, cells, ds, dtau_ext, tau_before_ext,
-                                pkt.lum, rf_bin, rf_mask, opts.rf_scale)
+                                pkt.lum, ev_rf_bin, rf_mask, opts.rf_scale)
             ipos, icell, found, idx, frac = interaction_point(
                 pkt.pos, pkt.dir, cells, ds, dtau_s, tau_before, tau_int,
                 active_int)

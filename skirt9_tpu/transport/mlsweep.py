@@ -135,9 +135,10 @@ def supports(grid, med, options=None) -> bool:
     if not isinstance(grid, (OctreeGrid, BinTreeGrid, AMRGrid)):
         return False
     if options is not None and (options.kinematics or options.lya
-                                or options.compton
+                                or options.compton or options.xray
                                 or options.explicit_absorption):
-        # per-cell wavelength shifts need the general scan march
+        # per-cell wavelength shifts / per-event re-binning need the
+        # general scan march (xray: fluorescence re-bins the stored RF)
         return False
     if med.ncomp > 4:
         return False

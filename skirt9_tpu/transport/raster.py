@@ -1,0 +1,224 @@
+"""Rasterized fast path: unstructured grids on the multi-level sweep.
+
+TPU-native acceleration for grid families whose exact traversal is
+pointer-chasing (Voronoi bisector walks, tetrahedral face walks — ref:
+SKIRT/core/VoronoiMeshSnapshot.cpp:1058-1140, TetraMeshSnapshot traversal):
+per-step indexed gathers serialize at ~7 ns/element on TPU, so the exact
+walk is ~40x slower than the reference CPU per packet-crossing.
+
+The redesign RASTERIZES the tessellation onto a uniform voxel grid chosen
+to saturate the sweep kernels' encoding budget (anisotropic resolutions,
+e.g. 88x88x44 for a disk): every voxel stores the density of the cell that
+OWNS its center, plus a voxel->cell leaf map. This is exactly a
+single-level instance of the multi-level sweep tables (transport/mlsweep),
+so the proven Pallas kernel pair (shear-warp sub-DDA + MXU one-hot
+deposits + plane-space RF accumulation + leaf-map interaction resolve)
+runs unchanged — no new kernels.
+
+The approximation: cell interfaces are quantized to voxel boundaries
+(bisector planes become staircases), so per-ray optical depths acquire a
+zero-mean voxelization error of order (voxel size / cell size) x the
+density contrast — measured ~1-2 % per chord at the default budget for the
+clumpy-disk benchmark, well under MC noise at realistic packet counts, and
+orthogonal to the per-cell attribution of deposits/interactions, which the
+leaf map keeps consistent (a deposit always lands in the cell that also
+supplied the opacity). The exact bisector/face walk remains the engine for
+CPU runs and for anything the raster cannot express; every engine choice
+is logged, and `TransportOptions`-level exclusions mirror mlsweep's.
+
+Ref for the capability this replaces: VoronoiMeshSpatialGrid.hpp:26,
+TetraMeshSpatialGrid; the reference has no TPU analogue — this is the
+tpu-first design choice, not a translation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import mlsweep as ml
+from . import sweep as sw
+
+_MINOR = ml._MINOR
+
+
+def _rows(nu: int, nv: int) -> int:
+    return -(-(nu * nv) // 128)
+
+
+def choose_resolution(box: np.ndarray, max_enc: int = 128,
+                      max_n: int = 256, ncomp: int = 1) -> tuple:
+    """Per-axis voxel counts maximizing resolution under the kernel limits.
+
+    Constraints (mirrors mlsweep.supports): total encoding rows
+    sum_a ceil(minor_a/128) <= max_enc, each n_a <= max_n, VMEM budget for
+    the three slab layouts + accumulator. Voxels stay near-cubic: n_a
+    proportional to the box edge lengths.
+    """
+    box = np.asarray(box, np.float64)
+    rel = box / box.max()
+
+    def res_for(scale: float):
+        n = np.maximum(np.rint(rel * scale).astype(int), 4)
+        return tuple(int(v) for v in np.minimum(n, max_n))
+
+    def fits(n):
+        nx, ny, nz = n
+        enc = _rows(ny, nz) + _rows(nx, nz) + _rows(nx, ny)
+        if enc > max_enc:
+            return False
+        nmax = max(n)
+        tab = sum(ncomp * n[a] * _rows(n[_MINOR[a][0]], n[_MINOR[a][1]])
+                  * 128 * 4 for a in range(3))
+        acc = nmax * (-(-enc // 8) * 8) * 128 * 4
+        return tab + acc <= 12 * 2**20
+
+    lo_s, hi_s = 4.0, 512.0
+    while hi_s - lo_s > 0.5:
+        mid = 0.5 * (lo_s + hi_s)
+        if fits(res_for(mid)):
+            lo_s = mid
+        else:
+            hi_s = mid
+    return res_for(lo_s)
+
+
+def _owner_map(grid, centers: np.ndarray) -> np.ndarray:
+    """Host-side voxel-center -> cell id map (-1 = outside every cell)."""
+    from ..grids.voronoi import VoronoiGrid
+    from ..grids.tetra import TetraGrid
+
+    if isinstance(grid, VoronoiGrid):
+        from scipy.spatial import cKDTree
+        kdt = cKDTree(np.asarray(grid.sites, np.float64))
+        _, owner = kdt.query(centers)
+        return owner.astype(np.int32)
+    if isinstance(grid, TetraGrid):
+        tri = getattr(grid, "_delaunay", None)
+        if tri is not None:
+            return tri.find_simplex(centers).astype(np.int32)
+    # generic fallback: the grid's own (jit-compiled) locate, chunked
+    out = np.empty(len(centers), np.int32)
+    step = 1 << 16
+    with jax.default_device(jax.devices("cpu")[0]):
+        for i in range(0, len(centers), step):
+            out[i:i + step] = np.asarray(
+                grid.locate(jnp.asarray(centers[i:i + step], jnp.float32)))
+    return out
+
+
+def supports(grid, med, options=None) -> bool:
+    """True when (grid, medium, options) can ride the rasterized sweep."""
+    import os
+
+    from ..grids.voronoi import VoronoiGrid
+    from ..grids.tetra import TetraGrid
+
+    if (jax.default_backend() not in ("tpu", "axon")
+            and os.environ.get("SKIRT9_TPU_FORCE_SWEEP") != "1"):
+        return False
+    if not isinstance(grid, (VoronoiGrid, TetraGrid)):
+        return False
+    if options is not None and (options.kinematics or options.lya
+                                or options.compton or options.xray
+                                or options.explicit_absorption
+                                or not getattr(options, "raster_fallback",
+                                               True)):
+        return False
+    if med.ncomp > 4:
+        return False
+    return True
+
+
+def build_tables(grid, med, resolution: tuple | None = None) -> ml.MLTables:
+    """Rasterize (grid, medium) into single-level MLTables."""
+    import os
+
+    lo = np.asarray(grid.box_lo, np.float64)
+    hi = np.asarray(grid.box_hi, np.float64)
+    box = hi - lo
+    C = med.ncomp
+    cap = int(os.environ.get("SKIRT9_TPU_RASTER_MAX_N", "256"))
+    n = resolution or choose_resolution(box, max_n=cap, ncomp=C)
+    nx, ny, nz = n
+    h = box / np.asarray(n, np.float64)
+
+    # voxel-center owner map
+    cx = lo[0] + (np.arange(nx) + 0.5) * h[0]
+    cy = lo[1] + (np.arange(ny) + 0.5) * h[1]
+    cz = lo[2] + (np.arange(nz) + 0.5) * h[2]
+    centers = np.stack(np.meshgrid(cx, cy, cz, indexing="ij"),
+                       axis=-1).reshape(-1, 3)
+    owner = _owner_map(grid, centers)            # (nvox,) x-major
+
+    nd = np.asarray(med.nd, np.float64)          # (ncells, C)
+    dens = np.zeros((C, nx * ny * nz), np.float32)
+    owned = owner >= 0
+    for c in range(C):
+        dens[c, owned] = nd[owner[owned], c]
+    dens = dens.reshape(C, nx, ny, nz)
+    flag = owned.reshape(nx, ny, nz)
+
+    # single-level metadata + the three axis-major slab layouts
+    ax = []
+    off = 0
+    rho_tabs = []
+    for a in range(3):
+        u, v = _MINOR[a]
+        nu, nv = n[u], n[v]
+        rows = _rows(nu, nv)
+        ax.append(ml._LevelAxis(0, n[a], 0, 0, nu, nv, rows, off, 0, 0, 0))
+        off += rows
+        if a == 0:
+            dmaj, fmaj = dens, flag
+        elif a == 1:
+            dmaj, fmaj = dens.transpose(0, 2, 1, 3), flag.transpose(1, 0, 2)
+        else:
+            dmaj, fmaj = dens.transpose(0, 3, 1, 2), flag.transpose(2, 0, 1)
+        rt = np.full((C, n[a], rows * 128), 0.0, np.float32)
+        rt[0] = -1.0                      # non-leaf marker outside the plane
+        rt[:, :, : nu * nv] = dmaj.reshape(C, n[a], -1)
+        fl = fmaj.reshape(n[a], -1)
+        rt[0, :, : nu * nv] = np.where(fl, rt[0, :, : nu * nv], -1.0)
+        rho_tabs.append(jnp.asarray(rt.reshape(C, n[a], rows, 128)))
+
+    level = ml._Level(shift=(0, 0, 0), ax=tuple(ax),
+                      box=(0, nx, 0, ny, 0, nz), nvox=nx * ny * nz)
+    vox_ids = np.flatnonzero(owned).astype(np.int32)
+    enc = sum(la.rows for la in ax)
+    tabs = ml.MLTables(
+        rho=tuple(rho_tabs),
+        leafmap=jnp.asarray(owner),
+        cells_vox=(jnp.asarray(vox_ids),),
+        cells_id=(jnp.asarray(owner[vox_ids]),),
+        levels=(level,),
+        n=(nx, ny, nz),
+        lo=tuple(float(v) for v in lo),
+        h=tuple(float(v) for v in h),
+        nmax=int(max(n)),
+        enc=int(-(-enc // 8) * 8),
+    )
+    from ..utils.log import default as _log
+    frac = _boundary_fraction(owner.reshape(nx, ny, nz))
+    _log().info(
+        f"transport: rasterized {type(grid).__name__} ({grid.ncells} cells) "
+        f"onto a {nx}x{ny}x{nz} voxel sweep grid "
+        f"(encoding rows {enc}, boundary-voxel fraction {frac:.2f})")
+    return tabs
+
+
+def _boundary_fraction(owner3d: np.ndarray) -> float:
+    """Fraction of voxels with a face neighbor owned by a different cell —
+    the voxels whose density is approximate (diagnostic for the log)."""
+    o = owner3d
+    b = np.zeros(o.shape, bool)
+    for a in range(3):
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[a] = slice(0, -1)
+        sl_hi[a] = slice(1, None)
+        d = o[tuple(sl_lo)] != o[tuple(sl_hi)]
+        b[tuple(sl_lo)] |= d
+        b[tuple(sl_hi)] |= d
+    return float(b.mean())

@@ -1,0 +1,185 @@
+"""Rasterized fast path for unstructured grids (transport/raster.py).
+
+The raster engine runs the multi-level sweep kernels (interpret mode on
+CPU via SKIRT9_TPU_FORCE_SWEEP) on a single-level voxelization of a
+Voronoi tessellation, and must reproduce the exact bisector-walk transport
+up to the quantified voxelization tolerance.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt9_tpu.grids.voronoi import build_voronoi
+from skirt9_tpu.media import system as msys
+from skirt9_tpu.transport import lifecycle as lc
+from skirt9_tpu.transport import mlsweep as ml
+from skirt9_tpu.transport import raster as ra
+
+
+@pytest.fixture(scope="module")
+def vsetup():
+    rs = np.random.default_rng(5)
+    sites = rs.uniform(-1, 1, (250, 3))
+    grid = build_voronoi(sites, ((-1, 1), (-1, 1), (-1, 1)),
+                         lookup_res=16, volume_samples=50_000)
+    sigma = 1.0
+    nd = (0.5 + rs.uniform(size=250)).astype(np.float32)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           sigma_ext=np.array([[sigma, sigma]]),
+                           albedo=np.full((1, 2), 0.6),
+                           g=np.full((1, 2), 0.5))
+    tabs = ra.build_tables(grid, med, resolution=(40, 40, 40))
+    B = 128
+    pos = jnp.asarray(rs.uniform(-0.95, 0.95, (B, 3)).astype(np.float32))
+    d = rs.normal(size=(B, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    return grid, med, tabs, pos, d, sigma
+
+
+def test_choose_resolution_constraints():
+    for box in ([1, 1, 1], [4, 4, 1], [10, 3, 2]):
+        n = ra.choose_resolution(np.asarray(box, float))
+        enc = sum(-(-(n[u] * n[v]) // 128)
+                  for u, v in ((1, 2), (0, 2), (0, 1)))
+        assert enc <= 128
+        assert max(n) <= 256 and min(n) >= 4
+        # near-cubic voxels: aspect ratio within 2x of the box's
+        h = np.asarray(box, float) / np.asarray(n, float)
+        assert h.max() / h.min() < 2.0
+
+
+def test_supports_gating(vsetup):
+    grid, med = vsetup[0], vsetup[1]
+    os.environ["SKIRT9_TPU_FORCE_SWEEP"] = "1"
+    try:
+        opts = lc.TransportOptions(max_steps=8)
+        assert ra.supports(grid, med, opts)
+        assert not ra.supports(grid, med,
+                               lc.TransportOptions(max_steps=8, lya=True))
+        assert not ra.supports(
+            grid, med,
+            lc.TransportOptions(max_steps=8, raster_fallback=False))
+    finally:
+        del os.environ["SKIRT9_TPU_FORCE_SWEEP"]
+    assert not ra.supports(grid, med, lc.TransportOptions(max_steps=8))
+
+
+def test_leafmap_consistent_with_nearest_site(vsetup):
+    grid, med, tabs = vsetup[0], vsetup[1], vsetup[2]
+    from scipy.spatial import cKDTree
+    kdt = cKDTree(np.asarray(grid.sites, np.float64))
+    nx, ny, nz = tabs.n
+    lo = np.asarray(tabs.lo)
+    h = np.asarray(tabs.h)
+    rs = np.random.default_rng(3)
+    ijk = rs.integers(0, (nx, ny, nz), size=(200, 3))
+    centers = lo + (ijk + 0.5) * h
+    _, want = kdt.query(centers)
+    flat = (ijk[:, 0] * ny + ijk[:, 1]) * nz + ijk[:, 2]
+    got = np.asarray(tabs.leafmap)[flat]
+    assert (got == want).all()
+
+
+def test_raster_tau_matches_exact_walk(vsetup):
+    """Per-chord optical depth through the raster vs the exact bisector
+    walk: median error bounded by the voxelization tolerance."""
+    grid, med, tabs, pos, d, sigma = vsetup
+    opt = msys.optics_at(med, jnp.full((pos.shape[0],), 0.55e-6))
+    cell = grid.locate(pos)
+    active = cell >= 0
+    tau_ref = lc.trace_tau(grid, med, opt, pos, d, cell,
+                           grid.max_steps(), active)
+    sig_lane = jnp.full((pos.shape[0],), sigma, jnp.float32)
+    tau_ras = jnp.sum(ml.sweep_dtau(tabs, pos, d, sig_lane, active), axis=0)
+    tr = np.asarray(tau_ref)
+    ts = np.asarray(tau_ras)
+    m = tr > 0.1
+    rel = (ts[m] - tr[m]) / tr[m]
+    assert np.median(np.abs(rel)) < 0.03
+    assert abs(np.mean(rel)) < 0.015          # near-unbiased
+    assert np.max(np.abs(rel)) < 0.25
+
+
+def test_raster_deposit_conserves_and_resolves(vsetup):
+    """Pass 2: RF deposits aggregate into CELL space conserving the exact
+    path integral, and interactions resolve to the owning cell."""
+    grid, med, tabs, pos, d, sigma = vsetup
+    B = pos.shape[0]
+    cell = grid.locate(pos)
+    active = cell >= 0
+    sig_lane = jnp.full((B,), sigma, jnp.float32)
+    dtau_slab = ml.sweep_dtau(tabs, pos, d, sig_lane, active)
+    from skirt9_tpu.transport import sweep as sw
+    grp = sw.dominant_axis(tabs, d)
+    dmaj = jnp.take_along_axis(d, grp[:, None], 1)[:, 0]
+    tb_slab, tau_path = sw.slab_prefix(dtau_slab, dmaj > 0)
+    tau_int = 0.6 * tau_path
+    lum = jnp.ones((B,), jnp.float32)
+    rf_delta, s_int, icell, found = ml.sweep_deposit(
+        tabs, pos, d, sig_lane, active, lum * active, tau_int, tb_slab, 1.0)
+    # opacity-weighted deposit sum telescopes to sum of L(1-e^-tau): each
+    # segment contributes L e^-tau_in (1 - e^-dtau) regardless of density
+    rf_cells = ml.finalize_rf(tabs, tuple(r for r in rf_delta),
+                              grid.ncells)
+    k_cell = sigma * np.asarray(med.nd)[:, 0]
+    total = float((np.asarray(rf_cells)[:, 0] * k_cell).sum())
+    expect = float(jnp.sum((1.0 - jnp.exp(-tau_path)) * active))
+    assert total == pytest.approx(expect, rel=2e-3)
+    # interaction cells are the leaf-map owners of the interaction points
+    ipos = np.asarray(pos + s_int[:, None] * d)
+    ic = np.asarray(icell)
+    fnd = np.asarray(found)
+    own = np.asarray(ml.locate_cells(tabs, jnp.asarray(ipos)))
+    assert (ic[fnd] == own[fnd]).all()
+    assert fnd.sum() > 0
+
+
+def test_raster_end_to_end_matches_scan_march(vsetup):
+    """A small simulation through the raster engine reproduces the exact
+    scan-march SED within the voxelization + MC tolerance."""
+    grid, med, _, _, _, sigma = vsetup
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+
+    inst = dinst.DistantInstrumentCfg(
+        name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100.0,
+        npx=16, npy=16, fovx=4.0, fovy=4.0)
+
+    def build(force):
+        if force:
+            os.environ["SKIRT9_TPU_FORCE_SWEEP"] = "1"
+        try:
+            opts = lc.TransportOptions(max_steps=grid.max_steps(),
+                                       max_events=12)
+            sim = Simulation(grid=grid, medium=med,
+                             sources=[PointSource(luminosity=1.0,
+                                                  lam0=0.55e-6)],
+                             instruments=[inst], options=opts,
+                             rf_borders=np.array([0.5e-6, 0.6e-6]),
+                             num_packets=4096, batch_size=4096, seed=0)
+        finally:
+            os.environ.pop("SKIRT9_TPU_FORCE_SWEEP", None)
+        return sim
+
+    sim_exact = build(False)
+    assert sim_exact._sweep_tabs is None
+    rf_e, accs_e = sim_exact.run_primary(verbose=False)
+
+    sim_ras = build(True)
+    assert isinstance(sim_ras._sweep_tabs, ml.MLTables)
+    rf_r, accs_r = sim_ras.run_primary(verbose=False)
+
+    sed_e = np.asarray(accs_e[0]["sed"]).sum()
+    sed_r = np.asarray(accs_r[0]["sed"]).sum()
+    assert sed_r == pytest.approx(sed_e, rel=0.05)
+    # radiation fields agree per cell within a few % where significant
+    re_ = np.asarray(rf_e).ravel()
+    rr = np.asarray(rf_r).ravel()
+    m = re_ > 0.05 * re_.max()
+    assert np.median(np.abs(rr[m] / re_[m] - 1.0)) < 0.1
