@@ -74,6 +74,10 @@ def main(argv=None) -> int:
                         f"{len(sim.instruments)} instruments")
             continue
         from .probes.probes import run_probe_system
+        # per-iteration hooks (Primary/Secondary) fire from inside the
+        # flows; give them the output coordinates
+        sim.probe_prefix = prefix
+        sim.probe_outdir = args.outdir
         probe_paths = run_probe_system(sim, "Setup", prefix, args.outdir)
         with log.timed(f"simulation {prefix}"):
             if sim.iterate_primary:

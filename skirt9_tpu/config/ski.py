@@ -231,6 +231,13 @@ def build_sed(el) -> TabulatedSED:
         # SKIRT text columns default to wavelength in micron
         # (ref: TextInFile default units for FileSED)
         return sedlib.from_file(a["filename"], lam_unit=1e-6)
+    from ..spectral import named as _named
+    if t in _named.NAMED_SEDS:
+        # resource-backed stellar population SEDs (ref: SED.hpp:49 family;
+        # requires the SKIRT9 resource pack on SKIRT9_TPU_RESOURCES)
+        def _qq(attrs, name, quantity, default):
+            return _q(attrs, name, quantity, default)
+        return _named.named_sed(t, a, _qq)
     raise NotImplementedError(f"SED type '{t}' not supported yet")
 
 
@@ -327,13 +334,26 @@ def build_particle_source(el, base_dir: str, lam_range):
     if import_v:
         cols += [("vx", "velocity", "km/s"), ("vy", "velocity", "km/s"),
                  ("vz", "velocity", "km/s")]
+    from ..spectral import named as _named
+    _SSP_LIKE = ("BruzualCharlotSEDFamily", "MarastonSEDFamily",
+                 "Starburst99SEDFamily", "FSPSSEDFamily", "BpassSEDFamily")
     if ft == "BlackBodySEDFamily":
         cols += [("R", "length", "km"), ("T", "temperature", "K")]
-    elif ft == "FileSSPSEDFamily":
+    elif ft == "FileSSPSEDFamily" or ft in _SSP_LIKE:
         cols += [("Minit", "mass", "Msun"), ("Z", "", ""),
                  ("t", "time", "yr")]
     elif ft == "FileIndexedSEDFamily":
         cols += [("L", "", ""), ("index", "", "")]
+    elif ft == "MappingsSEDFamily":
+        # SFR scale + (Z, logC, P, fPDR) (ref: MappingsSEDFamily
+        # parameterInfo: SFR in Msun/yr, pressure in Pa)
+        cols += [("SFR", "mass", "Msun"), ("Z", "", ""), ("logC", "", ""),
+                 ("P", "pressure", "Pa"), ("fPDR", "", "")]
+    elif ft == "CastelliKuruczSEDFamily":
+        cols += [("R", "length", "km"), ("Z", "", ""),
+                 ("Teff", "temperature", "K"), ("g", "", "")]
+    elif ft == "ToddlersSEDFamily":
+        cols += [("SFR", "mass", "Msun"), ("t", "time", "yr")]
     else:
         raise NotImplementedError(f"SED family '{ft}' not supported yet")
     d = snap.read_column_file(fn, cols)
@@ -365,13 +385,36 @@ def build_particle_source(el, base_dir: str, lam_range):
         from ..utils import constants as _c
         scales = d["Minit"] / sf.M_SUN
         params = np.stack([d["Z"], d["t"] / _c.YEAR], axis=-1)
-    else:  # FileIndexedSEDFamily
+    elif ft == "FileIndexedSEDFamily":
         sfn = fam_el.attrib["filename"]
         if not os.path.isabs(sfn):
             sfn = os.path.join(base_dir, sfn)
         fam = sf.load_indexed_family(sfn)
         scales = d["L"]
         params = d["index"][:, None]
+    elif ft in _SSP_LIKE:
+        from ..utils import constants as _c
+        fam = _named.load_named_family(ft, fam_el.attrib)
+        scales = d["Minit"] / sf.M_SUN
+        params = np.stack([d["Z"], d["t"] / _c.YEAR], axis=-1)
+    elif ft == "MappingsSEDFamily":
+        fam = _named.load_named_family(ft, fam_el.attrib)
+        # the SFR column imports through the mass converter (kg); dividing
+        # by Msun restores the raw Msun/yr value the table is scaled by
+        scales = d["SFR"] / sf.M_SUN
+        params = np.stack([d["Z"], d["logC"], d["P"], d["fPDR"]], axis=-1)
+    elif ft == "CastelliKuruczSEDFamily":
+        fam = _named.load_named_family(ft, fam_el.attrib)
+        scales = 4.0 * np.pi * d["R"] ** 2
+        TT, gg_ = d["Teff"].copy(), d["g"].copy()
+        for i in range(len(TT)):
+            TT[i], gg_[i] = _named._ck_clamp(TT[i], gg_[i])
+        params = np.stack([d["Z"], TT, gg_], axis=-1)
+    else:  # ToddlersSEDFamily
+        from ..utils import constants as _c
+        fam = _named.load_named_family(ft, fam_el.attrib)
+        scales = d["SFR"] / sf.M_SUN
+        params = (d["t"] / _c.YEAR)[:, None]
 
     tabs = sf.FamilyTables(fam, lam_range=lam_range)
     return snap.FamilyParticleSource(snapshot=ps, family_tables=tabs,
@@ -467,9 +510,21 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
             polarized = []
             for p_el in el.iter("GrainPopulation"):
                 comp_el = _child(p_el, "composition")
-                comp = (gr.graphite_composition()
-                        if comp_el is not None and "Graphite" in comp_el.tag
-                        else gr.silicate_composition())
+                # exact resource tables when the named composition's
+                # resources are installed; approximate Mie otherwise
+                # (ref: GrainComposition resource tables)
+                comp = None
+                if comp_el is not None and \
+                        comp_el.tag in gr.NAMED_COMPOSITIONS:
+                    from ..utils.filepaths import has_resource
+                    opt_name = gr.NAMED_COMPOSITIONS[comp_el.tag][0]
+                    if has_resource(opt_name + ".stab"):
+                        comp = gr.composition_from_resource(comp_el.tag)
+                if comp is None:
+                    comp = (gr.graphite_composition()
+                            if comp_el is not None
+                            and "Graphite" in comp_el.tag
+                            else gr.silicate_composition())
                 if comp_el is not None and "Polarized" in comp_el.tag:
                     # Polarized{Silicate,Graphite}GrainComposition select
                     # the SphericalPolarization scattering mode; the
@@ -711,12 +766,68 @@ def build_wavelength_grid(el) -> np.ndarray:
     raise NotImplementedError(f"wavelength grid '{t}' not supported yet")
 
 
+def build_band_grid(el, base_dir: str = "."):
+    """Band wavelength grids -> tuple of Bands, or None when `el` is not a
+    band grid (ref: PredefinedBandWavelengthGrid.cpp:15-50 band sets,
+    ConfigurableBandWavelengthGrid with BroadBand/FileBand/ListBand
+    children; BroadBand curves come from the *_BroadBand.stab resources)."""
+    from ..spectral import bands as bnd
+    from ..spectral import named as _named
+
+    t = el.tag
+    a = el.attrib
+    if t == "PredefinedBandWavelengthGrid":
+        names = []
+        if a.get("includeGALEX", "true") == "true":
+            names += ["GALEX FUV", "GALEX NUV"]
+        if a.get("includeSDSS", "true") == "true":
+            names += [f"SDSS {b}" for b in "ugriz"]
+        if a.get("include2MASS", "true") == "true":
+            names += ["2MASS J", "2MASS H", "2MASS Ks"]
+        if a.get("includeWISE", "true") == "true":
+            names += [f"WISE W{i}" for i in (1, 2, 3, 4)]
+        if a.get("includeHERSCHEL", "true") == "true":
+            names += ["PACS 70", "PACS 100", "PACS 160",
+                      "SPIRE 250", "SPIRE 350", "SPIRE 500"]
+        return tuple(_named.broad_band(n) for n in names)
+    if t == "ConfigurableBandWavelengthGrid":
+        bands = []
+        blist = _child(el, "bands")
+        for b_el in (list(blist) if blist is not None else []):
+            ba = b_el.attrib
+            if b_el.tag == "BroadBand":
+                bands.append(_named.broad_band(ba["bandName"]))
+            elif b_el.tag == "FileBand":
+                fn = ba["filename"]
+                if not os.path.isabs(fn):
+                    fn = os.path.join(base_dir, fn)
+                bands.append(bnd.file_band(ba.get("bandName", fn), fn))
+            elif b_el.tag == "ListBand":
+                lams = U.parse_list("wavelength", ba["wavelengths"])
+                trans = [float(x) for x in
+                         ba["transmissionValues"].split(",")]
+                bands.append(bnd.list_band("list", lams, trans))
+            else:
+                raise NotImplementedError(f"band '{b_el.tag}'")
+        return tuple(bands)
+    return None
+
+
 def build_instrument(el, default_wlg, base_dir: str = "."):
     t = el.tag
     a = el.attrib
     wlg_el = _child(el, "wavelengthGrid")
-    borders = (build_wavelength_grid(wlg_el) if wlg_el is not None
-               else default_wlg)
+    bands = (build_band_grid(wlg_el, base_dir)
+             if wlg_el is not None else None)
+    if bands:
+        # band mode: detection convolves packets into every band; the
+        # border array spans the bands for bookkeeping
+        lo = min(float(b.lam[0]) for b in bands)
+        hi = max(float(b.lam[-1]) for b in bands)
+        borders = np.array([lo, hi])
+    else:
+        borders = (build_wavelength_grid(wlg_el) if wlg_el is not None
+                   else default_wlg)
     common = dict(
         name=a.get("instrumentName", t),
         wave_borders=tuple(borders),
@@ -727,6 +838,8 @@ def build_instrument(el, default_wlg, base_dir: str = "."):
         record_polarization=a.get("recordPolarization", "false") == "true",
         aperture=_q(a, "radius", "length", 0.0),
     )
+    if bands:
+        common["bands"] = bands
     if t == "SEDInstrument":
         return dinst.DistantInstrumentCfg(**common)
     if t in ("LightCurveInstrument", "SpectralTimeMapInstrument"):
@@ -1356,11 +1469,22 @@ def load_ski(path: str, num_packets: int | None = None,
         "InputModelFormProbe": ("inputmodel", "Setup"),
         "ConvergenceCutsProbe": ("convergencecuts", "Setup"),
         "DustEmissivityProbe": ("dustemissivity", "Setup"),
-        "CustomStateProbe": ("cellprops", "Setup"),
+        "CustomStateProbe": ("customstate", "Setup"),
         "SpatialCellPropertiesProbe": ("cellprops", "Setup"),
-        "ImportedSourceDensityProbe": ("sourcedensity", "Setup"),
-        "ImportedSourceLuminosityProbe": ("luminosity", "Setup"),
-        "InstrumentTimeGridProbe": ("wavelengths", "Setup"),
+        "ImportedSourceDensityProbe": ("importedsource", "Setup"),
+        "ImportedSourceLuminosityProbe": ("importedsource", "Setup"),
+        "ImportedSourceAgeProbe": ("importedsource", "Setup"),
+        "ImportedSourceMetallicityProbe": ("importedsource", "Setup"),
+        "ImportedSourceVelocityProbe": ("importedsource", "Setup"),
+        "IntegratedSecondaryLineLuminosityProbe": ("linelums", "Run"),
+        "InstrumentTimeGridProbe": ("instrtimegrid", "Setup"),
+    }
+    _IMPORTED_WHICH = {
+        "ImportedSourceDensityProbe": "density",
+        "ImportedSourceLuminosityProbe": "luminosity",
+        "ImportedSourceAgeProbe": "age",
+        "ImportedSourceMetallicityProbe": "metallicity",
+        "ImportedSourceVelocityProbe": "velocity",
     }
     probes = []
     plist = mcs.find("probeSystem/ProbeSystem/probes")
@@ -1372,6 +1496,8 @@ def load_ski(path: str, num_packets: int | None = None,
         kw = {}
         if "wavelength" in p_el.attrib:
             kw["lam"] = _q(p_el.attrib, "wavelength", "wavelength")
+        if p_el.tag in _IMPORTED_WHICH:
+            kw["which"] = _IMPORTED_WHICH[p_el.tag]
         probes.append(ProbeSpec(kind, p_el.attrib.get("probeName", kind),
                                 when=when, **kw))
     sim.probes = probes

@@ -252,6 +252,88 @@ def graphite_composition() -> GrainComposition:
                             12.0 * 1.6605e-27, enthalpy_graphite)
 
 
+# exact named grain compositions: resource names + bulk densities
+# (ref: GrainComposition.hpp:72/114 resourceNameForOpticalProps/
+# Enthalpies; concrete values from DraineSilicateGrainComposition.cpp:32-42
+# et al.). Install a SKIRT9 resource pack (SKIRT9_TPU_RESOURCES) for the
+# exact tables; the approximate Mie built-ins remain the fallback.
+NAMED_COMPOSITIONS = {
+    "DraineSilicateGrainComposition":
+        ("DraineSilicateOpticalProps", "DraineSilicateEnthalpies",
+         3000.0, 172.0 / 7.0),
+    "DraineGraphiteGrainComposition":
+        ("DraineGraphiteOpticalProps", "DraineGraphiteEnthalpies",
+         2240.0, 12.0),
+    "DraineNeutralPAHGrainComposition":
+        ("DraineNeutralPAHOpticalProps", "DraineGraphiteEnthalpies",
+         2240.0, 12.0),
+    "DraineIonizedPAHGrainComposition":
+        ("DraineIonizedPAHOpticalProps", "DraineGraphiteEnthalpies",
+         2240.0, 12.0),
+    "MieSilicateGrainComposition":
+        ("MieSilicateOpticalProps", "DraineSilicateEnthalpies",
+         3000.0, 172.0 / 7.0),
+    "TrustSilicateGrainComposition":
+        ("TrustSilicateOpticalProps", "TrustSilicateEnthalpies",
+         3500.0, 172.0 / 7.0),
+    "TrustGraphiteGrainComposition":
+        ("TrustGraphiteOpticalProps", "TrustGraphiteEnthalpies",
+         2240.0, 12.0),
+}
+
+_AMU = 1.6605e-27
+
+
+def composition_from_resource(kind: str) -> GrainComposition:
+    """Exact grain composition from resource stored tables: optical props
+    with axes a(m), lambda(m) and quantities Qabs/Qsca/g(1); enthalpies
+    with axis T(K) and quantity h(J/m3) — volume-specific enthalpy,
+    converted per grain via the bulk density exactly as the reference
+    (ref: MultiGrainDustMix.cpp:136-139 StoredTable opens,
+    StochasticDustEmissionCalculator.cpp:117-127 h * meanMass/bulkDensity).
+    """
+    from ..utils.filepaths import find_resource
+    from ..utils.storedtable import read_stored_table
+
+    opt_name, enth_name, rho, amass_amu = NAMED_COMPOSITIONS[kind]
+    opt = read_stored_table(find_resource(opt_name + ".stab"))
+    a_ax = opt.axes_points[0]
+    l_ax = opt.axes_points[1]
+    # stored-table values carry the first declared axis LAST: quantity
+    # dims are (lambda, a) for axes a(m), lambda(m) -> transpose
+    qa_t = np.asarray(opt.quantity("Qabs")).reshape(len(l_ax),
+                                                    len(a_ax)).T
+    qs_t = np.asarray(opt.quantity("Qsca")).reshape(len(l_ax),
+                                                    len(a_ax)).T
+    gg_t = np.asarray(opt.quantity("g")).reshape(len(l_ax), len(a_ax)).T
+
+    def q_tables(a, lam):
+        def interp2(tab):
+            rows = np.empty((a_ax.size, len(lam)))
+            for i in range(a_ax.size):
+                rows[i] = np.interp(np.log(lam), np.log(l_ax), tab[i])
+            out = np.empty((len(a), len(lam)))
+            for j in range(len(lam)):
+                out[:, j] = np.interp(np.log(a), np.log(a_ax), rows[:, j])
+            return out
+        return interp2(qa_t), interp2(qs_t), interp2(gg_t)
+
+    enth = read_stored_table(find_resource(enth_name + ".stab"))
+    T_ax = enth.axes_points[0]
+    h_vol = enth.quantity(enth.quantity_names[0]).reshape(-1)  # J/m3
+
+    amass = amass_amu * _AMU
+
+    def enthalpy(T, natoms):
+        # per-grain enthalpy: h(T) [J/m3] * grain volume; grain mass =
+        # natoms * amass, volume = mass / rho
+        h = np.interp(np.asarray(T, np.float64), T_ax, h_vol)
+        return h * (natoms * amass / rho)
+
+    return GrainComposition(name=kind, bulk_density=rho, atomic_mass=amass,
+                            q_tables=q_tables, enthalpy=enthalpy)
+
+
 def composition_from_q_file(path: str, name: str = "File",
                             bulk_density: float = 3000.0,
                             atomic_mass: float = 20 * 1.6605e-27,

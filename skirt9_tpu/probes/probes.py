@@ -535,6 +535,158 @@ def tree_topology_probe(sim, prefix: str, outdir: str = "."):
     return [p]
 
 
+def imported_source_probe(sim, which: str, prefix: str, outdir: str = "."):
+    """Imported-source entity properties, per entity and gridded per cell
+    (ref: ImportedSourceAgeProbe / ...MetallicityProbe / ...VelocityProbe /
+    ...DensityProbe / ...LuminosityProbe, SKIRT/core/ImportedSourceAgeProbe.hpp
+    et al.: probe the entities of every ImportedSource, luminosity-weighted
+    when averaging onto the spatial grid)."""
+    out = []
+    for si, src in enumerate(getattr(sim, "sources", [])):
+        snap = getattr(src, "snapshot", None)
+        if snap is None:
+            continue
+        pos = np.asarray(snap.positions, np.float64)
+        n = len(pos)
+        if which == "age" or which == "metallicity":
+            params = getattr(src, "params", None)
+            ft = getattr(src, "family_tables", None)
+            if params is None or ft is None:
+                continue
+            names = [a[0].lower() for a in ft.family.param_axes]
+            want = "t" if which == "age" else "z"
+            if want not in names:
+                continue
+            q = np.asarray(params, np.float64)[:, names.index(want)]
+            unit = "yr" if which == "age" else "1"
+        elif which == "velocity":
+            if snap.velocity is None:
+                continue
+            q = np.asarray(snap.velocity, np.float64)
+            unit = "m/s"
+        elif which == "luminosity":
+            if hasattr(src, "family_tables"):
+                q = np.asarray(src.family_tables.entity_luminosities(
+                    src.scales, src.params), np.float64)
+            elif hasattr(src, "luminosities"):
+                q = np.asarray(src.luminosities, np.float64)
+            else:
+                continue
+            unit = "W"
+        elif which == "density":
+            scales = getattr(src, "scales", None)
+            if scales is None:
+                scales = np.ones(n)
+            q = np.asarray(scales, np.float64)
+            unit = "scale"
+        else:
+            continue
+        # per-entity table
+        path = os.path.join(outdir, f"{prefix}_src{si}_{which}.dat")
+        cols = [pos[:, 0], pos[:, 1], pos[:, 2]]
+        hdr = f"imported source {si} {which} [{unit}]\n# x y z [m] value"
+        if q.ndim == 2:
+            cols += [q[:, k] for k in range(q.shape[1])]
+        else:
+            cols.append(q)
+        with open(path, "w") as f:
+            f.write(f"# {hdr}\n")
+            np.savetxt(f, np.column_stack(cols))
+        out.append(path)
+        # gridded luminosity-weighted average (density: sum/volume)
+        import jax.numpy as jnp
+        cell = np.asarray(sim.grid.locate(jnp.asarray(pos, jnp.float32)))
+        ok = cell >= 0
+        nc = sim.grid.ncells
+        if which == "density":
+            tot = np.bincount(cell[ok], weights=q[ok], minlength=nc)
+            gridded = {which: tot / np.asarray(sim.grid.volumes())}
+        else:
+            if hasattr(src, "family_tables"):
+                w = np.asarray(src.family_tables.entity_luminosities(
+                    src.scales, src.params), np.float64)
+            elif hasattr(src, "luminosities"):
+                w = np.asarray(src.luminosities, np.float64)
+            else:
+                w = np.ones(n)
+            qs = q if q.ndim == 2 else q[:, None]
+            wsum = np.bincount(cell[ok], weights=w[ok], minlength=nc)
+            gridded = {}
+            for k in range(qs.shape[1]):
+                s = np.bincount(cell[ok], weights=(w * qs[:, k])[ok],
+                                minlength=nc)
+                key = which if qs.shape[1] == 1 else f"{which}_{'xyz'[k]}"
+                gridded[key] = np.where(wsum > 0, s / np.maximum(wsum, 1e-300),
+                                        0.0)
+        out.append(per_cell_form(
+            os.path.join(outdir, f"{prefix}_src{si}_{which}_cells.dat"),
+            sim.grid, gridded,
+            f"imported source {which} [{unit}], luminosity-weighted"))
+    return out
+
+
+def custom_state_probe(sim, prefix: str, outdir: str = "."):
+    """Per-cell custom medium-state variables
+    (ref: CustomStateProbe, SKIRT/core/CustomStateProbe.hpp: the values of
+    custom state variables for each spatial cell). Sources: the
+    Simulation.custom_state dict (imported variable-mix parameters, NonLTE
+    level populations, recipe scratch state)."""
+    cs = getattr(sim, "custom_state", None) or {}
+    if not cs:
+        return []
+    q = {}
+    for name, arr in cs.items():
+        a = np.asarray(arr, np.float64)
+        if a.ndim == 1:
+            q[name] = a
+        else:
+            for k in range(a.shape[1]):
+                q[f"{name}_{k}"] = a[:, k]
+    return [per_cell_form(
+        os.path.join(outdir, f"{prefix}_customstate.dat"), sim.grid, q,
+        "custom medium state variables per cell")]
+
+
+def line_luminosity_probe(sim, prefix: str, outdir: str = "."):
+    """Integrated luminosity of every secondary line source
+    (ref: IntegratedSecondaryLineLuminosityProbe: one row per line with
+    its wavelength and the spatially integrated luminosity)."""
+    lines = []
+    pools = list(getattr(sim, "line_sources", []) or [])
+    pools += [s for s in getattr(sim, "sources", [])
+              if hasattr(s, "lam0") and hasattr(s, "luminosity")
+              and hasattr(s, "spatial_bias")]
+    for src in pools:
+        lines.append((float(src.lam0), float(src.luminosity)))
+    if not lines:
+        return []
+    path = os.path.join(outdir, f"{prefix}_linelums.dat")
+    with open(path, "w") as f:
+        f.write("# integrated secondary line luminosities\n"
+                "# col 1: line wavelength [m]; col 2: luminosity [W]\n")
+        np.savetxt(f, np.asarray(sorted(lines)))
+    return [path]
+
+
+def instrument_timegrid_probe(sim, prefix: str, outdir: str = "."):
+    """Time-bin borders of instruments with a time axis
+    (ref: InstrumentTimeGridProbe analog of the wavelength-grid probes)."""
+    out = []
+    for cfg in sim.instruments:
+        tg = getattr(cfg, "time_borders", None)
+        if tg is None or len(tg) == 0:
+            continue
+        path = os.path.join(outdir, f"{prefix}_{cfg.name}_timegrid.dat")
+        tb = np.asarray(tg, np.float64)
+        centers = 0.5 * (tb[1:] + tb[:-1])
+        with open(path, "w") as f:
+            f.write("# instrument time grid\n# col 1: bin center [s]; "
+                    "col 2: left border [s]; col 3: right border [s]\n")
+            np.savetxt(f, np.column_stack([centers, tb[:-1], tb[1:]]))
+        out.append(path)
+    return out
+
+
 class ProbeSpec:
     """One configured probe: fires at a phase boundary (ref: Probe.hpp:40
     probeAfter Setup/Run + ProbeSystem hooks)."""
@@ -546,9 +698,22 @@ class ProbeSpec:
         self.when = when  # "Setup" | "Run" | "Primary" | "Secondary"
         self.kw = kw
 
-    def run(self, sim, prefix: str, outdir: str, rf=None):
+    def run(self, sim, prefix: str, outdir: str, rf=None, it=None):
         tag = f"{prefix}_{self.name}"
+        if it is not None:
+            # per-iteration hook firings tag the output files with the
+            # iteration index (ref: Probe::probePrimary/probeSecondary(it))
+            tag = f"{tag}_it{it}"
         k = self.kind
+        if k == "importedsource":
+            return imported_source_probe(sim, self.kw.get("which", "age"),
+                                         tag, outdir)
+        if k == "customstate":
+            return custom_state_probe(sim, tag, outdir)
+        if k == "linelums":
+            return line_luminosity_probe(sim, tag, outdir)
+        if k == "instrtimegrid":
+            return instrument_timegrid_probe(sim, tag, outdir)
         if k == "density":
             return density_probe(sim, tag, outdir, cuts=self.kw.get(
                 "cuts", False))
@@ -683,11 +848,13 @@ class ProbeSpec:
 
 
 def run_probe_system(sim, when: str, prefix: str, outdir: str = ".",
-                     rf=None) -> list:
+                     rf=None, it=None) -> list:
     """Fire every configured probe whose hook matches `when`
-    (ref: ProbeSystem::probeSetup/probeRun, ProbeSystem.hpp:54-57)."""
+    (ref: ProbeSystem::probeSetup/probeRun/probePrimary/probeSecondary,
+    ProbeSystem.hpp:54-57). `it` is the 1-based iteration index for the
+    Primary/Secondary hooks fired from the iteration flows."""
     paths = []
     for spec in getattr(sim, "probes", []) or []:
         if spec.when == when:
-            paths.extend(spec.run(sim, prefix, outdir, rf=rf))
+            paths.extend(spec.run(sim, prefix, outdir, rf=rf, it=it))
     return paths

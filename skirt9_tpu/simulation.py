@@ -123,6 +123,14 @@ class Simulation:
     # the reference's MaterialPhaseFunction scattering mode
     # (ref: DustMix.hpp:319); applies to the medium's scattering events
     phase_tabs: object = None
+    # per-iteration probe hooks (ref: ProbeSystem.hpp:54-57
+    # probePrimary/probeSecondary): ProbeSpec.when "Primary"/"Secondary"
+    # fire inside the iteration flows with these output coordinates
+    probe_prefix: str = "sim"
+    probe_outdir: str = "."
+    # per-cell custom medium-state variables (ref: MediumState custom
+    # variables; CustomStateProbe): name -> (ncells,) or (ncells, K)
+    custom_state: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -167,6 +175,18 @@ class Simulation:
             self._sweep_tabs = _ra.build_tables(self.grid, self.medium)
         else:
             self._sweep_tabs = None
+
+    def _fire_probes(self, when: str, rf=None, it=None):
+        """Fire the per-iteration probe hooks (Primary/Secondary)
+        (ref: ProbeSystem::probePrimary/probeSecondary, ProbeSystem.hpp:54-57
+        — called by MonteCarloSimulation at the end of each iteration
+        segment, MonteCarloSimulation.cpp:292,383)."""
+        specs = getattr(self, "probes", []) or []
+        if not any(s.when == when for s in specs):
+            return []
+        from .probes.probes import run_probe_system
+        return run_probe_system(self, when, self.probe_prefix,
+                                self.probe_outdir, rf=rf, it=it)
 
     def _rf_finalize(self, rf):
         """Convert plane-space RF accumulators (multi-level sweep) to the
@@ -674,6 +694,7 @@ class Simulation:
             if n_updated > 0:
                 self.set_density(nd)
             converged = n_not_conv == 0
+            self._fire_probes("Primary", rf=rf, it=it)
             if verbose:
                 _log().info(f"primary iteration {it}: {n_updated} cells "
                             f"updated, {n_not_conv} not converged")
@@ -766,6 +787,7 @@ class Simulation:
             L_abs = eq.total_absorbed_device(med, etabs, rf_seco,
                                              self.rf_scale)
             iterations += 1
+            self._fire_probes("Secondary", rf=rf_total, it=iterations)
             if verbose:
                 from .utils.log import default as _log
                 _log().info(f"dust self-absorption iter {it+1}: "
@@ -882,6 +904,8 @@ class Simulation:
             rf_seco = self._rf_finalize(rf_seco)
             L_abs = eq.total_absorbed_device(self.medium, etabs, rf_seco,
                                              self.rf_scale)
+            self._fire_probes("Primary", rf=rf_prim, it=it)
+            self._fire_probes("Secondary", rf=rf_prim + rf_seco, it=it)
             if verbose:
                 _log().info(f"merged iteration {it}: "
                             f"L_abs(seco)={L_abs:.4e} W "

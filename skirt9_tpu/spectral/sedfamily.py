@@ -72,6 +72,17 @@ class SEDFamily:
         idx, w = self._corners(params)
         return np.einsum("nc,nct->nt", w, self.L[idx])
 
+    def specific_luminosity_geometric(self, params: np.ndarray) -> np.ndarray:
+        """Geometric (log-value) parameter interpolation — the reference's
+        convention for log-scaled stored quantities (ref: StoredTable.hpp
+        value interpolation; FamilySED.cpp:31). Zero nodes floor to a tiny
+        positive value and round back to zero on output."""
+        idx, w = self._corners(params)
+        floor = max(float(self.L.max()) * 1e-35, 1e-300)
+        logL = np.log(np.maximum(self.L[idx], floor))
+        out = np.exp(np.einsum("nc,nct->nt", w, logL))
+        return np.where(out <= floor * 1.01, 0.0, out)
+
     def _corners(self, params: np.ndarray):
         """Multilinear corner indices (N, 2^P) into the flattened node axis
         and their weights (N, 2^P)."""
@@ -113,9 +124,18 @@ def load_ssp_family(path: str) -> SEDFamily:
     """FileSSPSEDFamily: .stab with axes lambda(m), Z(1), t(yr) [, U(1)] and
     quantity Llambda(W/m) per Msun of initial mass
     (ref: FileSSPSEDFamily.hpp:20-43)."""
+    return load_family_stab(path, scale_name="Minit")
+
+
+def load_family_stab(path: str, scale_name: str = "Minit") -> SEDFamily:
+    """Generic stored-table family loader: axes lambda(m), p2, p3, ... and
+    a single per-unit-scale spectral quantity. Serves FileSSPSEDFamily and
+    every NAMED resource family (spectral/named.py), which differ only in
+    the resource filename and parameter conventions
+    (ref: SEDFamily hierarchy; BruzualCharlotSEDFamily.cpp:30 et al.)."""
     tab = read_stored_table(path)
     if tab.axes_names[0] != "lambda":
-        raise ValueError("SSP stored table must have lambda as first axis")
+        raise ValueError("family stored table must have lambda as first axis")
     lam = tab.axes_points[0]
     q = tab.quantity(tab.quantity_names[0])  # axes first-axis-LAST
     # reshape to (M, T): move the lambda axis (last dim) to the end and
@@ -128,7 +148,8 @@ def load_ssp_family(path: str) -> SEDFamily:
     L = qp.reshape(-1, len(lam))
     param_axes = [(tab.axes_names[i], tab.axes_points[i],
                    tab.axes_scales[i]) for i in range(1, nax)]
-    return SEDFamily(lam=lam, L=L, param_axes=param_axes, scale_name="Minit")
+    return SEDFamily(lam=lam, L=L, param_axes=param_axes,
+                     scale_name=scale_name)
 
 
 def load_indexed_family(path: str) -> SEDFamily:

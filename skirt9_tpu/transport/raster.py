@@ -72,7 +72,10 @@ def choose_resolution(box: np.ndarray, max_enc: int = 128,
         tab = sum(ncomp * n[a] * _rows(n[_MINOR[a][0]], n[_MINOR[a][1]])
                   * 128 * 4 for a in range(3))
         acc = nmax * (-(-enc // 8) * 8) * 128 * 4
-        return tab + acc <= 12 * 2**20
+        # budget leaves ~8 MB of the 16 MB scoped VMEM for the kernels'
+        # double-buffered lane blocks (measured: 73^3 single-component =
+        # 9.5 MB tab+acc OOMs with 1.55 MB overflow)
+        return tab + acc <= 7.5 * 2**20
 
     lo_s, hi_s = 4.0, 512.0
     while hi_s - lo_s > 0.5:

@@ -49,6 +49,7 @@ _UNITS: dict[str, dict[str, float]] = {
     "mass coefficient": {"m2/kg": 1.0, "cm2/g": 0.1},
     "time": {"s": 1.0, "yr": c.YEAR, "Myr": 1e6 * c.YEAR, "Gyr": 1e9 * c.YEAR},
     "temperature": {"K": 1.0},
+    "acceleration": {"m/s2": 1.0, "cm/s2": 1e-2, "km/s2": 1e3},
     "energy": {"J": 1.0, "erg": 1e-7, "eV": c.ELECTRON_CHARGE, "keV": 1e3 * c.ELECTRON_CHARGE},
     "magneticfield": {"T": 1.0, "G": 1e-4, "uG": 1e-10, "nG": 1e-13},
     "pressure": {"Pa": 1.0, "N/m2": 1.0, "J/m3": 1.0, "bar": 1e5, "hPa": 1e2, "Ba": 0.1, "erg/cm3": 0.1, "K/m3": c.K_BOLTZMANN},

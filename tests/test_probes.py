@@ -128,7 +128,7 @@ def test_new_probe_kinds(tmp_path):
     assert pr.ProbeSpec("secondaryluminosity", "t").run(sim, "x", out) == []
 
 
-def test_new_probe_kinds(tmp_path):
+def test_form_probe_kinds(tmp_path):
     """InputModelFormProbe / ConvergenceCutsProbe / DustEmissivityProbe
     kinds produce output files (ref: same-named reference probes)."""
     import os
@@ -145,3 +145,63 @@ def test_new_probe_kinds(tmp_path):
         for p in paths:
             assert os.path.exists(p)
             assert os.path.getsize(p) > 0
+
+
+def test_iteration_probe_hooks_and_tail_kinds(tmp_path):
+    """Primary/Secondary hooks fire from the iteration flows with
+    per-iteration tags (ref: ProbeSystem.hpp:54-57), and the new tail
+    kinds (importedsource/customstate/linelums/instrtimegrid) write files."""
+    import os
+
+    from skirt9_tpu.config.ski import load_ski
+    from skirt9_tpu.probes.probes import ProbeSpec
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+    sim = load_ski(os.path.join(G, "bench3.ski"), num_packets=512,
+                   batch_size=512, max_events=2)
+    sim.max_iterations = 2
+    sim.min_iterations = 2
+    sim.probes = [ProbeSpec("temperature", "Tp", when="Secondary")]
+    sim.probe_prefix = "hooks"
+    sim.probe_outdir = str(tmp_path)
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    assert info["iterations"] >= 2
+    got = sorted(os.listdir(tmp_path))
+    for k in range(1, info["iterations"] + 1):
+        assert any(f"Tp_it{k}" in f for f in got), got
+
+    # imported-source probes on bench4's SSP particles
+    sim4 = load_ski(os.path.join(G, "bench4.ski"), num_packets=256,
+                    batch_size=256, max_events=2)
+    for which in ("age", "metallicity", "luminosity", "density"):
+        paths = ProbeSpec("importedsource", which, which=which).run(
+            sim4, "t", str(tmp_path))
+        assert paths, which
+        for p in paths:
+            assert os.path.getsize(p) > 0
+    # velocity not imported in bench4 -> clean no-op
+    assert ProbeSpec("importedsource", "v", which="velocity").run(
+        sim4, "t", str(tmp_path)) == []
+
+    # custom state
+    import numpy as np
+    sim4.custom_state = {"frag": np.linspace(0, 1, sim4.grid.ncells)}
+    (p,) = ProbeSpec("customstate", "cs").run(sim4, "t", str(tmp_path))
+    assert os.path.getsize(p) > 0
+
+    # line luminosities from a line source
+    from skirt9_tpu.sources.gas_lines import prepare_line_source
+    L_cell = np.zeros(sim4.grid.ncells)
+    L_cell[:8] = 1e20
+    sim4.line_sources = [prepare_line_source(
+        sim4.grid, sim4.medium, 656.3e-9, L_cell, 1.67e-27)]
+    (p,) = ProbeSpec("linelums", "ll").run(sim4, "t", str(tmp_path))
+    lam0, L = np.loadtxt(p)
+    assert lam0 == 656.3e-9 and L > 0
+
+    # instrument time grid
+    import dataclasses as dc
+    sim4.instruments = [dc.replace(sim4.instruments[0],
+                                   time_borders=tuple(np.linspace(0, 10, 5)))]
+    (p,) = ProbeSpec("instrtimegrid", "tg").run(sim4, "t", str(tmp_path))
+    assert np.loadtxt(p).shape == (4, 3)
