@@ -191,6 +191,88 @@ def bench_config5():
     return {"rate": n_pk / (time.perf_counter() - t0)}
 
 
+def _bench_config1_at(n: int, n_pk: int):
+    """bench1 scaled to an n^3 uniform grid (the large-grid capability
+    benchmark: beyond ~73^3 the streamed one-hot-matmul engine
+    transport/sweepxl.py takes over from the resident-table sweep)."""
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+
+    PC = 3.0857e16
+    R = PC
+    box = 1.2 * R
+    grid = make_cartesian(((-box, box),) * 3, (n,) * 3)
+    sigma = 1e-24
+    nd = msys.uniform_density_sphere(grid, 1.0, sigma, R)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           sigma_ext=np.array([[sigma, sigma]]),
+                           albedo=np.full((1, 2), 0.6),
+                           g=np.full((1, 2), 0.5))
+    inst = dinst.DistantInstrumentCfg(
+        name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
+        npx=64, npy=64, fovx=4 * PC, fovy=4 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=24)
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
+                     instruments=[inst], options=opts,
+                     rf_borders=np.array([0.5e-6, 0.6e-6]),
+                     num_packets=n_pk, batch_size=1 << 16, seed=0)
+    from skirt9_tpu.transport import sweepxl as xsw
+    assert isinstance(sim._sweep_tabs, xsw.XLTables), \
+        f"expected the XL engine at {n}^3, got {type(sim._sweep_tabs)}"
+    sim.run_primary(verbose=False)
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
+
+
+def bench_config1x128():
+    return _bench_config1_at(128, 1 << 18)
+
+
+def bench_config1x256():
+    return _bench_config1_at(256, 1 << 16)
+
+
+def bench_config3d9():
+    """bench3's octree refined to maxLevel 9 (59k cells, 256^3 fine
+    raster) — the deep-tree capability benchmark (slab-tiled deposit
+    accumulators in transport/mlsweep.py)."""
+    import shutil
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    from skirt9_tpu.config.ski import load_ski
+
+    t = ET.parse(os.path.join(HERE, "tests", "golden", "bench3.ski"))
+    for el in t.iter("DensityTreePolicy"):
+        el.attrib["maxLevel"] = "9"
+        el.attrib["maxDustFraction"] = str(
+            float(el.attrib.get("maxDustFraction", "1e-6")) / 4)
+    d = tempfile.mkdtemp()
+    shutil.copy(os.path.join(HERE, "tests", "golden", "mrn_mean.txt"), d)
+    ski = os.path.join(d, "b3deep.ski")
+    t.write(ski)
+    n_pk = 1 << 17
+    sim = load_ski(ski, batch_size=1 << 16, max_events=24,
+                   num_packets=n_pk)
+    sim.seed = 0
+    from skirt9_tpu.transport import mlsweep as ml
+    assert isinstance(sim._sweep_tabs, ml.MLTables), \
+        "deep octree should ride the multi-level sweep"
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    t0 = time.perf_counter()
+    rf, accs, info = sim.run_with_dust_emission(verbose=False)
+    dt = time.perf_counter() - t0
+    total = n_pk * (1 + info["iterations"] + (1 if info["L_dust"] > 0
+                                              else 0))
+    return {"rate": total / dt}
+
+
 CONFIGS = {
     "1": bench_config1,
     "2": bench_config2,
@@ -198,6 +280,9 @@ CONFIGS = {
     "3": bench_config3,
     "4": bench_config4,
     "5": bench_config5,
+    "1x128": bench_config1x128,
+    "1x256": bench_config1x256,
+    "3d9": bench_config3d9,
 }
 
 
@@ -234,7 +319,8 @@ def main():
         return
 
     results = {name: _run_isolated(name)
-               for name in ("2", "1", "1h", "3", "4", "5")}
+               for name in ("2", "1", "1h", "3", "4", "5",
+                            "1x128", "1x256", "3d9")}
 
     base = {}
     bp = os.path.join(HERE, "BENCH_BASELINE.json")
@@ -278,6 +364,15 @@ def main():
         "config5_polarized_kinematic_packets_per_s":
             round(rate("5"), 1) if rate("5") else None,
         "config5_vs_baseline": vs("5"),
+        # large-grid capability benchmarks (no 2-core baseline measured;
+        # the reference's throughput at these sizes scales down with the
+        # ~4x/8x crossing count)
+        "config1_128cube_packets_per_s":
+            round(rate("1x128"), 1) if rate("1x128") else None,
+        "config1_256cube_packets_per_s":
+            round(rate("1x256"), 1) if rate("1x256") else None,
+        "config3_maxlevel9_packets_per_s":
+            round(rate("3d9"), 1) if rate("3d9") else None,
         "iterations": (results.get("2") or {}).get("iterations"),
     }))
 

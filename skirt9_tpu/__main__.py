@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                     help="devices for packet data-parallelism (0 = all); "
                     "the reference's -d throws 'not supported' "
                     "(SkirtCommandLineHandler.cpp:329) — here it works")
+    ap.add_argument("--dd", action="store_true",
+                    help="spatial domain decomposition: shard the per-cell "
+                    "density/radiation-field tables into x-slabs over the "
+                    "-d devices (for grids too large for one chip's HBM); "
+                    "non-Cartesian grids decompose through a voxel raster")
     args = ap.parse_args(argv)
 
     from .config.ski import load_ski
@@ -67,7 +72,13 @@ def main(argv=None) -> int:
                 n = len(devs)
             if n > 1:
                 sim.mesh = Mesh(np.array(devs[:n]), (sim.mesh_axis,))
-                log.info(f"packet DP over {n} devices")
+                if args.dd:
+                    sim.dd = True
+                    sim._build_sweep_tables()   # DD disables sweep engines
+                    log.info(f"spatial domain decomposition over {n} "
+                             f"devices (sharded per-cell tables)")
+                else:
+                    log.info(f"packet DP over {n} devices")
         if args.emulate:
             log.success(f"emulation: setup OK, {sim.grid.ncells} cells, "
                         f"{len(sim.sources)} sources, "

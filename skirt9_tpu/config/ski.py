@@ -35,11 +35,25 @@ from ..simulation import Simulation
 from ..utils import units as U
 
 
+# When enabled (during load_ski), every default the loader consults is
+# WRITTEN BACK into the element's attributes in ski syntax, so the
+# regenerated parameters.xml holds every property the run actually used —
+# the XmlHierarchyWriter contract (ref: SMILE/serialize/XmlHierarchyWriter
+# walks the live items and writes resolved values) — derived from the
+# builders themselves instead of a hand-maintained default table.
+_MATERIALIZE = False
+
+
 def _q(attrs, name, qty, default=None):
     """Parse a unit-bearing attribute into SI."""
     if name not in attrs:
         if default is None:
             raise KeyError(f"missing attribute '{name}'")
+        if _MATERIALIZE and isinstance(attrs, dict):
+            try:
+                attrs[name] = U.format_si(qty, default)
+            except Exception:
+                pass
         return default
     return U.parse(qty, attrs[name])
 
@@ -48,6 +62,8 @@ def _f(attrs, name, default=None):
     if name not in attrs:
         if default is None:
             raise KeyError(f"missing attribute '{name}'")
+        if _MATERIALIZE and isinstance(attrs, dict):
+            attrs[name] = repr(float(default))
         return default
     return float(attrs[name])
 
@@ -925,7 +941,23 @@ def load_ski(path: str, num_packets: int | None = None,
 
     (ref: SkirtCommandLineHandler::doSimulation, SkirtCommandLineHandler.cpp:295
     — parse, build item tree, setup; here: parse, build tables.)
-    """
+
+    While building, every default the builders consult is materialized
+    back into the element tree, so the regenerated parameters.xml records
+    every property the run used (XmlHierarchyWriter contract)."""
+    global _MATERIALIZE
+    prev, _MATERIALIZE = _MATERIALIZE, True
+    try:
+        return _load_ski(path, num_packets=num_packets,
+                         batch_size=batch_size, seed=seed,
+                         max_events=max_events)
+    finally:
+        _MATERIALIZE = prev
+
+
+def _load_ski(path: str, num_packets: int | None = None,
+              batch_size: int = 16384, seed: int = 0,
+              max_events: int = 64) -> Simulation:
     tree = ET.parse(path)
     with open(path, "r", encoding="utf-8") as f:
         ski_text = f.read()
@@ -1409,9 +1441,11 @@ def load_ski(path: str, num_packets: int | None = None,
         primary_iteration_packets_multiplier=_f(
             ia, "primaryIterationPacketsMultiplier", 1.0),
         mueller=mueller, xray_tabs=xray_dev_tabs)
-    # keep the exact configuration for the parameters.xml round-trip
-    # (ref: SkirtCommandLineHandler.cpp:342-347 writes parameters.xml)
-    sim.ski_text = ski_text
+    # keep the configuration WITH the materialized defaults for the
+    # parameters.xml round-trip: the build wrote every consulted default
+    # back into the tree (ref: SkirtCommandLineHandler.cpp:342-347)
+    sim.ski_text = ET.tostring(root, encoding="unicode")
+    sim.ski_input_text = ski_text
     # medium build recipe, kept for convergence/grain probes
     sim.medium_components = components
     # output unit system (ref: Units.hpp:29)

@@ -182,14 +182,17 @@ def _slab_march(grid_loc, nd_local, pos, dirn, sigma, mask, max_steps):
 
 def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
                opts: lc.TransportOptions, inst_cfgs, inst_tabs,
-               rf_borders, source, source_tabs, n_total: int):
+               rf_borders, source, source_tabs, n_total: int,
+               hist_base: int = 0, lum_weight: float = 1.0,
+               phase_tabs: dict | None = None):
     """Build a jitted shard_mapped segment runner on the decomposed grid.
 
     Returns run(seed_key, history, nd_sharded, rf_sharded, accs) ->
     (rf_sharded, accs): `history` is the global (n*B,) batch sharded over
     the mesh; `nd_sharded`/`rf_sharded` are the (ncells, ...) tables sharded
     along cells; accs are replicated instrument accumulators, psum-reduced
-    at segment end.
+    at segment end. hist_base/lum_weight mirror Simulation._run_segment's
+    per-source history ranges and allocation weights.
     """
     n_dev = dec.n_slabs
     S_loc = dec.max_steps_local
@@ -204,7 +207,7 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
     kind_scat = (dinst.KIND_PRIMARY_SCATTERED if opts.primary
                  else dinst.KIND_SECONDARY_SCATTERED)
 
-    def per_device(lohi_row, xb_row, seed_key, history, nd_local,
+    def per_device(lohi_row, xb_row, seed_key, history, stabs, nd_local,
                    rf_local, accs):
         d = jax.lax.axis_index(DD_AXIS)
         grid_loc = _local_grid(dec, lohi_row[0], xb_row[0])
@@ -212,8 +215,17 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
         B = history.shape[0]
         n_sl = dec.n_slabs
 
-        pkt = src.launch_batch(source, source_tabs, grid, seed_key, history,
-                               n_total)
+        # detections accumulate into a ZERO tree; the psum at segment end
+        # reduces only this call's delta (psumming the carried-in
+        # accumulators would multiply them by n_dev on every batch)
+        accs_in = accs
+        accs = jax.tree.map(jnp.zeros_like, accs)
+        pkt = src.launch_batch(source, stabs, grid, seed_key, history,
+                               n_total,
+                               hist_end=jnp.int32(hist_base + n_total))
+        if lum_weight != 1.0:
+            pkt = pkt._replace(lum=pkt.lum * lum_weight,
+                               lum0=pkt.lum0 * lum_weight)
         opt = msys.optics_at(med, pkt.lam)               # (B, H) replicated tables
         if use_rf:
             rf_bin = jnp.clip(
@@ -330,36 +342,36 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
                                           DD_AXIS)) > 0
             active_int = active_int & found
 
-            ke = jnp.sum(nd_at * opt.sigma_ext, axis=-1)
-            ks = jnp.sum(nd_at * opt.sigma_sca, axis=-1)
-            albedo = jnp.where(ke > 0, ks / jnp.maximum(ke, 1e-30), 0.0)
+            # albedo/weights + component selection + scattering event:
+            # the SHARED lifecycle implementations (albedo_and_weights /
+            # select_component_from_weights / scatter_nonpolarized /
+            # peel_phase_nonpolarized), so the DD event cannot drift from
+            # the replicated engine's physics (round-3 verdict weak #4)
+            albedo, w = lc.albedo_and_weights(opt, nd_at)
             lum_at = pkt.lum * w_bias
             pkt = pkt._replace(
                 pos=jnp.where(active_int[:, None], ipos, pkt.pos),
                 cell=jnp.where(active_int, icell, pkt.cell),
                 lum=jnp.where(active_int, lum_at, pkt.lum))
 
-            # component selection + HG scattering (same streams as lifecycle)
             u_comp = rng.uniform(keys, _TAG_SCATTER_COMP)
-            w = nd_at * opt.sigma_sca
-            wsum = jnp.sum(w, axis=-1, keepdims=True)
-            w = w / jnp.maximum(wsum, 1e-30)
-            cdf = jnp.cumsum(w, axis=-1)
-            h = jnp.argmax(cdf >= u_comp[:, None], axis=-1).astype(jnp.int32)
+            h = lc.select_component_from_weights(w, u_comp)
 
             if inst_cfgs and opts.peel_off:
+                phase_fn = lc.peel_phase_nonpolarized(
+                    opt, w, pkt.dir, lam_cell=pkt.lam,
+                    phase_tabs=phase_tabs)
+
                 def per_sr(kobs):
-                    ct = jnp.sum(pkt.dir * kobs, axis=-1)
-                    ph = jnp.sum(w * phs.hg_phase(opt.g, ct[..., None]),
-                                 axis=-1)
-                    return pkt.lum * albedo * ph
+                    return pkt.lum * albedo * phase_fn(kobs)
                 accs = lc.peel_off(None, med, opt, inst_cfgs, inst_tabs,
                                    accs, pkt.lam, pkt.pos, pkt.cell, per_sr,
                                    kind_scat, 0, active_int,
                                    tracer=dd_tracer, dist=pkt.dist)
 
-            g_sel = jnp.take_along_axis(opt.g, h[:, None], axis=-1)[:, 0]
-            newdir = lc.hg_scatter_direction(keys, g_sel, pkt.dir)
+            newdir = lc.scatter_nonpolarized(opts, keys, opt, w, h,
+                                             pkt.dir, lam_cell=pkt.lam,
+                                             phase_tabs=phase_tabs)
 
             lum_new = pkt.lum * albedo
             nscat_new = pkt.nscat + 1
@@ -373,21 +385,25 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
 
         pkt, rf_local, accs = jax.lax.fori_loop(
             0, opts.max_events, event, (pkt, rf_local, accs))
-        accs = jax.tree.map(lambda a: jax.lax.psum(a, DD_AXIS), accs)
+        accs = jax.tree.map(
+            lambda a0, d_: a0 + jax.lax.psum(d_, DD_AXIS), accs_in, accs)
         return rf_local, accs
 
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(DD_AXIS), P(DD_AXIS), P(), P(DD_AXIS), P(DD_AXIS),
+        in_specs=(P(DD_AXIS), P(DD_AXIS), P(), P(DD_AXIS), P(), P(DD_AXIS),
                   P(DD_AXIS), P()),
         out_specs=(P(DD_AXIS), P()),
         check_vma=False,
     )
 
-    def run(seed_key, history, nd_sharded, rf_sharded, accs):
-        return shard(lohi_dev, xb_dev, seed_key, history, nd_sharded,
-                     rf_sharded, accs)
+    def run(seed_key, history, stabs, nd_sharded, rf_sharded, accs):
+        # source tables flow through as traced arguments so per-iteration
+        # secondary-source updates do NOT retrigger compilation (mirrors
+        # Simulation._segment_runner)
+        return shard(lohi_dev, xb_dev, seed_key, history, stabs,
+                     nd_sharded, rf_sharded, accs)
 
     return jax.jit(run)
 
@@ -395,6 +411,76 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
 def make_dd_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices), (DD_AXIS,))
+
+
+def voxelize_for_dd(grid, med, n_slabs: int):
+    """Generalize non-Cartesian grids to the slab decomposition through a
+    voxel raster: tree grids rasterize EXACTLY onto their fine level grid
+    (leaves are voxel unions), Voronoi/tetra approximately (same caveat as
+    transport/raster; resolution via SKIRT9_TPU_DD_RASTER_N).
+
+    Returns (vox_grid: UniformCartesianGrid, med_vox, cellmap) where
+    cellmap (nvox,) maps voxels back to the original cells (-1 outside) for
+    radiation-field aggregation; or (grid, med, None) when the grid is
+    already Cartesian."""
+    import os
+
+    from ..grids.amr import AMRGrid
+    from ..grids.bintree import BinTreeGrid
+    from ..grids.octree import OctreeGrid
+    from ..grids.cartesian import make_cartesian
+    from ..grids.voronoi import VoronoiGrid
+    from ..grids.tetra import TetraGrid
+
+    if isinstance(grid, (UniformCartesianGrid, CartesianGrid)):
+        return grid, med, None
+    if isinstance(grid, (OctreeGrid, BinTreeGrid, AMRGrid)):
+        from ..transport import mlsweep as ml
+        meta = ml._analyze(grid)
+        nf = meta["nf"]
+        lo0, box = meta["lo0"], meta["box"]
+        owner = np.full(nf, -1, np.int32)
+        for li, sig in enumerate(meta["levels_present"]):
+            ids, cl = meta["coords"][sig]
+            lv = meta["levels"][li]
+            sx, sy, sz = lv.shift
+            for cidx, (cx, cy, cz) in zip(ids, cl):
+                owner[cx << sx:(cx + 1) << sx,
+                      cy << sy:(cy + 1) << sy,
+                      cz << sz:(cz + 1) << sz] = cidx
+        vox_grid = make_cartesian(
+            ((lo0[0], lo0[0] + box[0]), (lo0[1], lo0[1] + box[1]),
+             (lo0[2], lo0[2] + box[2])), nf)
+        owner_flat = owner.reshape(-1)
+    elif isinstance(grid, (VoronoiGrid, TetraGrid)):
+        from ..transport import raster as ra
+        n = int(os.environ.get("SKIRT9_TPU_DD_RASTER_N", "64"))
+        n = -(-n // n_slabs) * n_slabs
+        lo0 = np.asarray(grid.box_lo, np.float64)
+        hi0 = np.asarray(grid.box_hi, np.float64)
+        h = (hi0 - lo0) / n
+        cx = lo0[0] + (np.arange(n) + 0.5) * h[0]
+        cy = lo0[1] + (np.arange(n) + 0.5) * h[1]
+        cz = lo0[2] + (np.arange(n) + 0.5) * h[2]
+        centers = np.stack(np.meshgrid(cx, cy, cz, indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+        owner_flat = ra._owner_map(grid, centers)
+        vox_grid = make_cartesian(
+            ((lo0[0], hi0[0]), (lo0[1], hi0[1]), (lo0[2], hi0[2])),
+            (n, n, n))
+    else:
+        raise NotImplementedError(
+            f"domain decomposition: unsupported grid {type(grid).__name__}")
+    nd = np.asarray(med.nd, np.float64)
+    nd_vox = np.zeros((len(owner_flat), nd.shape[1]), np.float32)
+    owned = owner_flat >= 0
+    nd_vox[owned] = nd[owner_flat[owned]]
+    med_vox = med._replace(nd=jnp.asarray(nd_vox))
+    from ..utils.log import default as _log
+    _log().info(f"domain decomposition: {type(grid).__name__} "
+                f"({grid.ncells} cells) voxelized onto "
+                f"{'x'.join(map(str, vox_grid.shape))} for slab sharding")
+    return vox_grid, med_vox, jnp.asarray(owner_flat)
 
 
 def shard_tables(mesh: Mesh, dec: SlabDecomposition, med: msys.MediumTables,

@@ -116,6 +116,13 @@ class Simulation:
     # device.
     mesh: object = None
     mesh_axis: str = "pp"
+    # spatial domain decomposition (parallel/domain.py): per-cell tables
+    # shard into x-slabs over `mesh` instead of replicating — the capability
+    # the reference rejects outright (`-d`: "not supported at this time",
+    # ref: SkirtCommandLineHandler.cpp:329-332). CLI: --dd with -d N.
+    # Non-Cartesian grids decompose through an exact (trees) or
+    # approximate (Voronoi/tetra) voxel raster.
+    dd: bool = False
     # X-ray gas channel tables (media.xray.device_tables) consumed by the
     # lifecycle when options.xray is set
     xray_tabs: object = None
@@ -160,6 +167,12 @@ class Simulation:
         from .transport import mlsweep as _ml
         from .transport import raster as _ra
         from .transport import sweep as _sw
+        if self.dd and self.mesh is not None:
+            # domain decomposition marches per-slab scans on sharded
+            # tables; the (single-device) sweep engines do not apply
+            self._sweep_tabs = None
+            self._dd_state = None
+            return
         if _sw.supports_sweep(self.grid, self.medium):
             self._sweep_tabs = _sw.build_tables(self.grid, self.medium)
         elif _ml.supports(self.grid, self.medium, self.options):
@@ -174,7 +187,16 @@ class Simulation:
             # sweep tables — same kernels as the multi-level tree sweep
             self._sweep_tabs = _ra.build_tables(self.grid, self.medium)
         else:
-            self._sweep_tabs = None
+            from .transport import sweepxl as _xsw
+            if _xsw.supports_xl(self.grid, self.medium):
+                # large uniform grids (beyond the resident-table ceiling):
+                # streamed one-hot-matmul engine (transport/sweepxl.py)
+                from .utils.log import default as _log
+                _log().info("transport: large-grid streamed sweep engine "
+                            f"for {'x'.join(map(str, self.grid.shape))}")
+                self._sweep_tabs = _xsw.build_tables(self.grid, self.medium)
+            else:
+                self._sweep_tabs = None
 
     def _fire_probes(self, when: str, rf=None, it=None):
         """Fire the per-iteration probe hooks (Primary/Secondary)
@@ -195,6 +217,72 @@ class Simulation:
             return rf
         from .transport import mlsweep as _ml
         return _ml.finalize_rf(self._sweep_tabs, rf, self.grid.ncells)
+
+    def _ensure_dd(self):
+        """Build (once) the domain decomposition state: the slab partition
+        of the (possibly voxelized) grid and the sharded density table."""
+        if getattr(self, "_dd_state", None) is not None:
+            return self._dd_state
+        from .parallel import domain as dom
+        n_dev = int(self.mesh.devices.size)
+        vox_grid, med_vox, cellmap = dom.voxelize_for_dd(
+            self.grid, self.medium, n_dev)
+        dec = dom.decompose_slabs(vox_grid, n_dev)
+        ddmesh = dom.Mesh(self.mesh.devices.reshape(-1), (dom.DD_AXIS,))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(ddmesh, P(dom.DD_AXIS))
+        nd_sh = jax.device_put(med_vox.nd, spec)
+        self._dd_state = dict(dec=dec, vox_grid=vox_grid, med_vox=med_vox,
+                              cellmap=cellmap, mesh=ddmesh, nd_sh=nd_sh,
+                              spec=spec)
+        return self._dd_state
+
+    def _run_segment_dd(self, source, stabs, opts, n_packets, seed_key,
+                        rf, accs, hist_base, lum_weight, seg_key):
+        """One segment under spatial domain decomposition: the production
+        route of parallel/domain.dd_segment (sharded nd/rf, shared
+        lifecycle samplers/peel-off/scattering)."""
+        from .parallel import domain as dom
+        st = self._ensure_dd()
+        dec, ddmesh = st["dec"], st["mesh"]
+        nrf = (len(self.rf_borders) - 1
+               if (self.rf_borders is not None and opts.store_rf) else 1)
+        key = ("dd", seg_key, int(n_packets), float(lum_weight), nrf,
+               opts.store_rf, opts.peel_off, opts.primary)
+        if key not in self._seg_cache:
+            self._seg_cache[key] = dom.dd_segment(
+                ddmesh, dec, self.grid, self.medium, opts,
+                tuple(self.instruments), self._inst_tabs,
+                self._rf_borders_dev if opts.store_rf else None,
+                source, stabs, int(n_packets), hist_base=hist_base,
+                lum_weight=float(lum_weight),
+                phase_tabs=self.phase_tabs)
+        run = self._seg_cache[key]
+        D = dec.n_slabs
+        B = -(-self.batch_size // (D * 128)) * D * 128
+        from jax.sharding import PartitionSpec as P
+        rf_sh = jax.device_put(
+            jnp.zeros((st["vox_grid"].ncells, nrf), jnp.float32),
+            st["spec"])
+        nb = -(-n_packets // B)
+        from .utils.log import default as _log
+        for b in range(nb):
+            history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
+            rf_sh, accs = run(seed_key, history, stabs, st["nd_sh"],
+                              rf_sh, accs)
+            _log().progress(min((b + 1) * B, n_packets), n_packets)
+        if rf is not None and opts.store_rf:
+            rf_vox = rf_sh
+            if st["cellmap"] is not None:
+                # aggregate voxel deposits back to the original cells
+                rf_add = jnp.zeros_like(rf)
+                cm = st["cellmap"]
+                rf_add = rf_add.at[jnp.maximum(cm, 0)].add(
+                    jnp.where((cm >= 0)[:, None], rf_vox, 0.0))
+                rf = rf + rf_add
+            else:
+                rf = rf + rf_vox
+        return rf, accs
 
     def _grid_diagonal(self) -> float:
         if hasattr(self.grid, "diagonal"):
@@ -378,6 +466,10 @@ class Simulation:
     def _run_segment(self, source, stabs, opts, n_packets, seed_key,
                      rf, accs, hist_base=0, lum_weight=1.0, seg_key=None):
         """Loop a source's history range through the jitted life cycle."""
+        if self.dd and self.mesh is not None:
+            return self._run_segment_dd(source, stabs, opts, n_packets,
+                                        seed_key, rf, accs, hist_base,
+                                        lum_weight, seg_key)
         B = self.batch_size
         D = 1 if self.mesh is None else int(self.mesh.devices.size)
         if self.mesh is not None:
@@ -639,6 +731,7 @@ class Simulation:
         """
         self.medium = self.medium._replace(
             nd=jnp.asarray(nd, jnp.float32))
+        self._dd_state = None           # re-voxelize/re-shard on next use
         self._build_sweep_tables()
         self._seg_cache = {}
 

@@ -320,6 +320,55 @@ def survives_cutoff(opts: TransportOptions, lum_new, nscat_new, lum0):
         (nscat_new < opts.min_scatt_events)
 
 
+def albedo_and_weights(opt: msys.Optics, nd_at):
+    """Aggregate albedo + normalized per-component scattering weights from
+    the LOCAL densities at the interaction (nd_at: (B, H)) — the
+    cell-gather-free form shared with the domain-decomposition engine,
+    where nd_at arrives via a psum instead of a table gather
+    (ref: MediumSystem::albedoForScattering + per-component weights,
+    MediumSystem.cpp:678,734)."""
+    ke = jnp.sum(nd_at * opt.sigma_ext, axis=-1)
+    ks = jnp.sum(nd_at * opt.sigma_sca, axis=-1)
+    albedo = jnp.where(ke > 0, ks / jnp.maximum(ke, 1e-30), 0.0)
+    w = nd_at * opt.sigma_sca
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
+    return albedo, w
+
+
+def select_component_from_weights(w, u):
+    """Sample the scattering component from normalized weights (B, H)
+    (ref: MediumSystem::simulateScattering h-selection cdf)."""
+    cdf = jnp.cumsum(w, axis=-1)
+    return jnp.argmax(cdf >= u[..., None], axis=-1).astype(jnp.int32)
+
+
+def scatter_nonpolarized(opts: TransportOptions, keys, opt, w, h, dirn,
+                         lam_cell=None, phase_tabs=None):
+    """The non-polarized scattering event proper: HG by default, the
+    tabulated MaterialPhaseFunction when phase_tabs is given — ONE
+    implementation for the replicated and domain-decomposed engines
+    (ref: MaterialMix::performScattering)."""
+    if phase_tabs is not None:
+        ct = phs.tabulated_phase_sample(phase_tabs, lam_cell,
+                                        rng.uniform(keys, _TAG_SCATTER_CT))
+        phi = 2.0 * jnp.pi * rng.uniform(keys, _TAG_SCATTER_PHI)
+        return phs.rotate_direction(dirn, ct, phi)
+    g_sel = jnp.take_along_axis(opt.g, h[..., None], axis=-1)[..., 0]
+    return hg_scatter_direction(keys, g_sel, dirn)
+
+
+def peel_phase_nonpolarized(opt, w, dirn, lam_cell=None, phase_tabs=None):
+    """per-steradian phase value toward an observer direction builder for
+    the non-polarized peel-off (shared with the DD engine)."""
+    def per_sr_phase(kobs):
+        ct = jnp.sum(dirn * kobs, axis=-1)
+        if phase_tabs is not None:
+            return phs.tabulated_phase_value(phase_tabs, lam_cell,
+                                             ct) / (4.0 * jnp.pi)
+        return jnp.sum(w * phs.hg_phase(opt.g, ct[..., None]), axis=-1)
+    return per_sr_phase
+
+
 # ------------------------------------------------------------------- peel-off
 
 def _observer_groups(inst_cfgs) -> list[list[int]]:
@@ -453,8 +502,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     # static bin for a monochromatic source).
     from . import mlsweep as _ml
     from . import sweep as _sw
+    from . import sweepxl as _xl
     is_ml = isinstance(sweep_tabs, _ml.MLTables)
-    _eng = _ml if is_ml else _sw
+    is_xl = isinstance(sweep_tabs, _xl.XLTables)
+    _eng = _ml if is_ml else (_xl if is_xl else _sw)
     B_lanes = int(pkt.lam.shape[0])
     if rf is not None and opts.store_rf:
         rf_nbins = rf[0].shape[0] if is_ml else rf.shape[1]
@@ -667,8 +718,17 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                    else jnp.zeros_like(active))
         if use_sweep:
             sig_ev = opt_ev.sigma_ext.T if lam_changing else sigma_lanes
-            dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
-                                        sig_ev, active)
+            dtau_sub = None
+            if is_xl:
+                # the XL engine records per-substep taus so the deposit
+                # pass needs no density access and the interaction point
+                # resolves in XLA (transport/sweepxl.py)
+                dtau_sub = _xl.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
+                                          sig_ev, active, want_sub=True)
+                dtau_slab = jnp.sum(dtau_sub, axis=1)
+            else:
+                dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
+                                            sig_ev, active)
             grp = _sw.dominant_axis(sweep_tabs, pkt.dir)
             dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
             tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
@@ -704,6 +764,18 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                     sweep_tabs, pkt.pos, pkt.dir, sig_ev, active,
                     lum_half, tau_int, tb_slab, inv_sqrt,
                     n_groups=n_groups)
+            elif is_xl:
+                if use_rf:
+                    scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
+                        * inv_sqrt
+                    rf_delta = _xl.sweep_deposit(
+                        sweep_tabs, pkt.pos, pkt.dir, active, dtau_sub,
+                        scale_slab, n_groups=n_groups)
+                else:
+                    rf_delta = None   # no stored RF: skip the deposit pass
+                s_int, icell, found = _xl.resolve_interaction(
+                    sweep_tabs, pkt.pos, pkt.dir, active_int, dtau_sub,
+                    tb_slab, tau_int)
             else:
                 scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
                     * inv_sqrt

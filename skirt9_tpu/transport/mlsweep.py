@@ -152,11 +152,12 @@ def supports(grid, med, options=None) -> bool:
     nfmax = max(meta["nf"])
     if nfmax > 256:
         return False
-    # VMEM: level tables + one deposit accumulator block
+    # VMEM: resident level tables + the slab-TILED deposit accumulator
+    # (the deposit kernel streams the (nmax, enc, 128) planes T slabs at a
+    # time, so only the table size gates deep trees)
     tab = sum(med.ncomp * (la.t1 - la.t0) * la.rows * 128 * 4
               for lv in meta["levels"] for la in lv.ax)
-    acc = nfmax * (-(-enc // 8) * 8) * 128 * 4
-    if tab + acc > 12 * 2**20:
+    if tab > 5 * 2**20:
         return False
     return True
 
@@ -478,10 +479,11 @@ def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
 def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
                        sig_ref, tb_ref, lum_ref, ti_ref, *refs,
                        n, lo, h, nmax, lb, C, levels, nlev, enc, ppb,
-                       inv2):
+                       inv2, T):
     rho_refs = refs[:3 * nlev]
     acc_ref, sint_ref, found_ref = refs[3 * nlev:3 * nlev + 3]
-    gidx = pl.program_id(0)
+    tidx = pl.program_id(0)
+    gidx = pl.program_id(1)
 
     @pl.when(gidx % ppb == 0)
     def _():
@@ -495,16 +497,19 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
     sig = tuple(sig_ref[c] for c in range(C))
     g = sw._axis_geometry(a, pos, dirn, n, lo, h)
 
-    sint_ref[...] = jnp.zeros_like(smin)
-    found_ref[...] = jnp.zeros(smin.shape, jnp.int32)
+    # per-(tile, lane-block) candidates: the crossing slab is unique per
+    # lane (rel in [0, dtau)), so the XLA wrapper combines tiles with max
+    sint_ref[0] = jnp.full(smin.shape, -1.0, jnp.float32)
+    found_ref[0] = jnp.zeros(smin.shape, jnp.int32)
 
-    def slab(t, _):
+    def slab(tl, _):
+        t = tidx * T + tl
         s_in, s_out = sw._slab_entry(g, t, smin, smax)
         act = s_in < s_out
         span = s_out - s_in
         s_cur = s_in
         iu, iv = sw._minor_idx(g, s_in + 1e-4 * span)
-        tb = tb_ref[t]
+        tb = tb_ref[tl]
         # scale/rel computed in-kernel from the tau prefix: one slab-sized
         # input instead of two (VMEM)
         scale = (lum_ref[...] * jnp.exp(-tb)) * inv2
@@ -531,15 +536,15 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
             A = jnp.where(sub == rf_, contrib.reshape(1, lb), 0.0)
             tile = jax.lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-            acc_ref[0, t] += tile[:enc]
+            acc_ref[0, tl] += tile[:enc]
             # interaction point (exact cross-level composition: rel and
             # tau_loc are fine-granularity ray-ordered)
             rem = rel - tau_loc
-            hit = act & (rem >= 0.0) & (rem < dtau) & (found_ref[...] == 0)
+            hit = act & (rem >= 0.0) & (rem < dtau) & (found_ref[0] == 0)
             frac = rem / jnp.maximum(dtau, 1e-37)
             s_hit = s_cur + frac * ds
-            sint_ref[...] = jnp.where(hit, s_hit, sint_ref[...])
-            found_ref[...] = jnp.where(hit, 1, found_ref[...])
+            sint_ref[0] = jnp.where(hit, s_hit, sint_ref[0])
+            found_ref[0] = jnp.where(hit, 1, found_ref[0])
 
             tau_loc = tau_loc + dtau
             cross_u = su <= sv
@@ -552,7 +557,7 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
             s_cur = s_nxt
         return 0
 
-    jax.lax.fori_loop(0, nmax, slab, 0)
+    jax.lax.fori_loop(0, T, slab, 0)
 
 
 # ------------------------------------------------------------------ wrappers
@@ -624,54 +629,68 @@ def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
     nlev = len(tabs.levels)
     G = NB // lbr
     ppb = G // n_groups
+    # slab-tiled accumulator: the (nmax, enc, 128) deposit planes stream
+    # through VMEM T slabs at a time (grid dim 0), so deep trees with
+    # nmax=256+ fine slabs fit the scoped VMEM budget; the interaction
+    # candidates come back per tile and combine with a max (the crossing
+    # slab is unique per lane)
+    T = nmax
+    while T > 1 and T * tabs.enc * 128 * 4 > 4 * 2**20:
+        T //= 2
+    while nmax % T:
+        T -= 1
+    NT = nmax // T
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=nmax, lb=lb, C=C,
                 levels=tabs.levels, nlev=nlev, enc=tabs.enc, ppb=ppb,
-                inv2=float(inv2))
+                inv2=float(inv2), T=T)
     kern = functools.partial(_ml_deposit_kernel, **meta)
     tb3 = tb_slab.reshape(nmax, NB, 128)
     lum3 = lum_pre.astype(jnp.float32).reshape(NB, 128)
     ti3 = tau_int.astype(jnp.float32).reshape(NB, 128)
-    lane = lambda g: (g, 0)
-    tab_specs = [pl.BlockSpec(r.shape, lambda g: (0,) * r.ndim,
+    lane = lambda t, g: (g, 0)
+    tab_specs = [pl.BlockSpec(r.shape, lambda t, g: (0,) * r.ndim,
                               memory_space=pltpu.VMEM)
                  for r in tabs.rho]
-    acc, s_int, found = pl.pallas_call(
+    acc, s_int_t, found_t = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(NT, G),
         in_specs=[
-            pl.BlockSpec((3, lbr, 128), lambda g: (0, g, 0),
+            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, lbr, 128), lambda g: (0, g, 0),
+            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, lbr, 128), lambda g: (0, g, 0),
+            pl.BlockSpec((C, lbr, 128), lambda t, g: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nmax, lbr, 128), lambda g: (0, g, 0),
+            pl.BlockSpec((T, lbr, 128), lambda t, g: (t, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
         ] + tab_specs,
         out_specs=(
-            pl.BlockSpec((1, nmax, tabs.enc, 128),
-                         lambda g: (g // ppb, 0, 0, 0),
+            pl.BlockSpec((1, T, tabs.enc, 128),
+                         lambda t, g: (g // ppb, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lbr, 128), lambda t, g: (t, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lbr, 128), lambda t, g: (t, g, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_groups, nmax, tabs.enc, 128),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((NB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NT, NB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NT, NB, 128), jnp.int32),
         ),
         interpret=sw._interpret(),
     )(pos3, dir3, grp, smin, smax, sig, tb3, lum3, ti3, *tabs.rho)
 
     B = NB * 128
-    s_int = s_int.reshape(B)
-    found = found.reshape(B) != 0
+    s_int = jnp.max(s_int_t, axis=0).reshape(B)
+    found = (jnp.max(found_t, axis=0) != 0).reshape(B)
+    s_int = jnp.maximum(s_int, 0.0)
     # decode the (level, axis, row)-encoded planes into per-level box grids
     deltas = []
     for li, lv in enumerate(tabs.levels):

@@ -68,14 +68,13 @@ def choose_resolution(box: np.ndarray, max_enc: int = 128,
         enc = _rows(ny, nz) + _rows(nx, nz) + _rows(nx, ny)
         if enc > max_enc:
             return False
-        nmax = max(n)
         tab = sum(ncomp * n[a] * _rows(n[_MINOR[a][0]], n[_MINOR[a][1]])
                   * 128 * 4 for a in range(3))
-        acc = nmax * (-(-enc // 8) * 8) * 128 * 4
-        # budget leaves ~8 MB of the 16 MB scoped VMEM for the kernels'
-        # double-buffered lane blocks (measured: 73^3 single-component =
-        # 9.5 MB tab+acc OOMs with 1.55 MB overflow)
-        return tab + acc <= 7.5 * 2**20
+        # the deposit accumulator streams in slab tiles (mlsweep), so only
+        # the resident level tables gate the resolution; ~5 MB leaves the
+        # 16 MB scoped VMEM room for the tiled accumulator + lane blocks
+        # (measured: 9.5 MB resident total OOMed by 1.55 MB pre-tiling)
+        return tab <= 5 * 2**20
 
     lo_s, hi_s = 4.0, 512.0
     while hi_s - lo_s > 0.5:

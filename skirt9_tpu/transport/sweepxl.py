@@ -1,0 +1,443 @@
+"""Large-grid slab sweep: MXU one-hot transport for 128^3/256^3 grids.
+
+The round-3 sweep engine (transport/sweep.py) keeps whole density layouts
+in VMEM and looks cells up with an O(minor-rows) select loop — both stop
+scaling at ~73^3 (VMEM and the 128-row deposit encoding). This engine is
+the scale-out redesign:
+
+  * density planes STREAM through VMEM slab-tile by slab-tile (the Pallas
+    grid iterates over slab tiles; XLA pipelines the HBM copies);
+  * the per-lane density lookup is a ONE-HOT MATMUL: a (lanes, 3U) one-hot
+    of (axis, major-minor-u) against the slab's stacked (3U, V) planes
+    gives each lane its candidate minor row on the MXU, and a V-wide
+    masked reduction picks the (iv) entry — O(U·V) MACs per lane-substep
+    on the 100+ TFLOP/s unit instead of O(rows) VPU passes. (Measured:
+    Mosaic has no per-lane sublane gather — take_along_axis(axis=0) fails
+    to lower — so matmul one-hots are the only sub-O(rows) primitive;
+    tools/bench_sublane_gather.py.)
+  * radiation-field deposits are the transposed one-hot pair: contrib
+    enters an (3U, lanes) one-hot against a (lanes, V) one-hot — an exact
+    (axis,u,v)-plane scatter on the MXU, accumulated across lane programs
+    in a VMEM tile block;
+  * pass 1 emits the PER-SUBSTEP optical depths (nmax, 3, B); the
+    interaction point then resolves entirely in XLA (find the crossing
+    slab from the prefix table, re-derive the <=3 sub-segments of that one
+    slab per lane with vector math) — pass 2 needs no density access at
+    all, halving MXU work;
+  * f32 lookups run at HIGHEST precision (bf16x3 passes) so streamed
+    densities lose no precision vs the resident-table engine.
+
+Scope: UniformCartesianGrid beyond supports_sweep's ceiling, axes up to
+512, <=4 components. Cost scales with the minor-plane AREA per lane
+(U*V MACs/substep): ~16k at 128^3. The engine logs its choice; the
+per-packet cost makes 256^3 viable but not fast — see BASELINE.md
+roofline notes.
+
+Ref for the capability: SKIRT routinely runs 256^3 grids and 10^6-cell
+trees (SKIRT/core/TreeSpatialGrid.cpp:37-90); its per-crossing cost is
+pointer-chasing on CPU caches, ours is MXU broadcast work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import sweep as sw
+
+_BIG = 3e37
+
+
+class XLTables(NamedTuple):
+    """Streamed slab-plane tables + static geometry."""
+
+    rho: jax.Array        # (C, nmax, 3U, V) f32: per slab, the three
+    #                       axis-major minor planes stacked on the 3U rows
+    #                       (row = a*U + iu, col = iv), zero-padded
+    n: tuple              # (nx, ny, nz)
+    lo: tuple
+    h: tuple
+    nmax: int
+    U: int                # padded minor-u size (max over axes)
+    V: int                # padded minor-v size
+
+    @property
+    def ncomp(self) -> int:
+        return self.rho.shape[0]
+
+
+def supports_xl(grid, med) -> bool:
+    import os
+
+    from ..grids.cartesian import UniformCartesianGrid
+
+    if (jax.default_backend() not in ("tpu", "axon")
+            and os.environ.get("SKIRT9_TPU_FORCE_SWEEP") != "1"):
+        return False
+    if not isinstance(grid, UniformCartesianGrid):
+        return False
+    nx, ny, nz = grid.shape
+    if max(nx, ny, nz) > 512 or med.ncomp > 4:
+        return False
+    # below the resident-table engine's ceiling that engine is faster
+    if sw.supports_sweep(grid, med):
+        return False
+    return True
+
+
+def build_tables(grid, med) -> XLTables:
+    nx, ny, nz = grid.shape
+    n = (nx, ny, nz)
+    C = med.ncomp
+    nmax = max(n)
+    # u axis per layout: a=0->y, a=1->x, a=2->x; v: z, z, y — pad both to
+    # the max axis so the three planes stack into one uniform (3U, V) tile
+    U = max(n)
+    V = max(n)
+    tab = np.zeros((C, nmax, 3 * U, V), np.float32)
+    for c in range(C):
+        r3 = np.asarray(med.nd[:, c]).reshape(nx, ny, nz)
+        # a=0: slab=x, (u,v)=(y,z); a=1: slab=y,(x,z); a=2: slab=z,(x,y)
+        tab[c, :nx, 0 * U:0 * U + ny, :nz] = r3
+        tab[c, :ny, 1 * U:1 * U + nx, :nz] = r3.transpose(1, 0, 2)
+        tab[c, :nz, 2 * U:2 * U + nx, :ny] = r3.transpose(2, 0, 1)
+    lo = np.asarray(grid.lo, np.float64)
+    h = np.asarray(grid.h, np.float64)
+    return XLTables(
+        rho=jnp.asarray(tab),
+        n=n,
+        lo=(float(lo[0]), float(lo[1]), float(lo[2])),
+        h=(float(h[0]), float(h[1]), float(h[2])),
+        nmax=nmax, U=U, V=V,
+    )
+
+
+def _tile_size(tabs: XLTables, budget_mb: float = 4.0) -> int:
+    """Slabs per kernel tile: the larger of the rho tile (dtau pass) and
+    the accumulator+dtau_sub tile (deposit pass) stays within VMEM."""
+    per_slab = max(tabs.ncomp, 1) * 3 * tabs.U * tabs.V * 4
+    t = max(1, int(budget_mb * 2**20 / max(per_slab, 1)))
+    t = min(t, tabs.nmax)
+    while tabs.nmax % t:
+        t -= 1
+    return t
+
+
+# ------------------------------------------------------------------ kernels
+
+def _substeps(g, t, smin, smax):
+    """The <=3 sub-segments of slab t for every lane: returns per-substep
+    (ds, iu, iv, s_cur) with the same sub-DDA as transport/sweep.py."""
+    s_in, s_out = sw._slab_entry(g, t, smin, smax)
+    act = s_in < s_out
+    span = s_out - s_in
+    s_cur = s_in
+    iu, iv = sw._minor_idx(g, s_in + 1e-4 * span)
+    out = []
+    for _j in range(3):
+        su, sv = sw._minor_crossing(g, iu, iv)
+        s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
+        ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
+        out.append((ds, iu, iv, s_cur))
+        cross_u = su <= sv
+        iu = jnp.clip(iu + jnp.where(cross_u,
+                                     jnp.where(g["du"] > 0, 1, -1), 0),
+                      0, g["nu"] - 1)
+        iv = jnp.clip(iv + jnp.where(cross_u, 0,
+                                     jnp.where(g["dv"] > 0, 1, -1)),
+                      0, g["nv"] - 1)
+        s_cur = s_nxt
+    return out
+
+
+def _lookup_matmul(rho_slab, a, iu, iv, sig, C, U, V, lb):
+    """k(lane) = sum_c sigma_c * rho_c[a*U+iu, iv] via one-hot matmul +
+    V-masked reduction. rho_slab: (C, 3U, V) VMEM block."""
+    lbr = lb // 128
+    row = (a * U + iu).reshape(lb, 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (lb, 3 * U), 1)
+    A = jnp.where(sub == row, 1.0, 0.0)               # (lb, 3U)
+    vsub = jax.lax.broadcasted_iota(jnp.int32, (lb, V), 1)
+    vmask = vsub == iv.reshape(lb, 1)                  # (lb, V)
+    k = None
+    for c in range(C):
+        M = jax.lax.dot_general(A, rho_slab[c], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        val = jnp.sum(jnp.where(vmask, M, 0.0), axis=1)   # (lb,)
+        val = val.reshape(lbr, 128)
+        k = val * sig[c] if k is None else k + val * sig[c]
+    return k
+
+
+def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
+                    rho_ref, out_ref, *, n, lo, h, T, U, V, lb, C,
+                    want_sub, t0_mul):
+    tidx = pl.program_id(0)
+    a = grp_ref[...]
+    pos = (pos_ref[0], pos_ref[1], pos_ref[2])
+    dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
+    smin = smin_ref[...]
+    smax = smax_ref[...]
+    sig = tuple(sig_ref[c] for c in range(C))
+    g = sw._axis_geometry(a, pos, dirn, n, lo, h)
+    lbr = lb // 128
+
+    def slab(tl, _):
+        t = tidx * t0_mul + tl
+        steps = _substeps(g, t, smin, smax)
+        dtau_t = jnp.zeros((lbr, 128), jnp.float32)
+        for j, (ds, iu, iv, _s) in enumerate(steps):
+            k = _lookup_matmul(rho_ref[:, tl], a.reshape(lb),
+                               iu.reshape(lb), iv.reshape(lb), sig,
+                               C, U, V, lb)
+            dt = k * ds
+            if want_sub:
+                out_ref[tl, j] = dt
+            else:
+                dtau_t = dtau_t + dt
+        if not want_sub:
+            out_ref[tl] = dtau_t
+        return 0
+
+    jax.lax.fori_loop(0, T, slab, 0)
+
+
+def _xl_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
+                       dsub_ref, scale_ref, acc_ref, *, n, lo, h, T, U, V,
+                       lb, t0_mul, ppb):
+    tidx = pl.program_id(0)
+    gidx = pl.program_id(1)
+
+    @pl.when(gidx % ppb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a = grp_ref[...]
+    pos = (pos_ref[0], pos_ref[1], pos_ref[2])
+    dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
+    smin = smin_ref[...]
+    smax = smax_ref[...]
+    g = sw._axis_geometry(a, pos, dirn, n, lo, h)
+    af = a.reshape(lb)
+    vsub = jax.lax.broadcasted_iota(jnp.int32, (lb, V), 1)
+    usub = jax.lax.broadcasted_iota(jnp.int32, (3 * U, lb), 0)
+
+    def slab(tl, _):
+        t = tidx * t0_mul + tl
+        steps = _substeps(g, t, smin, smax)
+        scale = scale_ref[tl]          # L * exp(-tau_before_slab)
+        tau_loc = jnp.zeros_like(smin)
+        tile = None
+        for j, (ds, iu, iv, _s) in enumerate(steps):
+            dtau = dsub_ref[tl, j]
+            small = dtau < 1e-3
+            gfac = jnp.where(small, 1.0 - 0.5 * dtau,
+                             (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
+                             / jnp.maximum(dtau, 1e-37))
+            contrib = scale * jnp.exp(-tau_loc) * ds * gfac
+            row = (af * U + iu.reshape(lb)).reshape(1, lb)
+            A = jnp.where(usub == row, contrib.reshape(1, lb), 0.0)
+            Bm = jnp.where(vsub == iv.reshape(lb, 1), 1.0, 0.0)
+            prod = jax.lax.dot_general(A, Bm, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            tile = prod if tile is None else tile + prod
+            tau_loc = tau_loc + dtau
+        acc_ref[0, tl] += tile
+        return 0
+
+    jax.lax.fori_loop(0, T, slab, 0)
+
+
+# ------------------------------------------------------------------ wrappers
+
+def _lane_block(NB: int) -> int:
+    best = 8
+    for d in (8, 16):
+        if NB % d == 0:
+            best = d
+    return best * 128
+
+
+def sweep_dtau(tabs: XLTables, pos, dirn, sigma, active,
+               axis_hint: int | None = None, want_sub: bool = False):
+    """Per-slab (or per-substep) optical depth via streamed slab tiles.
+
+    Returns (nmax, B) when want_sub is False, else (nmax, 3, B)."""
+    pos3, dir3, grp, smin, smax, sig, NB = sw._prep(tabs, pos, dirn, sigma,
+                                                    active)
+    C = sig.shape[0]
+    if axis_hint is not None:
+        grp = jnp.full_like(grp, axis_hint)
+    lb = _lane_block(NB)
+    lbr = lb // 128
+    T = _tile_size(tabs)
+    NT = tabs.nmax // T
+    G = NB // lbr
+    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, T=T, U=tabs.U, V=tabs.V,
+                lb=lb, C=C, want_sub=want_sub, t0_mul=T)
+    kern = functools.partial(_xl_dtau_kernel, **meta)
+    lane = lambda t, g: (g, 0)
+    if want_sub:
+        out_spec = pl.BlockSpec((T, 3, lbr, 128), lambda t, g: (t, 0, g, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((tabs.nmax, 3, NB, 128),
+                                         jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((T, lbr, 128), lambda t, g: (t, g, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((tabs.nmax, NB, 128), jnp.float32)
+    out = pl.pallas_call(
+        kern,
+        grid=(NT, G),
+        in_specs=[
+            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, lbr, 128), lambda t, g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tabs.ncomp, T, 3 * tabs.U, tabs.V),
+                         lambda t, g: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=sw._interpret(),
+    )(pos3, dir3, grp, smin, smax, sig, tabs.rho)
+    if want_sub:
+        return out.reshape(tabs.nmax, 3, NB * 128)
+    return out.reshape(tabs.nmax, NB * 128)
+
+
+def sweep_deposit(tabs: XLTables, pos, dirn, active, dtau_sub, scale_slab,
+                  n_groups: int = 1):
+    """RF deposits from the recorded per-substep taus.
+
+    dtau_sub: (nmax, 3, B) from sweep_dtau(want_sub=True);
+    scale_slab: (nmax, B) = L_masked/sqrt-scaled * exp(-tau_before) in
+    geometric slab order. n_groups: contiguous bin-pure lane groups, each
+    accumulating its own plane set. Interaction resolution happens in XLA
+    (resolve_interaction). Returns (n_groups, ncells)."""
+    sigma = jnp.ones((pos.shape[0],), jnp.float32)
+    pos3, dir3, grp, smin, smax, _sig, NB = sw._prep(tabs, pos, dirn,
+                                                     sigma, active)
+    lb = _lane_block(NB)
+    lbr = lb // 128
+    T = _tile_size(tabs)
+    NT = tabs.nmax // T
+    G = NB // lbr
+    if G % n_groups:
+        raise ValueError(f"{G} lane programs not divisible into "
+                         f"{n_groups} bin groups")
+    ppb = G // n_groups
+    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, T=T, U=tabs.U, V=tabs.V,
+                lb=lb, t0_mul=T, ppb=ppb)
+    kern = functools.partial(_xl_deposit_kernel, **meta)
+    lane = lambda t, g: (g, 0)
+    dsub3 = dtau_sub.reshape(tabs.nmax, 3, NB, 128)
+    scale3 = scale_slab.reshape(tabs.nmax, NB, 128)
+    acc = pl.pallas_call(
+        kern,
+        grid=(NT, G),
+        in_specs=[
+            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 3, lbr, 128), lambda t, g: (t, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, lbr, 128), lambda t, g: (t, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, 3 * tabs.U, tabs.V),
+                               lambda t, g: (g // ppb, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups, tabs.nmax, 3 * tabs.U, tabs.V), jnp.float32),
+        interpret=sw._interpret(),
+    )(pos3, dir3, grp, smin, smax, dsub3, scale3)
+    # decode the (group, slab, axis*U, V) planes back to flat cells
+    nx, ny, nz = tabs.n
+    U, V = tabs.U, tabs.V
+    rf = acc[:, :nx, 0 * U:0 * U + ny, :nz]
+    rf = rf + acc[:, :ny, 1 * U:1 * U + nx, :nz].transpose(0, 2, 1, 3)
+    rf = rf + acc[:, :nz, 2 * U:2 * U + nx, :ny].transpose(0, 2, 3, 1)
+    return rf.reshape(n_groups, -1)
+
+
+def resolve_interaction(tabs: XLTables, pos, dirn, active, dtau_sub,
+                        tb_slab, tau_int):
+    """Exact interaction point/cell from the per-substep tau table, all in
+    XLA: locate the crossing slab via the ray-ordered prefix, then re-derive
+    that single slab's <=3 sub-segments with vector math (no density access
+    — the recorded dtau_sub supplies the opacities).
+
+    Returns (s_int, icell, found)."""
+    B = pos.shape[0]
+    nmax = tabs.nmax
+    grp = sw.dominant_axis(tabs, dirn)
+    dmaj = jnp.take_along_axis(dirn, grp[:, None], 1)[:, 0]
+    up = dmaj > 0
+    dtau_slab = jnp.sum(dtau_sub, axis=1)              # (nmax, B)
+    # ray-ordered slab index o -> geometric slab t
+    rel = tau_int[None, :] - tb_slab                    # (nmax, B) geometric
+    hit = (rel >= 0.0) & (rel < dtau_slab) & (dtau_slab > 0)
+    found = jnp.any(hit, axis=0) & active
+    t_hit = jnp.argmax(hit, axis=0).astype(jnp.int32)   # (B,)
+
+    take_t = lambda arr: jnp.take_along_axis(
+        arr, t_hit[None, :], axis=0)[0]
+    rel_t = take_t(rel)
+    d0 = jnp.take_along_axis(dtau_sub[:, 0], t_hit[None, :], axis=0)[0]
+    d1 = jnp.take_along_axis(dtau_sub[:, 1], t_hit[None, :], axis=0)[0]
+    d2 = jnp.take_along_axis(dtau_sub[:, 2], t_hit[None, :], axis=0)[0]
+    # substeps are recorded in GEOMETRIC order along the ray: the sub-DDA
+    # always walks in +s, so order is already ray order
+    lo = jnp.asarray(tabs.lo, jnp.float32)
+    hi = lo + jnp.asarray(tabs.n, jnp.float32) * jnp.asarray(tabs.h,
+                                                             jnp.float32)
+    tiny = jnp.abs(dirn) < 1e-30
+    inv = 1.0 / jnp.where(tiny, 1e-30, dirn)
+    t1 = (lo[None] - pos) * inv
+    t2 = (hi[None] - pos) * inv
+    smin = jnp.maximum(jnp.max(jnp.where(tiny, -_BIG,
+                                         jnp.minimum(t1, t2)), axis=-1),
+                       0.0)
+    smax = jnp.min(jnp.where(tiny, _BIG, jnp.maximum(t1, t2)), axis=-1)
+    smax = jnp.where(active & (smax > smin), smax, smin)
+    g = sw._axis_geometry(grp, (pos[:, 0], pos[:, 1], pos[:, 2]),
+                          (dirn[:, 0], dirn[:, 1], dirn[:, 2]),
+                          tabs.n, tabs.lo, tabs.h)
+    steps = _substeps(g, t_hit, smin, smax)
+    nx, ny, nz = tabs.n
+    t_stride = sw._sel3(grp, ny * nz, nz, 1)
+    u_stride = sw._sel3(grp, nz, ny * nz, ny * nz)
+    v_stride = sw._sel3(grp, 1, 1, nz)
+    cum = jnp.zeros_like(rel_t)
+    s_int = jnp.zeros_like(rel_t)
+    icell = jnp.full((B,), -1, jnp.int32)
+    got = jnp.zeros((B,), bool)
+    for j, (ds, iu, iv, s_cur) in enumerate(steps):
+        dj = (d0, d1, d2)[j]
+        here = (~got) & (rel_t >= cum) & (rel_t < cum + dj)
+        frac = (rel_t - cum) / jnp.maximum(dj, 1e-37)
+        s_int = jnp.where(here, s_cur + frac * ds, s_int)
+        cell = t_hit * t_stride + iu * u_stride + iv * v_stride
+        icell = jnp.where(here, cell, icell)
+        got = got | here
+        cum = cum + dj
+    found = found & got
+    return s_int, jnp.where(found, icell, -1), found

@@ -96,6 +96,22 @@ def from_si(qty: str, value: float, unit: str) -> float:
     return value / _UNITS[qty][unit]
 
 
+def si_unit(qty: str) -> str:
+    """The quantity's SI base unit name (conversion factor 1.0)."""
+    qty = _QUANTITY_ALIASES.get(qty, qty)
+    for unit, factor in _UNITS[qty].items():
+        if factor == 1.0:
+            return unit
+    raise ValueError(f"quantity '{qty}' has no SI base unit")
+
+
+def format_si(qty: str, value: float) -> str:
+    """Format an SI value as a ski-syntax literal that parses back to the
+    same float exactly (used when materializing defaults the loader
+    applied into the regenerated parameters.xml)."""
+    return f"{float(value)!r} {si_unit(qty)}"
+
+
 _VALUE_RE = re.compile(r"^\s*([-+0-9.eE]+)\s*([A-Za-z/0-9]*)\s*$")
 
 

@@ -76,7 +76,8 @@ def _run_decomposed(grid, med, source, inst, rfb, opts, N, n_dev=8, seed=0):
     run = dom.dd_segment(mesh, dec, grid, med, opts, (inst,), tabs, rfb,
                          source, stabs, N)
     history = jnp.arange(N, dtype=jnp.int32)
-    rf_sh, accs = run(jax.random.PRNGKey(seed), history, nd_sh, rf_sh, accs)
+    rf_sh, accs = run(jax.random.PRNGKey(seed), history, stabs,
+                      nd_sh, rf_sh, accs)
     return np.asarray(rf_sh, np.float64), jax.device_get(accs)
 
 
@@ -198,3 +199,78 @@ def test_meshed_cartesian_decomposition():
     sa = np.asarray(accs_a[0]["sed"], np.float64)
     sb = np.asarray(accs_b[0]["sed"], np.float64)
     assert np.abs(sb - sa).max() < 3e-3 * max(sa.max(), 1e-30)
+
+
+def test_dd_production_bench2_end_to_end():
+    """bench2.ski runs END TO END under spatial domain decomposition from
+    the public Simulation API (sim.dd=True): full dust-emission flow with
+    sharded nd/rf tables, matching the replicated engine draw for draw
+    (shared samplers; VERDICT r3 item 4)."""
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skirt9_tpu.config.ski import load_ski
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+
+    def build(dd):
+        sim = load_ski(os.path.join(G, "bench2.ski"), batch_size=2048,
+                       max_events=4, num_packets=2048)
+        sim.seed = 0
+        sim.max_iterations = 1
+        if dd:
+            sim.mesh = Mesh(np.array(jax.devices()[:8]), (sim.mesh_axis,))
+            sim.dd = True
+            sim._build_sweep_tables()
+        return sim
+
+    sim_dd = build(True)
+    rf_d, accs_d, info_d = sim_dd.run_with_dust_emission(verbose=False)
+    sim_rep = build(False)
+    rf_r, accs_r, info_r = sim_rep.run_with_dust_emission(verbose=False)
+    sed_d = np.asarray(accs_d[0]["sed"]).sum()
+    sed_r = np.asarray(accs_r[0]["sed"]).sum()
+    assert abs(sed_d / sed_r - 1) < 1e-4
+    assert abs(info_d["L_dust"] / info_r["L_dust"] - 1) < 1e-4
+    rd, rr = np.asarray(rf_d).ravel(), np.asarray(rf_r).ravel()
+    m = rr > 0.01 * rr.max()
+    np.testing.assert_allclose(rd[m], rr[m], rtol=1e-4)
+
+
+def test_dd_tree_grid_voxelized():
+    """Octree grids decompose EXACTLY through their fine voxel raster
+    (leaves are voxel unions): bench3 under DD matches replicated."""
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skirt9_tpu.config.ski import load_ski
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+
+    def build(dd):
+        sim = load_ski(os.path.join(G, "bench3.ski"), batch_size=2048,
+                       max_events=3, num_packets=2048)
+        sim.seed = 0
+        sim.max_iterations = 1
+        if dd:
+            sim.mesh = Mesh(np.array(jax.devices()[:8]), (sim.mesh_axis,))
+            sim.dd = True
+            sim._build_sweep_tables()
+        return sim
+
+    sim_dd = build(True)
+    rf_d, accs_d, info_d = sim_dd.run_with_dust_emission(verbose=False)
+    sim_rep = build(False)
+    rf_r, accs_r, info_r = sim_rep.run_with_dust_emission(verbose=False)
+    # the voxel march subdivides paths differently from the exact tree
+    # walk, so f32 taus differ in the last bits and a few packets diverge
+    # at termination edges — identical draws, slightly looser tolerance
+    assert abs(np.asarray(accs_d[0]["sed"]).sum()
+               / np.asarray(accs_r[0]["sed"]).sum() - 1) < 2e-3
+    rd, rr = np.asarray(rf_d).ravel(), np.asarray(rf_r).ravel()
+    m = rr > 0.01 * rr.max()
+    assert np.median(np.abs(rd[m] / rr[m] - 1.0)) < 1e-3

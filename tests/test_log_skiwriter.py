@@ -100,3 +100,53 @@ def test_builder_api_roundtrip(tmp_path):
     assert len(sim.sources) == 1 and len(sim.instruments) == 1
     _, accs = sim.run_primary(verbose=False)
     assert np.asarray(accs[0]["sed"]).sum() > 0
+
+
+def test_builder_derived_default_materialization(tmp_path):
+    """The loader materializes every default it consults back into the
+    regenerated parameters.xml (XmlHierarchyWriter contract), derived from
+    the builders themselves — and load->write->load is an identity on all
+    six benchmark skis."""
+    import os
+    import re
+    import shutil
+    import xml.etree.ElementTree as ET
+
+    from skirt9_tpu.config import skiwriter
+    from skirt9_tpu.config.ski import load_ski
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+    strip = lambda s: re.sub(r'time="[^"]*"', '', s)
+    for name in ("bench1", "bench1h", "bench2", "bench3", "bench4",
+                 "bench5"):
+        for aux in ("mrn_mean.txt", "bench4_stars.txt", "bench4_gas.txt",
+                    "bench4_ssp.stab"):
+            if not os.path.exists(tmp_path / aux):
+                shutil.copy(os.path.join(G, aux), tmp_path / aux)
+        shutil.copy(os.path.join(G, f"{name}.ski"), tmp_path / f"{name}.ski")
+        sim = load_ski(str(tmp_path / f"{name}.ski"), num_packets=256,
+                       batch_size=256, max_events=2)
+        out = skiwriter.regenerate(sim.ski_text)
+        p2 = tmp_path / f"{name}_regen.ski"
+        p2.write_text(out)
+        sim2 = load_ski(str(p2), num_packets=256, batch_size=256,
+                        max_events=2)
+        out2 = skiwriter.regenerate(sim2.ski_text)
+        assert strip(out) == strip(out2), name
+
+    # attribute-stripped ski: the loader's defaults reappear in the record
+    t = ET.parse(os.path.join(G, "bench1.ski"))
+    for el in t.iter("FullInstrument"):
+        for a in ("roll", "centerX", "radius", "recordStatistics"):
+            el.attrib.pop(a, None)
+    for el in t.iter("PhotonPacketOptions"):
+        el.attrib.pop("pathLengthBias", None)
+    p = tmp_path / "sparse.ski"
+    t.write(p)
+    sim = load_ski(str(p), num_packets=256, batch_size=256, max_events=2)
+    r = ET.fromstring(skiwriter.regenerate(sim.ski_text))
+    inst = next(iter(r.iter("FullInstrument")))
+    assert inst.attrib["roll"] == "0.0 rad"   # SI base unit formatting
+    assert inst.attrib["centerX"] == "0.0 m"
+    ppo = next(iter(r.iter("PhotonPacketOptions")))
+    assert ppo.attrib["pathLengthBias"] == "0.5"
