@@ -75,9 +75,33 @@ def _child(el, tag):
 
 # ------------------------------------------------------------------ geometry
 
-def build_geometry(el):
+# input-file base directory of the ski being loaded (set by load_ski) so
+# nested builders (geometry decorators etc.) resolve relative filenames
+# against the ski file's location like the reference's FilePaths
+_SKI_BASE_DIR = "."
+
+
+def build_geometry(el, base_dir: str | None = None):
     t = el.tag
     a = el.attrib
+    base_dir = base_dir or _SKI_BASE_DIR
+    if t in ("ReadFitsGeometry", "ReadFits3DGeometry"):
+        # observation-based geometries (ref: ReadFitsGeometry.hpp:14,
+        # ReadFits3DGeometry.hpp:14) through our own FITS reader
+        from ..geometries import fitsgeometry as fg
+        fn = a["filename"]
+        if not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
+        if t == "ReadFits3DGeometry":
+            return fg.ReadFits3DGeometry(
+                filename=fn, pixel_scale=_q(a, "pixelScale", "length"))
+        return fg.ReadFitsGeometry(
+            filename=fn, pixel_scale=_q(a, "pixelScale", "length"),
+            scale_height=_q(a, "scaleHeight", "length"),
+            position_angle=_q(a, "positionAngle", "angle", 0.0),
+            inclination=_q(a, "inclination", "angle", 0.0),
+            center_x=(_f(a, "centerX") if "centerX" in a else None),
+            center_y=(_f(a, "centerY") if "centerY" in a else None))
     if t == "PlummerGeometry":
         return ga.PlummerGeometry(b=_q(a, "scaleLength", "length"))
     if t == "GammaGeometry":
@@ -324,6 +348,21 @@ def build_source(el, lrange=None, base_dir: str = "."):
         return GeometricSource(geometry=geom,
                                luminosity=source_luminosity(el), sed=sed,
                                **_bias_kw())
+    if t == "FilePolarizedPointSource":
+        # (ref: FilePolarizedPointSource.hpp: tabulated Stokes components
+        # vs (wavelength, inclination cosine) about a symmetry axis)
+        from ..sources.filepolarized import FilePolarizedPointSource
+        fn = a["filename"]
+        if not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
+        pos = (_q(a, "positionX", "length", 0.0),
+               _q(a, "positionY", "length", 0.0),
+               _q(a, "positionZ", "length", 0.0))
+        axis = (_f(a, "symmetryX", 0.0), _f(a, "symmetryY", 0.0),
+                _f(a, "symmetryZ", 1.0))
+        return FilePolarizedPointSource(
+            filename=fn, luminosity=source_luminosity(el), position=pos,
+            symmetry_axis=axis)
     if t == "ParticleSource":
         return ("particle_source", el)  # resolved in load_ski (needs paths
         #                                 and the source wavelength range)
@@ -760,6 +799,19 @@ def build_grid(el, base_dir: str = "."):
         return make_cylinder3d(r_max, z_min, z_max, nr,
                                _mesh("meshAzimuthal", 16)[0], nz,
                                rb=rb, zb=zb)
+    if t in ("VoronoiMeshSpatialGrid", "TetraMeshSpatialGrid"):
+        # standalone unstructured grids: site policy + optional Lloyd
+        # relaxation resolve in load_ski (they need the medium geometry
+        # for density-sampled sites); ImportedMesh resolves through the
+        # VoronoiMeshMedium path (ref: VoronoiMeshSpatialGrid.hpp:26)
+        ext = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+               (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+               (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+        return ("voronoi", dict(
+            ext=ext, n=int(_f(a, "numSites", 500)),
+            policy=a.get("policy", "DustDensity"),
+            relax=a.get("relaxSites", "false") == "true",
+            kind="tetra" if t.startswith("Tetra") else "voronoi"))
     raise NotImplementedError(f"spatial grid '{t}' not supported yet")
 
 
@@ -958,6 +1010,8 @@ def load_ski(path: str, num_packets: int | None = None,
 def _load_ski(path: str, num_packets: int | None = None,
               batch_size: int = 16384, seed: int = 0,
               max_events: int = 64) -> Simulation:
+    global _SKI_BASE_DIR
+    _SKI_BASE_DIR = os.path.dirname(os.path.abspath(path))
     tree = ET.parse(path)
     with open(path, "r", encoding="utf-8") as f:
         ski_text = f.read()
@@ -1243,6 +1297,31 @@ def _load_ski(path: str, num_packets: int | None = None,
                                    min_level=spec["min_level"],
                                    max_fraction=max(
                                        spec["max_fraction"] or 1e-4, 1e-4))
+            elif isinstance(grid, tuple) and grid[0] == "voronoi":
+                # standalone Voronoi/tetra grids with density-sampled or
+                # uniform sites + optional Lloyd relaxation (ref:
+                # VoronoiMeshSpatialGrid.hpp:26 policies,
+                # VoronoiMeshSnapshot.cpp:609 relax)
+                from ..grids.voronoi import (build_voronoi, density_sites,
+                                             lloyd_relax)
+                spec = grid[1]
+                geom0 = components[0][0]
+                if spec["policy"] == "DustDensity" and geom0 is not None:
+                    sites = density_sites(geom0.density_np, spec["ext"],
+                                          spec["n"], seed=3)
+                else:   # Uniform / fallback
+                    rs_v = np.random.default_rng(3)
+                    lo_ = np.array([e[0] for e in spec["ext"]])
+                    hi_ = np.array([e[1] for e in spec["ext"]])
+                    sites = lo_ + rs_v.uniform(size=(spec["n"], 3)) \
+                        * (hi_ - lo_)
+                if spec["relax"]:
+                    sites = lloyd_relax(sites, spec["ext"])
+                if spec["kind"] == "tetra":
+                    from ..grids.tetra import build_tetra
+                    grid = build_tetra(sites, spec["ext"])
+                else:
+                    grid = build_voronoi(sites, spec["ext"])
             medium = gm.build_medium(grid, components)
         if velocity_fields:
             # per-cell aggregate bulk velocity: number-density-weighted
@@ -1457,6 +1536,11 @@ def _load_ski(path: str, num_packets: int | None = None,
     from ..utils.cosmology import from_ski as _cos_from_ski
     cos = _cos_from_ski(_child(mcs, "cosmology"))
     sim.cosmology = cos
+    # CMB dust heating (ref: DustEmissionOptions includeHeatingByCMB:
+    # equilibrium balance gains the CMB field at T = 2.725 (1+z) K)
+    if de_opts is not None and \
+            de_opts.attrib.get("includeHeatingByCMB", "false") == "true":
+        sim.cmb_temperature = 2.725 * (1.0 + cos.redshift)
     if cos.redshift > 0.0:
         import dataclasses as _dc2
         sim.instruments = [

@@ -98,12 +98,33 @@ def absorbed_power(med: MediumTables, tabs: EmissionTables,
     return (rf64 @ sab.T) * (rf_scale / v)[:, None]
 
 
-def equilibrium_temperature(tabs: EmissionTables, p_abs) -> np.ndarray:
+def cmb_heating_power(tabs: EmissionTables, T_cmb: float) -> np.ndarray:
+    """Per-entity absorbed CMB power (H,) [W]: by Kirchhoff's law this is
+    exactly P_em evaluated at the CMB temperature (ref:
+    EquilibriumDustEmissionCalculator.hpp:55 includeHeatingByCMB —
+    the equilibrium balance gains a 4 pi int sigma_abs B(lam, T_cmb) term).
+    """
+    if not T_cmb or T_cmb <= 0:
+        return np.zeros(np.asarray(tabs.P_em).shape[0])
+    P = np.asarray(tabs.P_em, np.float64)
+    lT = np.log(np.asarray(tabs.T_grid, np.float64))
+    out = np.empty(P.shape[0])
+    for h in range(P.shape[0]):
+        out[h] = np.exp(np.interp(np.log(T_cmb), lT,
+                                  np.log(np.maximum(P[h], 1e-300))))
+    return out
+
+
+def equilibrium_temperature(tabs: EmissionTables, p_abs,
+                            p_cmb=None) -> np.ndarray:
     """Invert P_em(T) per component: p_abs (ncells, H) -> T (ncells, H).
 
-    Log-log interpolation on the precomputed table (monotone in T); host f64.
+    Log-log interpolation on the precomputed table (monotone in T); host
+    f64. p_cmb (H,) adds the CMB heating term to the balance.
     """
     p = np.asarray(p_abs, np.float64)
+    if p_cmb is not None:
+        p = p + np.asarray(p_cmb, np.float64)[None, :]
     P = np.asarray(tabs.P_em, np.float64)
     lT = np.log(np.asarray(tabs.T_grid, np.float64))
     out = np.empty_like(p)
@@ -144,7 +165,7 @@ def _absorbed_scaled(rf, sab, nd):
 
 
 def emission_state_device(med: MediumTables, tabs: EmissionTables, rf,
-                          volumes, rf_scale: float):
+                          volumes, rf_scale: float, p_cmb=None):
     """Device-side per-cell emission state: (L_cell [W], T [K], eps).
 
     The host round trip of the round-2 pipeline (pull rf -> numpy solve ->
@@ -165,6 +186,12 @@ def emission_state_device(med: MediumTables, tabs: EmissionTables, rf,
                         jnp.float32)
     log_pabs = (jnp.log(jnp.maximum(a, 1e-30)) + np.log(rf_scale)
                 - log_v[:, None])
+    if p_cmb is not None and np.any(np.asarray(p_cmb) > 0):
+        # CMB heating joins the balance in log space (logaddexp keeps the
+        # rf_scale reparameterization exact)
+        log_cmb = jnp.asarray(np.log(np.maximum(np.asarray(p_cmb),
+                                                1e-300)), jnp.float32)
+        log_pabs = jnp.logaddexp(log_pabs, log_cmb[None, :])
     lT = jnp.log(tabs.T_grid)
     Ts = []
     for h in range(tabs.P_em.shape[0]):

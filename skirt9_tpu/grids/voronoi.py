@@ -219,6 +219,33 @@ def build_voronoi(sites: np.ndarray, extent, lookup_res: int = 32,
     )
 
 
+def lloyd_relax(sites: np.ndarray, extent, n_iter: int = 10,
+                samples: int = 500_000, seed: int = 17) -> np.ndarray:
+    """Lloyd (centroidal) relaxation of the site set: repeatedly replace
+    each site by its cell's centroid, estimated with a shared Monte-Carlo
+    sample through a KD nearest-site query (ref:
+    VoronoiMeshSnapshot.cpp:609 relax option — the reference iterates
+    Voro++ centroid computation; same fixed point, different estimator).
+    Empty cells keep their site."""
+    from scipy.spatial import cKDTree
+
+    sites = np.array(sites, np.float64, copy=True)
+    n = len(sites)
+    lo = np.array([extent[a][0] for a in range(3)], np.float64)
+    hi = np.array([extent[a][1] for a in range(3)], np.float64)
+    rs = np.random.default_rng(seed)
+    pts = lo + rs.uniform(size=(samples, 3)) * (hi - lo)
+    for _ in range(n_iter):
+        kdt = cKDTree(sites)
+        _, owner = kdt.query(pts)
+        cnt = np.bincount(owner, minlength=n)
+        cen = np.stack([np.bincount(owner, weights=pts[:, a], minlength=n)
+                        for a in range(3)], axis=-1)
+        ok = cnt > 0
+        sites[ok] = cen[ok] / cnt[ok, None]
+    return sites
+
+
 def exact_volumes(sites: np.ndarray, neighbors: np.ndarray,
                   lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Exact box-clipped Voronoi cell volumes.

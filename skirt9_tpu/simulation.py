@@ -138,6 +138,14 @@ class Simulation:
     # per-cell custom medium-state variables (ref: MediumState custom
     # variables; CustomStateProbe): name -> (ncells,) or (ncells, K)
     custom_state: dict = dataclasses.field(default_factory=dict)
+    # CMB heating temperature [K]; 0 = off. Set from
+    # includeHeatingByCMB + the cosmology's redshift: 2.725 (1+z)
+    # (ref: DustEmissionOptions.hpp includeHeatingByCMB)
+    cmb_temperature: float = 0.0
+    # radiation-field checkpointing between emission iterations: path of a
+    # .npz holding (rf_prim, rf_seco, iteration); an interrupted
+    # run_with_dust_emission resumes from it (SURVEY §5 checkpoint/resume)
+    checkpoint_path: str | None = None
 
     def __post_init__(self):
         # normalize instrument statistics accumulation by the mean packet
@@ -850,23 +858,37 @@ class Simulation:
         if self.iterate_secondary and self.include_primary:
             return self.run_merged_iterations(verbose=verbose)
         t_all = time.perf_counter()
-        rf_prim, accs = self.run_primary(verbose=verbose)
+        resume = self._load_checkpoint()
         med = self.medium
         vols = self.grid.volumes()
         etabs = self._emission_tables()
-        L_prim_abs = eq.total_absorbed_device(med, etabs, rf_prim,
-                                              self.rf_scale)
+        if resume is None:
+            rf_prim, accs = self.run_primary(verbose=verbose)
+            L_prim_abs = eq.total_absorbed_device(med, etabs, rf_prim,
+                                                  self.rf_scale)
+            rf_total = rf_prim
+            L_abs_prev = 0.0
+            iterations = 0
+            self._save_checkpoint(rf_prim, rf_total, accs, 0.0,
+                                  L_prim_abs, 0)
+        else:
+            rf_prim, rf_total, accs, L_abs_prev, L_prim_abs, iterations = \
+                resume
+            if verbose:
+                from .utils.log import default as _log
+                _log().info(f"resumed from checkpoint: "
+                            f"{iterations} iterations already done")
 
         n2 = int(self.num_packets * self.secondary_packets_multiplier)
         opts2 = dataclasses.replace(self.options, primary=False)
         opts2_nopeel = dataclasses.replace(opts2, peel_off=False)
 
         seed_key = jax.random.PRNGKey(self.seed + 1)
-        rf_total = rf_prim
-        L_abs_prev = 0.0
-        iterations = 0
         # --- self-absorption iterations (no peel-off) ---------------------
-        for it in range(self.max_iterations if self.iterate_secondary else 0):
+        start_it = iterations
+        for it in range(start_it,
+                        self.max_iterations if self.iterate_secondary
+                        else 0):
             src2 = self._make_secondary(etabs, rf_total)
             if src2.luminosity <= 0:
                 break
@@ -881,6 +903,8 @@ class Simulation:
                                              self.rf_scale)
             iterations += 1
             self._fire_probes("Secondary", rf=rf_total, it=iterations)
+            self._save_checkpoint(rf_prim, rf_total, accs, L_abs,
+                                  L_prim_abs, iterations)
             if verbose:
                 from .utils.log import default as _log
                 _log().info(f"dust self-absorption iter {it+1}: "
@@ -906,6 +930,7 @@ class Simulation:
                 n2, jax.random.fold_in(seed_key, 777), None, accs,
                 seg_key=("seco-final",))
         self._block(rf_total, accs, phase="dust emission")
+        self._clear_checkpoint()
         if verbose:
             dt = time.perf_counter() - t_all
             from .utils.log import default as _log
@@ -1049,15 +1074,65 @@ class Simulation:
                 np.asarray(self.ems_borders))
         return self._etabs_cache
 
+    # ------------------------------------------------------- checkpointing
+
+    def _save_checkpoint(self, rf_prim, rf_total, accs, L_abs_prev,
+                         L_prim_abs, iterations):
+        """Persist the inter-segment emission state (SURVEY §5
+        checkpoint/resume; the reference offers no mid-run resume — a
+        killed SKIRT job restarts from zero)."""
+        if not self.checkpoint_path:
+            return
+        import os
+        flat, treedef = jax.tree_util.tree_flatten(accs)
+        payload = {f"acc{i}": np.asarray(a) for i, a in enumerate(flat)}
+        tmp = self.checkpoint_path + ".tmp.npz"
+        np.savez(tmp,
+                 rf_prim=np.asarray(rf_prim), rf_total=np.asarray(rf_total),
+                 L_abs_prev=float(L_abs_prev),
+                 L_prim_abs=float(L_prim_abs), it=int(iterations),
+                 seed=int(self.seed), n_acc=len(flat), **payload)
+        os.replace(tmp, self.checkpoint_path)     # atomic swap
+
+    def _load_checkpoint(self):
+        import os
+        p = self.checkpoint_path
+        if not p or not os.path.exists(p):
+            return None
+        d = np.load(p, allow_pickle=False)
+        if int(d["seed"]) != int(self.seed):
+            from .utils.log import default as _log
+            _log().warning("checkpoint seed differs from the run seed; "
+                           "ignoring the checkpoint")
+            return None
+        accs0 = [_inst_accumulators(c) for c in self.instruments]
+        flat, treedef = jax.tree_util.tree_flatten(accs0)
+        flat = [jnp.asarray(d[f"acc{i}"]) for i in range(int(d["n_acc"]))]
+        accs = jax.tree_util.tree_unflatten(treedef, flat)
+        return (jnp.asarray(d["rf_prim"]), jnp.asarray(d["rf_total"]),
+                accs, float(d["L_abs_prev"]), float(d["L_prim_abs"]),
+                int(d["it"]))
+
+    def _clear_checkpoint(self):
+        import os
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            os.remove(self.checkpoint_path)
+
     def _make_secondary(self, etabs, rf):
         med = self.medium
         vols = self.grid.volumes()
+        # CMB heating joins the equilibrium balance when configured
+        # (ref: DustEmissionOptions includeHeatingByCMB,
+        # EquilibriumDustEmissionCalculator.hpp:55)
+        p_cmb = (eq.cmb_heating_power(etabs, self.cmb_temperature)
+                 if self.cmb_temperature > 0 else None)
         if (self.dust_emission_type != "Stochastic"
                 and self.cell_library is None):
             # fast path: the whole emission state stays on device (the
             # host round trip was ~1s/iteration over the remote link)
             L_cell, T, eps = eq.emission_state_device(med, etabs, rf, vols,
-                                                      self.rf_scale)
+                                                      self.rf_scale,
+                                                      p_cmb=p_cmb)
             if getattr(self, "_bounds_dev", None) is None:
                 lo, hi = sec.cell_bounds(self.grid)
                 self._bounds_dev = (jnp.asarray(lo, jnp.float32),
@@ -1097,7 +1172,7 @@ class Simulation:
                 L_cell = np.where(np.asarray(T).sum(axis=1) > 0, L_cell, 0.0)
             else:
                 p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
-                T = eq.equilibrium_temperature(etabs, p_abs)
+                T = eq.equilibrium_temperature(etabs, p_abs, p_cmb=p_cmb)
             eps = eq.cell_emission_spectra(med, etabs, T)
         return sec.prepare(self.grid, L_cell, eps,
                            np.asarray(self.ems_borders), self.spatial_bias)

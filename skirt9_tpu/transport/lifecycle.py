@@ -634,6 +634,12 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         iso = 1.0 / (4.0 * jnp.pi)
         if emission_phase is None:
             per_sr = lambda kobs: pkt.lum * iso
+        elif getattr(emission_phase, "wants_lam",
+                     getattr(getattr(emission_phase, "__self__", None),
+                             "wants_lam", False)):
+            # wavelength-dependent angular tables (FilePolarizedPointSource)
+            per_sr = lambda kobs: pkt.lum * emission_phase(kobs, pkt.pos,
+                                                           pkt.lam)
         else:
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs, pkt.pos)
         lam_march0 = pkt.lam if opts.kinematics else None
@@ -645,7 +651,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             def emis_stokes_fn(kobs, tab):
                 B = pkt.lam.shape[0]
                 ko = jnp.broadcast_to(kobs, (B, 3))
-                st, pn = emission_polarization.stokes_for(ko)
+                if getattr(emission_polarization, "wants_lam", False):
+                    st, pn = emission_polarization.stokes_for(ko, pkt.lam)
+                else:
+                    st, pn = emission_polarization.stokes_for(ko)
                 north = tab["ey"] - jnp.sum(tab["ey"] * kobs) * kobs
                 north = north / jnp.maximum(jnp.linalg.norm(north), 1e-30)
                 n_det = jnp.cross(kobs, north)

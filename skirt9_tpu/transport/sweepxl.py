@@ -24,8 +24,9 @@ the scale-out redesign:
     slab from the prefix table, re-derive the <=3 sub-segments of that one
     slab per lane with vector math) — pass 2 needs no density access at
     all, halving MXU work;
-  * f32 lookups run at HIGHEST precision (bf16x3 passes) so streamed
-    densities lose no precision vs the resident-table engine.
+  * f32 lookups run at HIGHEST dot precision (Mosaic supports only
+    DEFAULT/HIGHEST; DEFAULT's bf16 rounding would bias densities 0.4%)
+    so streamed densities lose no precision vs the resident-table engine.
 
 Scope: UniformCartesianGrid beyond supports_sweep's ceiling, axes up to
 512, <=4 components. Cost scales with the minor-plane AREA per lane
@@ -159,19 +160,24 @@ def _substeps(g, t, smin, smax):
 def _lookup_matmul(rho_slab, a, iu, iv, sig, C, U, V, lb):
     """k(lane) = sum_c sigma_c * rho_c[a*U+iu, iv] via one-hot matmul +
     V-masked reduction. rho_slab: (C, 3U, V) VMEM block."""
+    # transposed formulation: lanes stay on the LAST (128-tiled) axis
+    # throughout — Mosaic rejects (lanes, 1) reshapes but accepts
+    # (1, lanes) and the (1, lb) -> (lbr, 128) merge (measured,
+    # tools/bench_sublane_gather.py bisection)
     lbr = lb // 128
-    row = (a * U + iu).reshape(lb, 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (lb, 3 * U), 1)
-    A = jnp.where(sub == row, 1.0, 0.0)               # (lb, 3U)
-    vsub = jax.lax.broadcasted_iota(jnp.int32, (lb, V), 1)
-    vmask = vsub == iv.reshape(lb, 1)                  # (lb, V)
+    rowf = (a * U + iu).reshape(1, lb)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (3 * U, lb), 0)
+    AT = jnp.where(sub == rowf, 1.0, 0.0)              # (3U, lb)
+    vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
+    vmask = vsub == iv.reshape(1, lb)                  # (V, lb)
     k = None
     for c in range(C):
-        M = jax.lax.dot_general(A, rho_slab[c], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-        val = jnp.sum(jnp.where(vmask, M, 0.0), axis=1)   # (lb,)
-        val = val.reshape(lbr, 128)
+        MT = jax.lax.dot_general(rho_slab[c], AT,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        val = jnp.sum(jnp.where(vmask, MT, 0.0), axis=0,
+                      keepdims=True).reshape(lbr, 128)
         k = val * sig[c] if k is None else k + val * sig[c]
     return k
 
@@ -194,8 +200,7 @@ def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
         steps = _substeps(g, t, smin, smax)
         dtau_t = jnp.zeros((lbr, 128), jnp.float32)
         for j, (ds, iu, iv, _s) in enumerate(steps):
-            k = _lookup_matmul(rho_ref[:, tl], a.reshape(lb),
-                               iu.reshape(lb), iv.reshape(lb), sig,
+            k = _lookup_matmul(rho_ref[:, tl], a, iu, iv, sig,
                                C, U, V, lb)
             dt = k * ds
             if want_sub:
@@ -225,8 +230,7 @@ def _xl_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
     smin = smin_ref[...]
     smax = smax_ref[...]
     g = sw._axis_geometry(a, pos, dirn, n, lo, h)
-    af = a.reshape(lb)
-    vsub = jax.lax.broadcasted_iota(jnp.int32, (lb, V), 1)
+    vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
     usub = jax.lax.broadcasted_iota(jnp.int32, (3 * U, lb), 0)
 
     def slab(tl, _):
@@ -242,10 +246,10 @@ def _xl_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
                              (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
                              / jnp.maximum(dtau, 1e-37))
             contrib = scale * jnp.exp(-tau_loc) * ds * gfac
-            row = (af * U + iu.reshape(lb)).reshape(1, lb)
+            row = (a * U + iu).reshape(1, lb)
             A = jnp.where(usub == row, contrib.reshape(1, lb), 0.0)
-            Bm = jnp.where(vsub == iv.reshape(lb, 1), 1.0, 0.0)
-            prod = jax.lax.dot_general(A, Bm, (((1,), (0,)), ((), ())),
+            BmT = jnp.where(vsub == iv.reshape(1, lb), 1.0, 0.0)
+            prod = jax.lax.dot_general(A, BmT, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
             tile = prod if tile is None else tile + prod
             tau_loc = tau_loc + dtau

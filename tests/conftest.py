@@ -26,3 +26,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------- slow marks
+# The reference-parity / production / kernel-interpret modules dominate the
+# ~40-minute full suite. They carry the `slow` marker so the inner loop is
+#   python -m pytest tests/ -m "not slow"     (~5-8 minutes)
+# while `python -m pytest tests/` (the CI / driver run) is unchanged.
+_SLOW_MODULES = {
+    "test_reference_parity", "test_frame_parity", "test_parallel_production",
+    "test_raster", "test_mlsweep", "test_sweep", "test_domain",
+    "test_sweepxl", "test_octree", "test_refill", "test_stratified",
+    "test_physics_tail", "test_parallel",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: reference-parity / production / kernel-interpret "
+        "tests (>=1 min); deselect with -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(_pytest.mark.slow)
