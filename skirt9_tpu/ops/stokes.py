@@ -143,20 +143,33 @@ def rotate_normal_into_plane(k: jax.Array, normal: jax.Array,
     return jnp.where(ok, phi, 0.0), pn
 
 
+def _take_comp(tab, h, i):
+    """tab[h, i] per lane WITHOUT the (B, T) row gather: XLA lowers row
+    gathers to the serialized ~7 ns/element path (measured — this one call
+    made the polarized peel-off 8x slower than the whole transport); the
+    dense compare-reduce take over the small theta table is VPU work."""
+    from . import sampling
+    H = tab.shape[0]
+    out = sampling.take_small(tab[0], i)
+    for c in range(1, H):
+        out = jnp.where(h == c, sampling.take_small(tab[c], i), out)
+    return out
+
+
 def mueller_at(tabs: MuellerTables, h: jax.Array, costheta: jax.Array):
     """Interpolate (S11,S12,S33,S34) at cos(theta) for component h (B,)."""
+    from . import sampling
     th = jnp.arccos(jnp.clip(costheta, -1.0, 1.0))
     tgrid = tabs.theta
+    i = jnp.clip(sampling.searchsorted_right(tgrid, th) - 1,
+                 0, tgrid.shape[0] - 2)
+    t0 = sampling.take_small(tgrid, i)
+    t1 = sampling.take_small(tgrid, i + 1)
+    f = jnp.where(t1 > t0, (th - t0) / jnp.maximum(t1 - t0, 1e-30), 0.0)
 
     def interp(tab):
-        rows = tab[h]                                    # (B, T)
-        i = jnp.clip(jnp.searchsorted(tgrid, th, side="right") - 1,
-                     0, tgrid.shape[0] - 2)
-        t0 = tgrid[i]
-        t1 = tgrid[i + 1]
-        f = jnp.where(t1 > t0, (th - t0) / jnp.maximum(t1 - t0, 1e-30), 0.0)
-        v0 = jnp.take_along_axis(rows, i[:, None], axis=1)[:, 0]
-        v1 = jnp.take_along_axis(rows, (i + 1)[:, None], axis=1)[:, 0]
+        v0 = _take_comp(tab, h, i)
+        v1 = _take_comp(tab, h, i + 1)
         return v0 + f * (v1 - v0)
 
     return interp(tabs.S11), interp(tabs.S12), interp(tabs.S33), interp(tabs.S34)
@@ -164,14 +177,22 @@ def mueller_at(tabs: MuellerTables, h: jax.Array, costheta: jax.Array):
 
 def sample_costheta(tabs: MuellerTables, h: jax.Array, u: jax.Array) -> jax.Array:
     """Sample cos(theta) from the S11-weighted marginal for component h."""
-    cdf_rows = tabs.ct_cdf[h]                            # (B, T)
-    li = jnp.sum((cdf_rows < u[:, None]).astype(jnp.int32), axis=1)
-    li = jnp.clip(li, 1, cdf_rows.shape[1] - 1)
-    c0 = jnp.take_along_axis(cdf_rows, (li - 1)[:, None], axis=1)[:, 0]
-    c1 = jnp.take_along_axis(cdf_rows, li[:, None], axis=1)[:, 0]
+    from . import sampling
+    H = tabs.ct_cdf.shape[0]
+
+    def li_for(c):
+        return jnp.sum((tabs.ct_cdf[c][None, :] < u[:, None])
+                       .astype(jnp.int32), axis=1)
+
+    li = li_for(0)
+    for c in range(1, H):
+        li = jnp.where(h == c, li_for(c), li)
+    li = jnp.clip(li, 1, tabs.ct_cdf.shape[1] - 1)
+    c0 = _take_comp(tabs.ct_cdf, h, li - 1)
+    c1 = _take_comp(tabs.ct_cdf, h, li)
     f = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.5)
-    x0 = tabs.ct_grid[li - 1]
-    x1 = tabs.ct_grid[li]
+    x0 = sampling.take_small(tabs.ct_grid, li - 1)
+    x1 = sampling.take_small(tabs.ct_grid, li)
     return jnp.clip(x0 + f * (x1 - x0), -1.0, 1.0)
 
 
