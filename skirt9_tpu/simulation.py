@@ -499,18 +499,32 @@ class Simulation:
             B = max(1, round(B / (D * 1024 * R_g))) * D * 1024 * R_g
             stabs = dict(stabs)
             stabs["strata"] = jnp.asarray(borders, jnp.float32)
-            # per-stratum valid-lane counts over ALL batches: last-batch
-            # history padding (history >= hist_base + n_packets -> lum 0)
-            # can starve whole strata, which would skew the stratified
-            # estimator (it assumes equal valid lanes per stratum); correct
-            # each stratum's weight by (N_total/R)/n_valid_r
+            # history->lane INTERLEAVING across strata: lanes carry their
+            # stratum by POSITION, and validity follows the history index
+            # (history >= hist_base + n_packets -> lum 0). With the naive
+            # contiguous assignment a partial last batch fills only the
+            # FIRST strata and the rest go entirely unsampled — their
+            # wavelength range would be silently MISSING from the result
+            # (observed: a 512-packet panchromatic run on the sweep engine
+            # lost 6000x of its flux). Histories are pure RNG indices, so
+            # any bijection is statistically valid: lane l in stratum s
+            # takes history base + lane_in_stratum * R + s, spreading any
+            # partial range evenly over the strata.
             nb_ = -(-n_packets // B)
             Bd = B // D
-            lane_strata = ((np.arange(B, dtype=np.int64) % Bd) * R_g) // Bd
+            lanes_np = np.arange(B, dtype=np.int64)
+            dev_np = lanes_np // Bd
+            li_np = lanes_np % Bd
+            s_np = (li_np * R_g) // Bd
+            lis_np = li_np - s_np * (Bd // R_g)
+            hist_perm = dev_np * Bd + lis_np * R_g + s_np   # bijection on B
+            self._hist_perm = jnp.asarray(hist_perm, jnp.int32)
+            # per-stratum valid-lane counts over ALL batches for the
+            # (N_total/R)/n_valid_r stratified-estimator correction
             n_valid = np.zeros(R_g, np.int64)
             for b_ in range(nb_):
-                valid = (b_ * B + np.arange(B)) < n_packets
-                n_valid += np.bincount(lane_strata[valid], minlength=R_g)
+                valid = (b_ * B + hist_perm) < n_packets
+                n_valid += np.bincount(s_np[valid], minlength=R_g)
             corr = np.where(n_valid > 0,
                             (n_packets / R_g) / np.maximum(n_valid, 1), 0.0)
             stabs["strata_w"] = jnp.asarray(corr, jnp.float32)
@@ -537,7 +551,9 @@ class Simulation:
             prf = None if rf is None else dz(rf)
             paccs = jax.tree.map(dz, accs)
             for b in range(nb):
-                history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
+                hp = (self._hist_perm if strata is not None
+                      else jnp.arange(B, dtype=jnp.int32))
+                history = hist_base + b * B + hp
                 prf, paccs = run(n_packets, float(lum_weight), seed_key,
                                  history, hist_end, stabs, prf, paccs)
                 _log().progress(min((b + 1) * B, n_packets), n_packets)
@@ -546,7 +562,9 @@ class Simulation:
             accs = jax.tree.map(lambda a, p: a + p.sum(axis=0), accs, paccs)
             return rf, accs
         for b in range(nb):
-            history = hist_base + b * B + jnp.arange(B, dtype=jnp.int32)
+            hp = (self._hist_perm if strata is not None
+                  else jnp.arange(B, dtype=jnp.int32))
+            history = hist_base + b * B + hp
             rf, accs = run(n_packets, float(lum_weight), seed_key, history,
                            hist_end, stabs, rf, accs)
             # five-second heartbeat (ref: Log.hpp:89-103 infoIfElapsed)

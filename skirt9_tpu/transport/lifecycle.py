@@ -727,13 +727,20 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                    else jnp.zeros_like(active))
         if use_sweep:
             sig_ev = opt_ev.sigma_ext.T if lam_changing else sigma_lanes
-            dtau_sub = None
+            dtau_sub = enc_sub = None
             if is_xl:
                 # the XL engine records per-substep taus so the deposit
                 # pass needs no density access and the interaction point
                 # resolves in XLA (transport/sweepxl.py)
                 dtau_sub = _xl.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
                                           sig_ev, active, want_sub=True)
+                dtau_slab = jnp.sum(dtau_sub, axis=1)
+            elif is_ml:
+                # pass 1 records per-substep taus + deposit encodings so
+                # the deposit pass skips the level-stack select loop
+                dtau_sub, enc_sub = _ml.sweep_dtau(
+                    sweep_tabs, pkt.pos, pkt.dir, sig_ev, active,
+                    want_sub=True)
                 dtau_slab = jnp.sum(dtau_sub, axis=1)
             else:
                 dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
@@ -770,9 +777,9 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             lum_half = (pkt.lum * rf_mask) * inv_sqrt
             if is_ml:
                 rf_delta, s_int, icell, found = _ml.sweep_deposit(
-                    sweep_tabs, pkt.pos, pkt.dir, sig_ev, active,
-                    lum_half, tau_int, tb_slab, inv_sqrt,
-                    n_groups=n_groups)
+                    sweep_tabs, pkt.pos, pkt.dir, active,
+                    dtau_sub, enc_sub, lum_half, tau_int, tb_slab,
+                    inv_sqrt, n_groups=n_groups)
             elif is_xl:
                 if use_rf:
                     scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \

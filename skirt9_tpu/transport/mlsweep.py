@@ -436,9 +436,10 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
 
 def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
                     *refs, n, lo, h, nmax, lb, C, levels, nlev,
-                    axes=(0, 1, 2)):
+                    axes=(0, 1, 2), want_sub=False):
     rho_refs = refs[:3 * nlev]
     out_ref = refs[3 * nlev]
+    enc_ref = refs[3 * nlev + 1] if want_sub else None
     a = grp_ref[...]
     pos = (pos_ref[0], pos_ref[1], pos_ref[2])
     dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
@@ -458,10 +459,18 @@ def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             su, sv = sw._minor_crossing(g, iu, iv)
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
-            k, _, _, _ = _stack_lookup(levels, rho_refs, sig, C,
-                                       a, t, iu, iv, want_enc=False,
-                                       nfine=nmax, axes=axes)
-            dtau = dtau + k * ds
+            k, er, ec, leaf = _stack_lookup(levels, rho_refs, sig, C,
+                                            a, t, iu, iv,
+                                            want_enc=want_sub,
+                                            nfine=nmax, axes=axes)
+            if want_sub:
+                # per-substep record: the deposit pass re-reads these and
+                # skips the level-stack select loop entirely (its cost
+                # driver) — packed (enc_row*512 + enc_col*2 + leaf)
+                out_ref[t, _j] = k * ds
+                enc_ref[t, _j] = er * 512 + ec * 2 + leaf.astype(jnp.int32)
+            else:
+                dtau = dtau + k * ds
             cross_u = su <= sv
             iu = jnp.clip(iu + jnp.where(cross_u,
                                          jnp.where(g["du"] > 0, 1, -1), 0),
@@ -470,18 +479,21 @@ def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
                                          jnp.where(g["dv"] > 0, 1, -1)),
                           0, g["nv"] - 1)
             s_cur = s_nxt
-        out_ref[t] = dtau
+        if not want_sub:
+            out_ref[t] = dtau
         return 0
 
     jax.lax.fori_loop(0, nmax, slab, 0)
 
 
 def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
-                       sig_ref, tb_ref, lum_ref, ti_ref, *refs,
-                       n, lo, h, nmax, lb, C, levels, nlev, enc, ppb,
-                       inv2, T):
-    rho_refs = refs[:3 * nlev]
-    acc_ref, sint_ref, found_ref = refs[3 * nlev:3 * nlev + 3]
+                       dsub_ref, encc_ref, tb_ref, lum_ref, ti_ref,
+                       acc_ref, sint_ref, found_ref, *,
+                       n, lo, h, nmax, lb, enc, ppb, inv2, T):
+    """Deposits + interaction from PASS-1's per-substep record: no level
+    tables, no select loop — only the sub-DDA geometry recompute (VPU) and
+    the one-hot deposit matmuls (MXU). dsub/encc come from
+    _ml_dtau_kernel(want_sub=True)."""
     tidx = pl.program_id(0)
     gidx = pl.program_id(1)
 
@@ -494,7 +506,6 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
     dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
     smin = smin_ref[...]
     smax = smax_ref[...]
-    sig = tuple(sig_ref[c] for c in range(C))
     g = sw._axis_geometry(a, pos, dirn, n, lo, h)
 
     # per-(tile, lane-block) candidates: the crossing slab is unique per
@@ -510,8 +521,6 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
         s_cur = s_in
         iu, iv = sw._minor_idx(g, s_in + 1e-4 * span)
         tb = tb_ref[tl]
-        # scale/rel computed in-kernel from the tau prefix: one slab-sized
-        # input instead of two (VMEM)
         scale = (lum_ref[...] * jnp.exp(-tb)) * inv2
         rel = ti_ref[...] - tb
         tau_loc = jnp.zeros_like(s_in)
@@ -519,10 +528,11 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
             su, sv = sw._minor_crossing(g, iu, iv)
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
-            k, er, ec, leaf_any = _stack_lookup(
-                levels, rho_refs, sig, C, a, t, iu, iv,
-                want_enc=True, nfine=nmax)
-            dtau = k * ds
+            dtau = dsub_ref[tl, _j]
+            code = encc_ref[tl, _j]
+            leaf_any = (code & 1).astype(jnp.float32)
+            ec = (code >> 1) & 255
+            er = code >> 9
             small = dtau < 1e-3
             gfac = jnp.where(small, 1.0 - 0.5 * dtau,
                              (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
@@ -563,11 +573,14 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
 # ------------------------------------------------------------------ wrappers
 
 def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
-               axis_hint: int | None = None):
+               axis_hint: int | None = None, want_sub: bool = False):
     """Per-fine-slab optical depth (nmax, B) through the level stack.
 
     axis_hint: statically known shared dominant axis (observer marches)
-    — one slab layout instead of three in the select loop."""
+    — one slab layout instead of three in the select loop.
+    want_sub: also record PER-SUBSTEP taus and packed deposit encodings so
+    the deposit pass can skip the select loop; returns
+    (dtau_sub (nmax, 3, B), enc (nmax, 3, B) int32) instead."""
     pos3, dir3, grp, smin, smax, sig, NB = sw._prep(tabs, pos, dirn, sigma,
                                                     active)
     C = sig.shape[0]
@@ -575,16 +588,37 @@ def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
     if axis_hint is not None:
         grp = jnp.full_like(grp, axis_hint)
     lb = _lane_block(NB)
+    if want_sub and tabs.nmax * 3 * (lb // 128) * 128 * 8 > 7 * 2**20:
+        # two full-nmax per-substep output blocks stay VMEM-resident:
+        # shrink the lane block for deep trees
+        lb = _lane_block(NB, cap=8)
     lbr = lb // 128
     nlev = len(tabs.levels)
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=tabs.nmax, lb=lb, C=C,
-                levels=tabs.levels, nlev=nlev, axes=axes)
+                levels=tabs.levels, nlev=nlev, axes=axes,
+                want_sub=want_sub)
     kern = functools.partial(_ml_dtau_kernel, **meta)
     G = NB // lbr
     lane = lambda g: (g, 0)
     tab_specs = [pl.BlockSpec(r.shape, lambda g: (0,) * r.ndim,
                               memory_space=pltpu.VMEM)
                  for r in tabs.rho]
+    if want_sub:
+        out_specs = (
+            pl.BlockSpec((tabs.nmax, 3, lbr, 128), lambda g: (0, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tabs.nmax, 3, lbr, 128), lambda g: (0, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((tabs.nmax, 3, NB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((tabs.nmax, 3, NB, 128), jnp.int32),
+        )
+    else:
+        out_specs = pl.BlockSpec((tabs.nmax, lbr, 128),
+                                 lambda g: (0, g, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((tabs.nmax, NB, 128), jnp.float32)
     out = pl.pallas_call(
         kern,
         grid=(G,),
@@ -599,19 +633,24 @@ def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
             pl.BlockSpec((C, lbr, 128), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
         ] + tab_specs,
-        out_specs=pl.BlockSpec((tabs.nmax, lbr, 128), lambda g: (0, g, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tabs.nmax, NB, 128), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=sw._interpret(),
     )(pos3, dir3, grp, smin, smax, sig, *tabs.rho)
+    if want_sub:
+        return (out[0].reshape(tabs.nmax, 3, NB * 128),
+                out[1].reshape(tabs.nmax, 3, NB * 128))
     return out.reshape(tabs.nmax, NB * 128)
 
 
-def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
-                  lum_pre, tau_int, tb_slab, inv2: float,
-                  n_groups: int = 1):
-    """Pass 2: RF deposits (per-level planes) + interaction resolution.
+def sweep_deposit(tabs: MLTables, pos, dirn, active,
+                  dtau_sub, enc_sub, lum_pre, tau_int, tb_slab,
+                  inv2: float, n_groups: int = 1):
+    """Pass 2: RF deposits (per-level planes) + interaction resolution,
+    consuming PASS-1's per-substep record (sweep_dtau want_sub=True) so no
+    level-table access — and therefore no select loop — happens here.
 
+    dtau_sub/enc_sub (nmax, 3, B): per-substep taus + packed encodings;
     lum_pre (B,): masked luminosity pre-scaled by 1/sqrt(rf_scale);
     tau_int (B,): sampled interaction optical depth; tb_slab (nmax, B):
     ray-ordered tau prefix per fine slab; inv2: the second 1/sqrt(rf_scale)
@@ -620,9 +659,9 @@ def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
     Returns (rf_delta: tuple per level (n_groups, nvox_l), s_int (B,),
     icell (B,), found (B,) bool).
     """
-    pos3, dir3, grp, smin, smax, sig, NB = sw._prep(tabs, pos, dirn, sigma,
-                                                    active)
-    C = sig.shape[0]
+    sigma = jnp.ones((pos.shape[0],), jnp.float32)
+    pos3, dir3, grp, smin, smax, _sig, NB = sw._prep(tabs, pos, dirn,
+                                                     sigma, active)
     lb = _lane_block(NB, n_groups)
     lbr = lb // 128
     nmax = tabs.nmax
@@ -640,17 +679,15 @@ def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
     while nmax % T:
         T -= 1
     NT = nmax // T
-    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=nmax, lb=lb, C=C,
-                levels=tabs.levels, nlev=nlev, enc=tabs.enc, ppb=ppb,
-                inv2=float(inv2), T=T)
+    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=nmax, lb=lb,
+                enc=tabs.enc, ppb=ppb, inv2=float(inv2), T=T)
     kern = functools.partial(_ml_deposit_kernel, **meta)
     tb3 = tb_slab.reshape(nmax, NB, 128)
     lum3 = lum_pre.astype(jnp.float32).reshape(NB, 128)
     ti3 = tau_int.astype(jnp.float32).reshape(NB, 128)
+    dsub3 = dtau_sub.reshape(nmax, 3, NB, 128)
+    enc3 = enc_sub.reshape(nmax, 3, NB, 128)
     lane = lambda t, g: (g, 0)
-    tab_specs = [pl.BlockSpec(r.shape, lambda t, g: (0,) * r.ndim,
-                              memory_space=pltpu.VMEM)
-                 for r in tabs.rho]
     acc, s_int_t, found_t = pl.pallas_call(
         kern,
         grid=(NT, G),
@@ -662,13 +699,15 @@ def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, lbr, 128), lambda t, g: (0, g, 0),
+            pl.BlockSpec((T, 3, lbr, 128), lambda t, g: (t, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 3, lbr, 128), lambda t, g: (t, 0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, lbr, 128), lambda t, g: (t, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-        ] + tab_specs,
+        ],
         out_specs=(
             pl.BlockSpec((1, T, tabs.enc, 128),
                          lambda t, g: (g // ppb, t, 0, 0),
@@ -685,7 +724,7 @@ def sweep_deposit(tabs: MLTables, pos, dirn, sigma, active,
             jax.ShapeDtypeStruct((NT, NB, 128), jnp.int32),
         ),
         interpret=sw._interpret(),
-    )(pos3, dir3, grp, smin, smax, sig, tb3, lum3, ti3, *tabs.rho)
+    )(pos3, dir3, grp, smin, smax, dsub3, enc3, tb3, lum3, ti3)
 
     B = NB * 128
     s_int = jnp.max(s_int_t, axis=0).reshape(B)

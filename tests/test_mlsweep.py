@@ -126,8 +126,12 @@ def test_deposit_and_interaction_match_scan():
                                np.asarray(tau_path_ref)[np.asarray(active)],
                                rtol=2e-4, atol=1e-5)
     lum_pre = jnp.where(active, 1.0, 0.0)
+    dtau_sub, enc_sub = ml.sweep_dtau(tabs, pos, dirn, opt.sigma_ext.T,
+                                      active, want_sub=True)
+    np.testing.assert_allclose(np.asarray(jnp.sum(dtau_sub, axis=1)),
+                               np.asarray(dtau_slab), rtol=1e-5, atol=0)
     deltas, s_int, icell, found = ml.sweep_deposit(
-        tabs, pos, dirn, opt.sigma_ext.T, active, lum_pre, tau_int,
+        tabs, pos, dirn, active, dtau_sub, enc_sub, lum_pre, tau_int,
         tb_slab, 1.0)
     rf_state = ml.init_rf(tabs, 1)
     rf_state = tuple(r + d for r, d in zip(rf_state, deltas))

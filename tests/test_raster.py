@@ -120,8 +120,11 @@ def test_raster_deposit_conserves_and_resolves(vsetup):
     tb_slab, tau_path = sw.slab_prefix(dtau_slab, dmaj > 0)
     tau_int = 0.6 * tau_path
     lum = jnp.ones((B,), jnp.float32)
+    dtau_sub, enc_sub = ml.sweep_dtau(tabs, pos, d, sig_lane, active,
+                                      want_sub=True)
     rf_delta, s_int, icell, found = ml.sweep_deposit(
-        tabs, pos, d, sig_lane, active, lum * active, tau_int, tb_slab, 1.0)
+        tabs, pos, d, active, dtau_sub, enc_sub, lum * active, tau_int,
+        tb_slab, 1.0)
     # opacity-weighted deposit sum telescopes to sum of L(1-e^-tau): each
     # segment contributes L e^-tau_in (1 - e^-dtau) regardless of density
     rf_cells = ml.finalize_rf(tabs, tuple(r for r in rf_delta),

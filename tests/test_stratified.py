@@ -195,3 +195,36 @@ def test_secondary_stratified_launch():
         Lp = lum_p[m_p].sum()
         if Lp > 1e-3 * lum_p.sum():
             assert abs(Ls / Lp - 1.0) < 0.15, (r, Ls, Lp)
+
+
+def test_partial_batch_starves_no_stratum(tmp_path):
+    """A run whose packet count is far below the strata-rounded batch must
+    still sample EVERY wavelength stratum: histories interleave across the
+    bin-pure lane groups, so a partial batch cannot silently drop most of
+    the spectrum (regression: a 512-packet panchromatic sweep run lost
+    6000x of its flux to unsampled strata)."""
+    import os
+
+    import numpy as np
+
+    from skirt9_tpu.config.ski import load_ski
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+
+    def run(force):
+        if force:
+            os.environ["SKIRT9_TPU_FORCE_SWEEP"] = "1"
+        try:
+            sim = load_ski(os.path.join(G, "bench2.ski"), batch_size=256,
+                           max_events=4, num_packets=512)
+            sim.seed = 0
+            sim.max_iterations = 1
+            rf, accs, info = sim.run_with_dust_emission(verbose=False)
+        finally:
+            os.environ.pop("SKIRT9_TPU_FORCE_SWEEP", None)
+        return float(np.asarray(accs[0]["sed"]).sum()), info["L_dust"]
+
+    sed_sweep, L_sweep = run(True)
+    sed_march, L_march = run(False)
+    assert abs(sed_sweep / sed_march - 1) < 0.5      # MC noise at 512 pk
+    assert abs(L_sweep / L_march - 1) < 0.5
