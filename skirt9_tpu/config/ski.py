@@ -271,6 +271,18 @@ def build_sed(el) -> TabulatedSED:
         # SKIRT text columns default to wavelength in micron
         # (ref: TextInFile default units for FileSED)
         return sedlib.from_file(a["filename"], lam_unit=1e-6)
+    if t == "LyaGaussianSED":
+        return sedlib.lya_gaussian(_q(a, "dispersion", "velocity", 50e3))
+    if t == "LyaDoublePeakedSED":
+        return sedlib.lya_double_peaked(_q(a, "scale", "velocity", 50e3))
+    if t == "ListLineSED":
+        lams = U.parse_list("wavelength", a["wavelengths"])
+        lums = U.parse_list("bolluminosity", a["luminosities"])
+        return sedlib.lines(lams, lums)
+    if t == "FileLineSED":
+        # two columns: wavelength [micron], luminosity [W]
+        d = np.loadtxt(a["filename"], ndmin=2)
+        return sedlib.lines(d[:, 0] * 1e-6, d[:, 1])
     from ..spectral import named as _named
     if t in _named.NAMED_SEDS:
         # resource-backed stellar population SEDs (ref: SED.hpp:49 family;
@@ -312,7 +324,8 @@ def build_source(el, lrange=None, base_dir: str = "."):
             # the built-in log-uniform fallback — skip the build. With an
             # explicit range it must be honored (the reference intersects
             # it with the source range, RangeWavelengthDistribution).
-            if (wb_el.tag != "LogWavelengthDistribution"
+            if (wb_el.tag not in ("LogWavelengthDistribution",
+                                  "DefaultWavelengthDistribution")
                     or "minWavelength" in wb_el.attrib):
                 from ..spectral import wdists
                 kw["bias_dist"] = wdists.from_ski(wb_el, lrange, base_dir)
@@ -383,6 +396,9 @@ def build_particle_source(el, base_dir: str, lam_range):
     import_v = el.attrib.get("importVelocity", "false") == "true"
     fam_el = _child(el, "sedFamily")
     ft = fam_el.tag if fam_el is not None else "BlackBodySEDFamily"
+    kern_el = _child(el, "smoothingKernel")
+    kernel_kind = (kern_el.tag if kern_el is not None
+                   else "CubicSplineSmoothingKernel")
 
     cols = [("x", "length", "pc"), ("y", "length", "pc"),
             ("z", "length", "pc"), ("h", "length", "pc")]
@@ -473,7 +489,8 @@ def build_particle_source(el, base_dir: str, lam_range):
 
     tabs = sf.FamilyTables(fam, lam_range=lam_range)
     return snap.FamilyParticleSource(snapshot=ps, family_tables=tabs,
-                                     scales=scales, params=params)
+                                     scales=scales, params=params,
+                                     kernel_kind=kernel_kind)
 
 
 # --------------------------------------------------------------------- mixes
@@ -491,6 +508,13 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                             [ssca / sext, ssca / sext], [g, g])
     if t == "MeanIvezicBenchmarkDustMix":
         return mx.mean_ivezic_benchmark()
+    if t in ("MeanPascucciBenchmarkDustMix", "MeanPinteBenchmarkDustMix",
+             "MeanTrustBenchmarkDustMix"):
+        # resource-backed mean benchmark mixes (ref: SingleGrainDustMix
+        # stored tables lambda(m) -> sigmaabs/sigmasca/g); requires the
+        # resource pack on SKIRT9_TPU_RESOURCES
+        return mx.mean_from_resource(
+            t.replace("DustMix", "OpticalProps"))
     if t == "MeanInterstellarDustMix":
         return mx.mean_interstellar_approx()
     if t == "ElectronMix":
@@ -592,11 +616,30 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                 a = sd_el.attrib if sd_el is not None else {}
                 amin = _q(a, "minSize", "grainsize") if "minSize" in a else 5e-9
                 amax = _q(a, "maxSize", "grainsize") if "maxSize" in a else 250e-9
-                if sd_el is not None and "LogNormal" in sd_el.tag:
+                if sd_el is not None and "ZubkoSilicate" in sd_el.tag:
+                    sd = gr.zubko_silicate_sizes()
+                elif sd_el is not None and "ZubkoGraphite" in sd_el.tag:
+                    sd = gr.zubko_graphite_sizes()
+                elif sd_el is not None and "ZubkoPAH" in sd_el.tag:
+                    sd = gr.zubko_pah_sizes()
+                elif sd_el is not None and "SingleGrainSize" in sd_el.tag:
+                    sd = gr.single_size(_q(a, "size", "grainsize")
+                                        if "size" in a else 100e-9)
+                elif sd_el is not None and "Hirashita" in sd_el.tag:
+                    sd = gr.hirashita_log_normal_sizes()
+                elif sd_el is not None and "ModifiedLogNormal" in sd_el.tag:
+                    sd = gr.modified_log_normal_sizes(
+                        amin, amax,
+                        _q(a, "centroid", "grainsize")
+                        if "centroid" in a else 100e-9,
+                        _f(a, "width", 0.4))
+                elif sd_el is not None and "LogNormal" in sd_el.tag:
                     sd = gr.log_normal_sizes(amin, amax,
                                              _q(a, "centroid", "grainsize")
                                              if "centroid" in a else 100e-9,
                                              _f(a, "width", 0.4))
+                elif sd_el is not None and "ModifiedPowerLaw" in sd_el.tag:
+                    sd = gr.modified_power_law_sizes(amin, amax)
                 else:
                     # ref stores a positive exponent: dn/da ~ a^-exponent
                     # (PowerLawGrainSizeDistribution, default 3.5)
@@ -831,7 +874,33 @@ def build_wavelength_grid(el) -> np.ndarray:
     if t == "ListWavelengthGrid":
         lams = U.parse_list("wavelength", a["wavelengths"])
         return wl.oligo_borders(lams)
+    if t == "LogBorderWavelengthGrid":
+        # borders themselves log-spaced (ref: LogBorderWavelengthGrid)
+        return np.geomspace(_q(a, "minWavelength", "wavelength"),
+                            _q(a, "maxWavelength", "wavelength"),
+                            int(_f(a, "numWavelengthBins", 25)) + 1)
+    if t == "ResolutionBorderWavelengthGrid":
+        # constant spectral resolution R = lam/dlam
+        # (ref: ResolutionBorderWavelengthGrid)
+        lo = _q(a, "minWavelength", "wavelength")
+        hi = _q(a, "maxWavelength", "wavelength")
+        R = _f(a, "resolution", 10.0)
+        borders = [lo]
+        while borders[-1] < hi:
+            borders.append(borders[-1] * (1.0 + 1.0 / R))
+        return np.asarray(borders)
+    if t == "CompositeWavelengthGrid":
+        # union of child grids' borders (ref: CompositeWavelengthGrid)
+        kids = _child_list(el, "wavelengthGrids")
+        bs = np.concatenate([np.asarray(build_wavelength_grid(k))
+                             for k in kids])
+        return np.unique(bs)
     raise NotImplementedError(f"wavelength grid '{t}' not supported yet")
+
+
+def _child_list(el, tag):
+    c = el.find(tag)
+    return list(c) if c is not None else []
 
 
 def build_band_grid(el, base_dir: str = "."):
@@ -1595,6 +1664,7 @@ def _load_ski(path: str, num_packets: int | None = None,
         "ImportedSourceMetallicityProbe": ("importedsource", "Setup"),
         "ImportedSourceVelocityProbe": ("importedsource", "Setup"),
         "IntegratedSecondaryLineLuminosityProbe": ("linelums", "Run"),
+        "SecondaryLineLuminosityProbe": ("linelums", "Run"),
         "InstrumentTimeGridProbe": ("instrtimegrid", "Setup"),
     }
     _IMPORTED_WHICH = {

@@ -92,6 +92,16 @@ def from_ski(el, base_dir: str = ".", default_bins: int = 16) -> np.ndarray:
         return sym_pow_mesh(n, float(a.get("ratio", 1.0)))
     if t == "LogMesh":
         return log_mesh(n, float(a.get("centralBinFraction", 1e-3)))
+    if t == "SymLogMesh":
+        # symmetric log mesh: a central bin of width centralBinFraction
+        # with log-refined bins approaching it from both sides
+        # (ref: SymLogMesh.cpp)
+        h = max(n // 2, 1)
+        cf = float(a.get("centralBinFraction", 1e-3))
+        d = np.geomspace(1.0, max(cf, 1e-12), h)       # 1 -> cf
+        half = np.concatenate([[0.0], 0.5 * (1.0 - d)])
+        b = np.concatenate([half, 1.0 - half[::-1]])
+        return np.unique(b)
     if t == "SymCosMesh":
         # symmetric cosine mesh: bins compressed at center and edges
         # (ref: SymCosMesh — borders at (1 - cos(pi t))/2 over each half)

@@ -432,6 +432,9 @@ class FamilyParticleSource:
     family_tables: object      # spectral.sedfamily.FamilyTables
     scales: np.ndarray         # (N,) linear scale param (Minit/area/L)
     params: np.ndarray         # (N,P) family parameters per entity
+    # smoothing-kernel family member for the launch positions
+    # (ref: ParticleSource smoothingKernel property)
+    kernel_kind: str = "CubicSplineSmoothingKernel"
 
     @property
     def emits_with_velocity(self) -> bool:
@@ -456,7 +459,7 @@ class FamilyParticleSource:
         L = ft.entity_luminosities(self.scales, self.params)
         cdf = np.cumsum(L) / max(L.sum(), 1e-300)
         cidx, ccdf, cw, ratio = ft.corner_tables(self.params)
-        return {
+        out = {
             "cdf": jnp.asarray(cdf, jnp.float32),
             "pos": jnp.asarray(self.snapshot.positions, jnp.float32),
             "h": jnp.asarray(self.snapshot.h, jnp.float32),
@@ -469,6 +472,10 @@ class FamilyParticleSource:
                              else np.zeros_like(self.snapshot.positions),
                              jnp.float32),
         }
+        if self.kernel_kind != "CubicSplineSmoothingKernel":
+            kq, kc = kernel_tables(self.kernel_kind)
+            out["kq"], out["kc"] = kq, kc
+        return out
 
     def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
         B = keys.shape[0]
@@ -476,7 +483,10 @@ class FamilyParticleSource:
         p = jnp.clip(jnp.searchsorted(tabs["cdf"], u_sel, side="right"),
                      0, tabs["cdf"].shape[0] - 1).astype(jnp.int32)
         u_r = rng.uniform(keys, rng.LAUNCH_POSITION)
-        q = sample_kernel_radius(u_r)
+        if "kq" in tabs:
+            q = sampling.sample_cdf_linlin(u_r, tabs["kq"], tabs["kc"])
+        else:
+            q = sample_kernel_radius(u_r)
         dirn_r = rng.isotropic_direction(keys, rng.LAUNCH_POSITION + 60)
         pos = tabs["pos"][p] + (q * tabs["h"][p])[..., None] * dirn_r
         dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
@@ -515,3 +525,33 @@ def read_column_file(path: str, columns: list[tuple[str, str, str]]):
         factor = U.to_si(qty, 1.0, unit) if unit else 1.0
         out[name] = data[:, i] * factor
     return out
+
+
+def kernel_tables(kind: str = "CubicSplineSmoothingKernel"):
+    """(q, cum) radius-sampling tables for the smoothing-kernel family
+    (ref: CubicSpline/QuarticSpline/Uniform/ScaledGaussian SmoothingKernel).
+    The quartic spline is the standard M5 B-spline with support scaled to
+    1 (knots at q = 0.2, 0.6); the scaled Gaussian uses the published
+    support-scaled dispersion sigma = 0.29214."""
+    q = np.linspace(0.0, 1.0, 512)
+    if "Uniform" in kind:
+        w = np.ones_like(q)
+    elif "Quartic" in kind:
+        s = 2.5 * q
+        w = np.where(s < 0.5,
+                     (2.5 - s) ** 4 - 5 * (1.5 - s) ** 4
+                     + 10 * (0.5 - s) ** 4,
+                     np.where(s < 1.5,
+                              (2.5 - s) ** 4 - 5 * (1.5 - s) ** 4,
+                              (2.5 - s) ** 4))
+    elif "Gaussian" in kind:
+        sigma = 0.29214381374061638716
+        w = np.exp(-0.5 * (q / sigma) ** 2)
+    else:  # cubic spline default
+        w = np.where(q < 0.5, 1 - 6 * q**2 + 6 * q**3,
+                     2 * (1 - q) ** 3)
+    pdf = np.maximum(q * q * w, 0.0)
+    cum = np.concatenate([[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1])
+                                           * np.diff(q))])
+    cum /= max(cum[-1], 1e-300)
+    return (jnp.asarray(q, jnp.float32), jnp.asarray(cum, jnp.float32))

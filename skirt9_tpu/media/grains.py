@@ -279,6 +279,29 @@ NAMED_COMPOSITIONS = {
     "TrustGraphiteGrainComposition":
         ("TrustGraphiteOpticalProps", "TrustGraphiteEnthalpies",
          2240.0, 12.0),
+    "TrustNeutralPAHGrainComposition":
+        ("TrustBenchmarkNeutralPAHOpticalProps",
+         "TrustBenchmarkGraphiteEnthalpies", 2240.0, 12.0),
+    # laboratory mineral species (DustEM aSil calorimetry like the
+    # reference; ref: BegemannPorousAluminaGrainComposition.cpp:32-42 et al)
+    "BegemannPorousAluminaGrainComposition":
+        ("BegemannPorousAluminaOpticalProps", "DustEM_aSil_Enthalpies",
+         3970.0, 102.0 / 5.0),
+    "CrystalEnstatiteGrainComposition":
+        ("MinEnstatiteOpticalProps", "DustEM_aSil_Enthalpies",
+         2800.0, 100.0 / 5.0),
+    "CrystalForsteriteGrainComposition":
+        ("MinForsteriteOpticalProps", "DustEM_aSil_Enthalpies",
+         3330.0, 140.0 / 7.0),
+    "DorschnerOlivineGrainComposition":
+        ("DorschnerOlivineOpticalProps", "DustEM_aSil_Enthalpies",
+         3710.0, 172.0 / 7.0),
+    "HofmeisterPericlaseGrainComposition":
+        ("HofmeisterPericlaseOpticalProps", "DustEM_aSil_Enthalpies",
+         3580.0, 40.0 / 2.0),
+    "MinSilicateGrainComposition":
+        ("MinSilicateOpticalProps", "DustEM_aSil_Enthalpies",
+         3200.0, 172.0 / 7.0),
 }
 
 _AMU = 1.6605e-27

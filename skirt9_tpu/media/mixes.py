@@ -128,6 +128,23 @@ def electron_mix(n: int = 8) -> MixTables:
                      mu=c.ELECTRON_MASS)
 
 
+def mean_from_resource(resource_name: str) -> MixTables:
+    """Mean (single-grain) dust mix from a stored-table resource with axis
+    lambda(m) and quantities sigmaabs/sigmasca/g (ref:
+    SingleGrainDustMix.cpp:16-21 — the Mean*BenchmarkDustMix family)."""
+    from ..utils.filepaths import find_resource
+    from ..utils.storedtable import read_stored_table
+
+    tab = read_stored_table(find_resource(resource_name + ".stab"))
+    lam = np.asarray(tab.axes_points[0], np.float64)
+    sabs = np.asarray(tab.quantity("sigmaabs"), np.float64).reshape(-1)
+    ssca = np.asarray(tab.quantity("sigmasca"), np.float64).reshape(-1)
+    gg = np.asarray(tab.quantity("g"), np.float64).reshape(-1)
+    sext = np.maximum(sabs + ssca, 1e-300)
+    return MixTables(lam=lam, sigma_ext=sext, albedo=ssca / sext, g=gg,
+                     mu=1.67e-27)
+
+
 def tabulated(lam, sigma_ext, albedo, g, mu: float = 0.0) -> MixTables:
     """(ref: TabulatedDustMix / MeanListDustMix)"""
     return MixTables(lam=np.asarray(lam, np.float64),

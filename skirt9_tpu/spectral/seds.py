@@ -98,3 +98,47 @@ def normalized(sed: TabulatedSED, luminosity: float,
     (ref: IntegratedLuminosityNormalization)."""
     tot = integrate(sed, lam_min, lam_max)
     return TabulatedSED(lam=sed.lam, s=np.asarray(sed.s) * (luminosity / tot))
+
+
+LAM_LYA = 1215.67e-10   # Lyman-alpha center [m] (ref: Constants::lambdaLya)
+_C = 2.99792458e8
+
+
+def lya_gaussian(dispersion: float, n: int = 1200) -> TabulatedSED:
+    """Gaussian Lyman-alpha line in velocity space with dispersion s [m/s]
+    (ref: LyaGaussianSED/LyaGaussianSEDFamily: unit spectrum
+    exp(-v^2/2s^2)/sqrt(2 pi)/s over v = (lam-lam_a)/lam_a c)."""
+    v = np.linspace(-6.0, 6.0, n) * dispersion
+    lam = LAM_LYA * (1.0 + v / _C)
+    s = np.exp(-0.5 * (v / dispersion) ** 2)
+    return TabulatedSED(lam=lam, s=s)
+
+
+def lya_double_peaked(scale: float, n: int = 1200) -> TabulatedSED:
+    """Double-peaked Lyman-alpha profile with velocity scale s [m/s]
+    (ref: LyaDoublePeakedSED/Family: 1.5 x^2 / (1 + cosh(x^3)),
+    x = v/s — the two peaks of resonant escape)."""
+    v = np.linspace(-3.0, 3.0, n) * scale
+    x = v / scale
+    s = 1.5 * x * x / (1.0 + np.cosh(x ** 3))
+    lam = LAM_LYA * (1.0 + v / _C)
+    return TabulatedSED(lam=lam, s=np.maximum(s, 1e-300))
+
+
+def lines(lams, lums, width_frac: float = 1e-5) -> TabulatedSED:
+    """Discrete emission lines as very narrow top-hats on the tabulated
+    machinery (ref: LineSED/ListLineSED/FileLineSED: delta lines with
+    given luminosities; detection bins are far wider than width_frac so
+    the discretization is invisible)."""
+    lams = np.asarray(lams, np.float64)
+    lums = np.asarray(lums, np.float64)
+    order = np.argsort(lams)
+    lams, lums = lams[order], lums[order]
+    grid = []
+    vals = []
+    for lam0, L in zip(lams, lums):
+        w = lam0 * width_frac
+        grid += [lam0 - 0.6 * w, lam0 - 0.5 * w, lam0 + 0.5 * w,
+                 lam0 + 0.6 * w]
+        vals += [0.0, L / w, L / w, 0.0]
+    return TabulatedSED(lam=np.asarray(grid), s=np.asarray(vals))

@@ -776,10 +776,24 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             inv_sqrt = 1.0 / float(np.sqrt(opts.rf_scale))
             lum_half = (pkt.lum * rf_mask) * inv_sqrt
             if is_ml:
-                rf_delta, s_int, icell, found = _ml.sweep_deposit(
-                    sweep_tabs, pkt.pos, pkt.dir, active,
-                    dtau_sub, enc_sub, lum_half, tau_int, tb_slab,
-                    inv_sqrt, n_groups=n_groups)
+                if use_rf:
+                    rf_delta, s_int, icell, found = _ml.sweep_deposit(
+                        sweep_tabs, pkt.pos, pkt.dir, active,
+                        dtau_sub, enc_sub, lum_half, tau_int, tb_slab,
+                        inv_sqrt, n_groups=n_groups)
+                else:
+                    # no stored RF (e.g. the final peel-off secondary
+                    # segment): skip the deposit kernel — the interaction
+                    # resolves in XLA from the per-substep record, and the
+                    # cell comes from the fine leaf map
+                    rf_delta = None
+                    s_int, _icv, found = _xl.resolve_interaction(
+                        sweep_tabs, pkt.pos, pkt.dir, active_int,
+                        dtau_sub, tb_slab, tau_int)
+                    ip_tmp = pkt.pos + s_int[:, None] * pkt.dir
+                    icell = jnp.where(found,
+                                      _ml.locate_cells(sweep_tabs, ip_tmp),
+                                      -1)
             elif is_xl:
                 if use_rf:
                     scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
