@@ -1141,6 +1141,7 @@ def _load_ski(path: str, num_packets: int | None = None,
     velocity_fields = []  # (component index, field, magnitude [m/s])
     voronoi_import = None  # (sites (N,3), density (N,) [kg/m^3], mix, v)
     amr_import = None      # (file path, massType, importVelocity, mix, box)
+    snapshot_import = None  # (snapshot, mix, temperature) particle/cell
     if med_sys is not None:
         for m_el in med_sys.find("media"):
             if m_el.tag == "AdaptiveMeshMedium":
@@ -1233,6 +1234,87 @@ def _load_ski(path: str, num_packets: int | None = None,
                     "metallicity": d["Z"] if import_z else None,
                 }
                 voronoi_import = (sites, nd_sites, mix, vel, ext_box, extra)
+                continue
+            if m_el.tag in ("ParticleMedium", "CellMedium"):
+                # imported particle (SPH) / box-cell media: snapshot file
+                # resampled onto the spatial grid at setup (ref:
+                # ParticleMedium.hpp + CellMedium.hpp; column conventions
+                # per ImportedMedium/Snapshot defaults)
+                from ..imports import snapshots as snap
+                a = m_el.attrib
+                base = _base_dir0
+                fn = a["filename"]
+                if not os.path.isabs(fn):
+                    fn = os.path.join(base, fn)
+                import_z = a.get("importMetallicity", "false") == "true"
+                import_t = a.get("importTemperature", "false") == "true"
+                import_v = a.get("importVelocity", "false") == "true"
+                mt = a.get("massType", "MassDensity")
+                if m_el.tag == "ParticleMedium":
+                    cols = [("x", "length", "pc"), ("y", "length", "pc"),
+                            ("z", "length", "pc"), ("h", "length", "pc"),
+                            ("M", "mass", "Msun")]
+                else:
+                    cols = [("xmin", "length", "pc"),
+                            ("ymin", "length", "pc"),
+                            ("zmin", "length", "pc"),
+                            ("xmax", "length", "pc"),
+                            ("ymax", "length", "pc"),
+                            ("zmax", "length", "pc")]
+                    if mt == "MassDensity":
+                        cols.append(("rho", "massvolumedensity",
+                                     "Msun/pc3"))
+                    else:
+                        cols.append(("M", "mass", "Msun"))
+                if import_z:
+                    cols.append(("Z", "", ""))
+                if import_t:
+                    cols.append(("T", "temperature", "K"))
+                if import_v:
+                    cols += [("vx", "velocity", "km/s"),
+                             ("vy", "velocity", "km/s"),
+                             ("vz", "velocity", "km/s")]
+                d = snap.read_column_file(fn, cols)
+                mix = build_mix(_child(m_el, "materialMix"), base_dir=base)
+                zfac = d["Z"] if import_z else 1.0
+                if m_el.tag == "ParticleMedium":
+                    pos_i = np.stack([d["x"], d["y"], d["z"]], axis=-1)
+                    vel_i = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
+                             if import_v else None)
+                    ss = snap.ParticleSnapshot(
+                        positions=pos_i, h=d["h"], mass=d["M"] * zfac,
+                        velocity=vel_i)
+                else:
+                    lo_i = np.stack([d["xmin"], d["ymin"], d["zmin"]],
+                                    axis=-1)
+                    hi_i = np.stack([d["xmax"], d["ymax"], d["zmax"]],
+                                    axis=-1)
+                    vols_i = np.prod(hi_i - lo_i, axis=-1)
+                    mass_i = (d["rho"] * vols_i if mt == "MassDensity"
+                              else d["M"]) * zfac
+                    vel_i = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
+                             if import_v else None)
+                    ss = snap.CellSnapshot(lo=lo_i, hi=hi_i, mass=mass_i,
+                                           velocity=vel_i)
+                snapshot_import = (ss, mix,
+                                   d["T"] if import_t else None)
+                # density adapter for tree-refinement policies
+                class _SnapGeom:
+                    def density_np(self, pts, _ss=ss):
+                        if hasattr(_ss, "density_at"):
+                            return _ss.density_at(pts)
+                        # cell snapshot: box membership density
+                        pts = np.atleast_2d(pts)
+                        rho = np.zeros(len(pts))
+                        dens = _ss.mass / np.prod(
+                            np.asarray(_ss.hi) - np.asarray(_ss.lo),
+                            axis=-1)
+                        for j in range(len(_ss.mass)):
+                            sel = np.all((pts >= _ss.lo[j])
+                                         & (pts < _ss.hi[j]), axis=-1)
+                            rho = np.where(sel, dens[j], rho)
+                        return rho
+                components = [(_SnapGeom(), mix, None)]
                 continue
             if m_el.tag != "GeometricMedium":
                 raise NotImplementedError(f"medium '{m_el.tag}' not supported yet")
@@ -1391,7 +1473,24 @@ def _load_ski(path: str, num_packets: int | None = None,
                     grid = build_tetra(sites, spec["ext"])
                 else:
                     grid = build_voronoi(sites, spec["ext"])
-            medium = gm.build_medium(grid, components)
+            if snapshot_import is not None:
+                # resample the imported snapshot onto the resolved grid
+                ss, mix, temp_i = snapshot_import
+                from ..media import mixes as _mx
+                from ..media import system as _msys
+                lam_m, se_m, al_m, gg_m = _mx.stack([mix])
+                rho_cells = ss.density_on_cells(grid)          # kg/m^3
+                nd_cells = rho_cells / mix.mu
+                vel_c = ss.velocity_on_cells(grid) \
+                    if ss.velocity is not None else None
+                medium = _msys.make_medium(
+                    grid, nd_cells.astype(np.float32), lam_m, se_m, al_m,
+                    gg_m,
+                    bulk_v=(vel_c.astype(np.float32)
+                            if vel_c is not None else None),
+                    temperature=temp_i)
+            else:
+                medium = gm.build_medium(grid, components)
         if velocity_fields:
             # per-cell aggregate bulk velocity: number-density-weighted
             # average over moving components, evaluated at cell centers

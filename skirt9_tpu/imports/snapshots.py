@@ -95,6 +95,25 @@ class ParticleSnapshot:
             out[i] = np.sum(self.mass[p] * w)
         return out
 
+    def density_at(self, points: np.ndarray) -> np.ndarray:
+        """Kernel-smoothed mass density at arbitrary positions [kg/m^3]
+        (used as a density_np-style adapter for grid-refinement policies
+        when a ParticleMedium feeds a tree grid)."""
+        from scipy.spatial import cKDTree
+        points = np.atleast_2d(np.asarray(points, np.float64))
+        tree = cKDTree(self.positions)
+        out = np.zeros(len(points))
+        pairs = tree.query_ball_point(points, self.h.max())
+        for i, plist in enumerate(pairs):
+            if not plist:
+                continue
+            p = np.asarray(plist)
+            d = np.linalg.norm(self.positions[p] - points[i], axis=-1)
+            q = d / self.h[p]
+            w = cubic_spline_w(q) / self.h[p] ** 3
+            out[i] = np.sum(self.mass[p] * w)
+        return out
+
     def velocity_on_cells(self, grid) -> np.ndarray:
         """Mass-weighted bulk velocity per cell (nearest-particle fallback)."""
         if self.velocity is None:
@@ -166,6 +185,20 @@ class CellSnapshot:
     hi: np.ndarray
     mass: np.ndarray
     velocity: np.ndarray | None = None
+
+    def velocity_on_cells(self, grid) -> np.ndarray:
+        """Bulk velocity of the snapshot cell containing each grid-cell
+        center (zero outside every snapshot cell)."""
+        if self.velocity is None:
+            return np.zeros((grid.ncells, 3))
+        centers = np.asarray(grid.cell_centers(), np.float64)
+        lo = np.asarray(self.lo, np.float64)
+        hi = np.asarray(self.hi, np.float64)
+        out = np.zeros((len(centers), 3))
+        for j in range(len(self.mass)):
+            sel = np.all((centers >= lo[j]) & (centers < hi[j]), axis=-1)
+            out[sel] = np.asarray(self.velocity[j], np.float64)
+        return out
 
     def density_on_cells(self, grid, samples: int = 4, seed: int = 9) -> np.ndarray:
         """Overlap-weighted resampling of cell masses onto the grid."""

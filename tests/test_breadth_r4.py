@@ -148,3 +148,61 @@ def test_zubko_size_distribution_names(tmp_path):
     ET.SubElement(sd, "ZubkoGraphiteGrainSizeDistribution")
     mix = build_mix(el)
     assert (np.asarray(mix.sigma_ext) > 0).all()
+
+
+def test_particle_and_cell_media_from_ski(tmp_path):
+    """ParticleMedium and CellMedium ski items import snapshots and
+    resample onto the grid (ref: ParticleMedium.hpp, CellMedium.hpp)."""
+    import re
+
+    from skirt9_tpu.config.ski import load_ski
+
+    import os
+    G = os.path.join(os.path.dirname(__file__), "golden")
+    base = open(os.path.join(G, "bench1.ski")).read()
+
+    rs = np.random.default_rng(1)
+    n = 40
+    pts = rs.uniform(-0.8, 0.8, (n, 3))
+    np.savetxt(tmp_path / "parts.txt",
+               np.column_stack([pts, np.full(n, 0.3), np.full(n, 1e4)]))
+    med_p = ('<media type="Medium"><ParticleMedium filename="parts.txt" '
+             'massType="MassDensity" importVelocity="false">'
+             '<materialMix type="MaterialMix">'
+             '<MeanIvezicBenchmarkDustMix/></materialMix>'
+             '</ParticleMedium></media>')
+    m = re.search(r'<media type="Medium">.*?</media>', base, re.S)
+    (tmp_path / "pm.ski").write_text(base[:m.start()] + med_p
+                                     + base[m.end():])
+    sim = load_ski(str(tmp_path / "pm.ski"), num_packets=1024,
+                   batch_size=1024, max_events=3)
+    nd = np.asarray(sim.medium.nd)
+    assert (nd > 0).sum() > 10
+    _, accs = sim.run_primary(verbose=False)
+    assert float(np.asarray(accs[0]["sed"]).sum()) > 0
+
+    # cell medium: two boxes with velocity import
+    rows = [[-1, -1, -1, 0, 1, 1, 5e3, 100, 0, 0],
+            [0, -1, -1, 1, 1, 1, 1e3, -100, 0, 0]]
+    np.savetxt(tmp_path / "cells.txt", np.asarray(rows, float))
+    med_c = ('<media type="Medium"><CellMedium filename="cells.txt" '
+             'massType="MassDensity" importVelocity="true">'
+             '<materialMix type="MaterialMix">'
+             '<MeanIvezicBenchmarkDustMix/></materialMix>'
+             '</CellMedium></media>')
+    (tmp_path / "cm.ski").write_text(base[:m.start()] + med_c
+                                     + base[m.end():])
+    sim2 = load_ski(str(tmp_path / "cm.ski"), num_packets=1024,
+                    batch_size=1024, max_events=3)
+    nd2 = np.asarray(sim2.medium.nd)[:, 0]
+    assert (nd2 > 0).sum() > 1000      # grid cells inside the two boxes
+    bv = np.asarray(sim2.medium.bulk_v)
+    centers = np.asarray(sim2.grid.cell_centers())
+    PC = 3.0857e16
+    inside = (np.abs(centers) < 0.95 * PC).all(axis=1)
+    left = inside & (centers[:, 0] < -0.05 * PC)
+    right = inside & (centers[:, 0] > 0.05 * PC)
+    # velocity sign follows the box side
+    assert (bv[left, 0] > 0).all() and (bv[right, 0] < 0).all()
+    # left box has 5x the density
+    assert np.median(nd2[left]) > 3 * np.median(nd2[right])
