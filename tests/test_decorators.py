@@ -189,3 +189,42 @@ def test_redistribute_spherical_power_law():
     r_b = np.linalg.norm(pts_b, axis=-1)
     assert np.median(r_d) < 0.8 * np.median(r_b)
     assert (r_d > 0.2 * b * (1 - 1e-6)).mean() > 0.999
+
+
+def test_redistribute_decorator_as_source_geometry():
+    """The redistribute decorators sample with traced jax ops, so a ski
+    using them as a SOURCE geometry works inside the jitted launch
+    (round-3 advisory: np.random here raised TracerArrayConversionError)."""
+    import jax
+    import numpy as np
+
+    from skirt9_tpu.geometries.analytic import PlummerGeometry
+    from skirt9_tpu.geometries.decorators import (
+        SphePowerLawRedistributeDecorator)
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import GeometricSource
+    from skirt9_tpu.transport import lifecycle as lc
+
+    PC = 3.0857e16
+    geom = SphePowerLawRedistributeDecorator(
+        base=PlummerGeometry(b=0.3 * PC), exponent=1.0,
+        min_radius=0.1 * PC)
+    grid = make_cartesian(((-PC, PC),) * 3, (8,) * 3)
+    med = msys.make_medium(grid, np.zeros(grid.ncells),
+                           np.array([0.4e-6, 0.7e-6]), np.zeros((1, 2)),
+                           np.zeros((1, 2)), np.zeros((1, 2)))
+    inst = dinst.DistantInstrumentCfg(name="i",
+                                      wave_borders=(0.5e-6, 0.6e-6),
+                                      distance=100 * PC)
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[GeometricSource(geometry=geom,
+                                              luminosity=1.0)],
+                     instruments=[inst],
+                     options=lc.TransportOptions(
+                         max_steps=grid.max_steps(), max_events=2),
+                     num_packets=1024, batch_size=1024, seed=0)
+    _, accs = sim.run_primary(verbose=False)
+    assert float(np.asarray(accs[0]["sed"]).sum()) > 0
