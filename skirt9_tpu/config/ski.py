@@ -379,6 +379,8 @@ def build_source(el, lrange=None, base_dir: str = "."):
     if t == "ParticleSource":
         return ("particle_source", el)  # resolved in load_ski (needs paths
         #                                 and the source wavelength range)
+    if t == "CellSource":
+        return ("cell_source", el)      # same deferral
     raise NotImplementedError(f"source type '{t}' not supported yet")
 
 
@@ -491,6 +493,74 @@ def build_particle_source(el, base_dir: str, lam_range):
     return snap.FamilyParticleSource(snapshot=ps, family_tables=tabs,
                                      scales=scales, params=params,
                                      kernel_kind=kernel_kind)
+
+
+def build_cell_source(el, base_dir: str, lam_range):
+    """CellSource: axis-aligned box cells carrying an SEDFamily — uniform
+    in-cell launch positions (ref: CellSource + ImportedSource.hpp:70).
+    Columns: xmin ymin zmin xmax ymax zmax [vx vy vz] + family params."""
+    from ..imports import snapshots as snap
+    from ..spectral import named as _named
+    from ..spectral import sedfamily as sf
+    from ..utils import constants as _c
+
+    fn = el.attrib["filename"]
+    if not os.path.isabs(fn):
+        fn = os.path.join(base_dir, fn)
+    import_v = el.attrib.get("importVelocity", "false") == "true"
+    fam_el = _child(el, "sedFamily")
+    ft = fam_el.tag if fam_el is not None else "BlackBodySEDFamily"
+    cols = [("xmin", "length", "pc"), ("ymin", "length", "pc"),
+            ("zmin", "length", "pc"), ("xmax", "length", "pc"),
+            ("ymax", "length", "pc"), ("zmax", "length", "pc")]
+    if import_v:
+        cols += [("vx", "velocity", "km/s"), ("vy", "velocity", "km/s"),
+                 ("vz", "velocity", "km/s")]
+    _SSP_LIKE = ("BruzualCharlotSEDFamily", "MarastonSEDFamily",
+                 "Starburst99SEDFamily", "FSPSSEDFamily", "BpassSEDFamily")
+    if ft == "BlackBodySEDFamily":
+        cols += [("R", "length", "km"), ("T", "temperature", "K")]
+    elif ft == "FileSSPSEDFamily" or ft in _SSP_LIKE:
+        cols += [("Minit", "mass", "Msun"), ("Z", "", ""),
+                 ("t", "time", "yr")]
+    elif ft == "FileIndexedSEDFamily":
+        cols += [("L", "", ""), ("index", "", "")]
+    else:
+        raise NotImplementedError(f"SED family '{ft}' for CellSource")
+    d = snap.read_column_file(fn, cols)
+    if ft == "BlackBodySEDFamily":
+        lam_grid = np.geomspace(max(lam_range[0] * 0.5, 1e-9),
+                                lam_range[1] * 2.0, 600)
+        Tgrid = np.geomspace(max(d["T"].min() * 0.9, 1.0),
+                             d["T"].max() * 1.1, 48)
+        fam = sf.blackbody_family(Tgrid, lam_grid)
+        scales = 4.0 * np.pi * d["R"] ** 2
+        params = d["T"][:, None]
+    elif ft == "FileIndexedSEDFamily":
+        sfn = fam_el.attrib["filename"]
+        if not os.path.isabs(sfn):
+            sfn = os.path.join(base_dir, sfn)
+        fam = sf.load_indexed_family(sfn)
+        scales = d["L"]
+        params = d["index"][:, None]
+    else:
+        if ft == "FileSSPSEDFamily":
+            sfn = fam_el.attrib["filename"]
+            if not os.path.isabs(sfn):
+                sfn = os.path.join(base_dir, sfn)
+            fam = sf.load_ssp_family(sfn)
+        else:
+            fam = _named.load_named_family(ft, fam_el.attrib)
+        scales = d["Minit"] / sf.M_SUN
+        params = np.stack([d["Z"], d["t"] / _c.YEAR], axis=-1)
+    lo_b = np.stack([d["xmin"], d["ymin"], d["zmin"]], axis=-1)
+    hi_b = np.stack([d["xmax"], d["ymax"], d["zmax"]], axis=-1)
+    vel = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
+           if import_v else None)
+    tabs = sf.FamilyTables(fam, lam_range=lam_range)
+    return snap.CellFamilySource(lo=lo_b, hi=hi_b, family_tables=tabs,
+                                 scales=scales, params=params,
+                                 velocity=vel)
 
 
 # --------------------------------------------------------------------- mixes
@@ -1110,6 +1180,9 @@ def _load_ski(path: str, num_packets: int | None = None,
         # (ref: Configuration.cpp:58 oligochromatic setup)
         import dataclasses as _dc
         lams = U.parse_list("wavelength", src_sys.attrib["wavelengths"])
+        if any(isinstance(s, tuple) for s in sources):
+            raise NotImplementedError(
+                "imported sources in oligochromatic mode")
         sources = [_dc.replace(s, sed=None, lam0=lams[0]) for s in sources]
     src_range = None
     if src_sys is not None:
@@ -1122,6 +1195,9 @@ def _load_ski(path: str, num_packets: int | None = None,
     sources = [build_particle_source(s[1], _base_dir,
                                      src_range or (1e-8, 1e-3))
                if isinstance(s, tuple) and s[0] == "particle_source" else s
+               for s in sources]
+    sources = [build_cell_source(s[1], _base_dir, src_range or (1e-8, 1e-3))
+               if isinstance(s, tuple) and s[0] == "cell_source" else s
                for s in sources]
     if src_range is not None and not oligo:
         # the reference normalizes SEDs and samples wavelengths over the

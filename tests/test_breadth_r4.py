@@ -206,3 +206,47 @@ def test_particle_and_cell_media_from_ski(tmp_path):
     assert (bv[left, 0] > 0).all() and (bv[right, 0] < 0).all()
     # left box has 5x the density
     assert np.median(nd2[left]) > 3 * np.median(nd2[right])
+
+
+def test_cell_source_from_ski(tmp_path):
+    """CellSource: box-cell entities with a blackbody family launch
+    uniformly within their cells (ref: CellSource)."""
+    import os
+    import re
+
+    from skirt9_tpu.config.ski import load_ski
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+    import shutil
+    shutil.copy(os.path.join(G, "mrn_mean.txt"), tmp_path / "mrn_mean.txt")
+    base = open(os.path.join(G, "bench2.ski")).read()
+    # one hot cell on the left, a cooler one on the right
+    rows = [[-0.9, -0.2, -0.2, -0.5, 0.2, 0.2, 0, 0, 0, 7e5, 8000],
+            [0.5, -0.2, -0.2, 0.9, 0.2, 0.2, 0, 0, 0, 7e5, 4000]]
+    np.savetxt(tmp_path / "srccells.txt", np.asarray(rows, float))
+    src_x = ('<sources type="Source"><CellSource filename="srccells.txt" '
+             'importVelocity="true" sourceWeight="1">'
+             '<sedFamily type="SEDFamily"><BlackBodySEDFamily/>'
+             '</sedFamily></CellSource></sources>')
+    m = re.search(r'<sources type="Source">.*?</sources>', base, re.S)
+    (tmp_path / "cs.ski").write_text(base[:m.start()] + src_x
+                                     + base[m.end():])
+    sim = load_ski(str(tmp_path / "cs.ski"), num_packets=2048,
+                   batch_size=2048, max_events=2)
+    assert sim.sources[0].luminosity > 0
+    import jax
+
+    from skirt9_tpu.ops import rng as _rng
+    tabs = sim.sources[0].tables()
+    keys = _rng.event_keys(_rng.history_keys(jax.random.PRNGKey(0),
+                                             np.arange(2048)),
+                           _rng.LAUNCH_EVENT)
+    out = sim.sources[0].launch(tabs, keys, 2048)
+    pos = np.asarray(out["pos"])
+    PC = 3.0857e16
+    in1 = (pos[:, 0] > -0.9 * PC) & (pos[:, 0] < -0.5 * PC)
+    in2 = (pos[:, 0] > 0.5 * PC) & (pos[:, 0] < 0.9 * PC)
+    assert (in1 | in2).all()
+    assert in1.sum() > 0 and in2.sum() > 0
+    _, accs = sim.run_primary(verbose=False)
+    assert float(np.asarray(accs[0]["sed"]).sum()) > 0
