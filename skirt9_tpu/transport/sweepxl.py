@@ -58,9 +58,14 @@ _BIG = 3e37
 class XLTables(NamedTuple):
     """Streamed slab-plane tables + static geometry."""
 
-    rho: jax.Array        # (C, nmax, 3U, V) f32: per slab, the three
+    # density planes split hi/lo in bf16: the lookup runs TWO native-MXU
+    # bf16 matmuls instead of the 6 passes of f32 HIGHEST precision, with
+    # reconstruction error ~2^-16 relative (hi = bf16(rho),
+    # lo = bf16(rho - hi)); same bytes as one f32 copy
+    rho_hi: jax.Array     # (C, nmax, 3U, V) bf16: per slab, the three
     #                       axis-major minor planes stacked on the 3U rows
     #                       (row = a*U + iu, col = iv), zero-padded
+    rho_lo: jax.Array     # (C, nmax, 3U, V) bf16 residual
     n: tuple              # (nx, ny, nz)
     lo: tuple
     h: tuple
@@ -70,7 +75,7 @@ class XLTables(NamedTuple):
 
     @property
     def ncomp(self) -> int:
-        return self.rho.shape[0]
+        return self.rho_hi.shape[0]
 
 
 def supports_xl(grid, med) -> bool:
@@ -110,8 +115,11 @@ def build_tables(grid, med) -> XLTables:
         tab[c, :nz, 2 * U:2 * U + nx, :ny] = r3.transpose(2, 0, 1)
     lo = np.asarray(grid.lo, np.float64)
     h = np.asarray(grid.h, np.float64)
+    hi_t = jnp.asarray(tab, jnp.bfloat16)
+    lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32), jnp.bfloat16)
     return XLTables(
-        rho=jnp.asarray(tab),
+        rho_hi=hi_t,
+        rho_lo=lo_t,
         n=n,
         lo=(float(lo[0]), float(lo[1]), float(lo[2])),
         h=(float(h[0]), float(h[1]), float(h[2])),
@@ -122,7 +130,7 @@ def build_tables(grid, med) -> XLTables:
 def _tile_size(tabs: XLTables, budget_mb: float = 4.0) -> int:
     """Slabs per kernel tile: the larger of the rho tile (dtau pass) and
     the accumulator+dtau_sub tile (deposit pass) stays within VMEM."""
-    per_slab = max(tabs.ncomp, 1) * 3 * tabs.U * tabs.V * 4
+    per_slab = max(tabs.ncomp, 1) * 3 * tabs.U * tabs.V * 4  # hi+lo bf16
     t = max(1, int(budget_mb * 2**20 / max(per_slab, 1)))
     t = min(t, tabs.nmax)
     while tabs.nmax % t:
@@ -157,9 +165,11 @@ def _substeps(g, t, smin, smax):
     return out
 
 
-def _lookup_matmul(rho_slab, a, iu, iv, sig, C, U, V, lb):
+def _lookup_matmul(rho_hi_slab, rho_lo_slab, a, iu, iv, sig, C, U, V, lb):
     """k(lane) = sum_c sigma_c * rho_c[a*U+iu, iv] via one-hot matmul +
-    V-masked reduction. rho_slab: (C, 3U, V) VMEM block."""
+    V-masked reduction. rho_*_slab: (C, 3U, V) bf16 VMEM blocks (hi/lo
+    split: two native bf16 MXU passes reconstruct f32 densities to
+    ~2^-16 relative)."""
     # transposed formulation: lanes stay on the LAST (128-tiled) axis
     # throughout — Mosaic rejects (lanes, 1) reshapes but accepts
     # (1, lanes) and the (1, lb) -> (lbr, 128) merge (measured,
@@ -167,15 +177,19 @@ def _lookup_matmul(rho_slab, a, iu, iv, sig, C, U, V, lb):
     lbr = lb // 128
     rowf = (a * U + iu).reshape(1, lb)
     sub = jax.lax.broadcasted_iota(jnp.int32, (3 * U, lb), 0)
-    AT = jnp.where(sub == rowf, 1.0, 0.0)              # (3U, lb)
+    # build the one-hot in f32 (i1 masks can't relayout to the bf16
+    # (16,128) tiling in this Mosaic) and cast — exact either way
+    AT = jnp.where(sub == rowf, 1.0, 0.0).astype(jnp.bfloat16)
     vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
     vmask = vsub == iv.reshape(1, lb)                  # (V, lb)
     k = None
     for c in range(C):
-        MT = jax.lax.dot_general(rho_slab[c], AT,
+        MT = jax.lax.dot_general(rho_hi_slab[c], AT,
                                  (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 preferred_element_type=jnp.float32)
+        MT = MT + jax.lax.dot_general(rho_lo_slab[c], AT,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
         val = jnp.sum(jnp.where(vmask, MT, 0.0), axis=0,
                       keepdims=True).reshape(lbr, 128)
         k = val * sig[c] if k is None else k + val * sig[c]
@@ -183,8 +197,8 @@ def _lookup_matmul(rho_slab, a, iu, iv, sig, C, U, V, lb):
 
 
 def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
-                    rho_ref, out_ref, *, n, lo, h, T, U, V, lb, C,
-                    want_sub, t0_mul):
+                    rho_hi_ref, rho_lo_ref, out_ref, *, n, lo, h, T, U, V,
+                    lb, C, want_sub, t0_mul):
     tidx = pl.program_id(0)
     a = grp_ref[...]
     pos = (pos_ref[0], pos_ref[1], pos_ref[2])
@@ -200,8 +214,8 @@ def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
         steps = _substeps(g, t, smin, smax)
         dtau_t = jnp.zeros((lbr, 128), jnp.float32)
         for j, (ds, iu, iv, _s) in enumerate(steps):
-            k = _lookup_matmul(rho_ref[:, tl], a, iu, iv, sig,
-                               C, U, V, lb)
+            k = _lookup_matmul(rho_hi_ref[:, tl], rho_lo_ref[:, tl],
+                               a, iu, iv, sig, C, U, V, lb)
             dt = k * ds
             if want_sub:
                 out_ref[tl, j] = dt
@@ -313,11 +327,14 @@ def sweep_dtau(tabs: XLTables, pos, dirn, sigma, active,
             pl.BlockSpec((tabs.ncomp, T, 3 * tabs.U, tabs.V),
                          lambda t, g: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tabs.ncomp, T, 3 * tabs.U, tabs.V),
+                         lambda t, g: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=sw._interpret(),
-    )(pos3, dir3, grp, smin, smax, sig, tabs.rho)
+    )(pos3, dir3, grp, smin, smax, sig, tabs.rho_hi, tabs.rho_lo)
     if want_sub:
         return out.reshape(tabs.nmax, 3, NB * 128)
     return out.reshape(tabs.nmax, NB * 128)
