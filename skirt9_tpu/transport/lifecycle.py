@@ -632,11 +632,19 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
     # ---- emission peel-off (ref: MonteCarloSimulation::peelOffEmission :617)
     if do_peel:
         iso = 1.0 / (4.0 * jnp.pi)
+        def _marks(fn, name):
+            return getattr(fn, name,
+                           getattr(getattr(fn, "__self__", None), name,
+                                   False))
+
         if emission_phase is None:
             per_sr = lambda kobs: pkt.lum * iso
-        elif getattr(emission_phase, "wants_lam",
-                     getattr(getattr(emission_phase, "__self__", None),
-                             "wants_lam", False)):
+        elif _marks(emission_phase, "wants_cell"):
+            # per-cell angular tables (spheroidal aligned-grain emission:
+            # the profile depends on the cell's magnetic field direction)
+            per_sr = lambda kobs: pkt.lum * emission_phase(
+                kobs, pkt.pos, pkt.lam, pkt.cell)
+        elif _marks(emission_phase, "wants_lam"):
             # wavelength-dependent angular tables (FilePolarizedPointSource)
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs, pkt.pos,
                                                            pkt.lam)
@@ -651,7 +659,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             def emis_stokes_fn(kobs, tab):
                 B = pkt.lam.shape[0]
                 ko = jnp.broadcast_to(kobs, (B, 3))
-                if getattr(emission_polarization, "wants_lam", False):
+                if getattr(emission_polarization, "wants_cell", False):
+                    st, pn = emission_polarization.stokes_for(ko, pkt.lam,
+                                                              pkt.cell)
+                elif getattr(emission_polarization, "wants_lam", False):
                     st, pn = emission_polarization.stokes_for(ko, pkt.lam)
                 else:
                     st, pn = emission_polarization.stokes_for(ko)
@@ -787,7 +798,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                     # resolves in XLA from the per-substep record, and the
                     # cell comes from the fine leaf map
                     rf_delta = None
-                    s_int, _icv, found = _xl.resolve_interaction(
+                    s_int, _icv, found = _ml.resolve_interaction(
                         sweep_tabs, pkt.pos, pkt.dir, active_int,
                         dtau_sub, tb_slab, tau_int)
                     ip_tmp = pkt.pos + s_int[:, None] * pkt.dir

@@ -13,13 +13,19 @@ the domain, so the density field is
 
     rho(x) = sum_l rho_l(voxel_l(x)),   rho_l nonzero only on level-l leaves.
 
-One kernel pair marches the FINEST-level slabs (the proven shear-warp
-sub-DDA of transport/sweep.py: <= 3 cells per dominant-axis slab), looking
-the density up through the level stack: a static loop over
-(level, axis-layout, minor-row) of lane-wise `take_along_axis` selects —
-the cost is sum_l rows_l, which the per-level BOUNDING BOXES keep within a
-few times the plain Cartesian sweep (refined regions are spatially small in
-density-policy trees, ref: DensityTreePolicy.hpp:76).
+One kernel pair marches the slabs of a STATIC MULTI-GRANULARITY PLAN
+(the proven shear-warp sub-DDA of transport/sweep.py: <= 3 cells per
+dominant-axis slab): fine slabs inside the finest level's bounding box,
+2^gs-thick coarse steps outside it — exact, because a coarse leaf is an
+aligned block of fine voxels, so a coarse step never straddles a live
+density boundary. The density lookup walks the level stack: a static loop
+over (level, axis-layout, minor-row) of lane-wise `take_along_axis`
+selects, pruned PER PLAN SEGMENT to the levels whose boxes overlap it —
+the cost is sum over steps of overlapping rows, which central refinement
+keeps within a few times the plain Cartesian sweep (refined regions are
+spatially small in density-policy trees, ref: DensityTreePolicy.hpp:76;
+measured on the octree benchmark: the plan halves both the select rows
+and the deposit matmul count vs an all-fine march, 3.3x on maxLevel-9).
 
 Because each fine sub-segment lies inside exactly ONE leaf, cumulative
 optical depth, the interaction point, and the exp(-tau)-weighted
@@ -115,10 +121,93 @@ class MLTables(NamedTuple):
     h: tuple            # fine cell sizes
     nmax: int           # fine slab count (padded max of n)
     enc: int            # total encoding rows (sum over levels/axes, pad 8)
+    # multi-granularity march plan: slabs outside the finer levels'
+    # bounding boxes march at the coarsest exact granularity (a coarse
+    # leaf is a block of aligned fine voxels, so coarse steps cross no
+    # active level boundary — zero approximation). Each segment is
+    # (t0_fine, n_steps_in_segment, gs, include) with include the static
+    # (level, axis-layout) pairs whose major range overlaps the segment.
+    plan: tuple = ()
+    n_steps: int = 0    # total march steps = sum of segment counts
+    # per-step device metadata for the plan-dynamic deposit kernel:
+    # (n_steps, 1, 128) i32, value broadcast across lanes
+    step_tlev: jax.Array | None = None   # t0_fine >> gs per step
+    step_gs: jax.Array | None = None     # granularity shift per step
 
     @property
     def ncomp(self) -> int:
         return self.rho[0].shape[0]
+
+
+def _make_plan(levels, nmax: int):
+    """Static multi-granularity march plan over the fine slab axis.
+
+    Granularity at fine slab t = min over (level, axis-layout) pairs whose
+    bounding box covers t of the level's minimum per-axis shift: every
+    covering level's voxels are then aligned blocks of >= 2^gs fine
+    voxels along all three axes, so a gs-granularity sub-DDA step never
+    straddles a live density boundary (exact, not approximate). Aligned
+    greedy packing, then grouping into segments of constant
+    (gs, include-set) so the dtau kernel can statically prune the level
+    stack per segment (ref for the cost this removes:
+    TreeSpatialGrid.cpp:132-216 walks every crossed leaf individually).
+    """
+    gs_t = np.zeros(nmax, np.int64)
+    for t in range(nmax):
+        gh = None
+        for lv in levels:
+            for a in range(3):
+                g = lv.ax[a]
+                if g.t0 <= (t >> g.sht) < g.t1:
+                    m = min(lv.shift)
+                    gh = m if gh is None else min(gh, m)
+        gs_t[t] = 0 if gh is None else gh
+    raw = []
+    t = 0
+    while t < nmax:
+        g = int(gs_t[t])
+        while g > 0 and (t % (1 << g) or (gs_t[t:t + (1 << g)] < g).any()):
+            g -= 1
+        raw.append((t, g))
+        t += 1 << g
+
+    def inc_of(t0, g):
+        t1 = t0 + (1 << g)
+        out = []
+        for li, lv in enumerate(levels):
+            for a in range(3):
+                ga = lv.ax[a]
+                if (ga.t0 << ga.sht) < t1 and t0 < (ga.t1 << ga.sht):
+                    out.append((li, a))
+        return tuple(out)
+
+    segs = []
+    for t0, g in raw:
+        inc = inc_of(t0, g)
+        if segs and segs[-1][2] == g and segs[-1][3] == inc:
+            s0, cnt, _, _ = segs[-1]
+            segs[-1] = (s0, cnt + 1, g, inc)
+        else:
+            segs.append((t0, 1, g, inc))
+    return tuple(segs), len(raw)
+
+
+def _plan_step_meta(plan, n_steps):
+    """Per-step (tlev, gs) device arrays, value broadcast across lanes
+    ((n_steps, 1, 128) so blocks tile as (T, 1, 128) for any T)."""
+    tlev = np.zeros(n_steps, np.int32)
+    gs = np.zeros(n_steps, np.int32)
+    i = 0
+    for t0, cnt, g, _inc in plan:
+        for k in range(cnt):
+            tlev[i] = (t0 >> g) + k
+            gs[i] = g
+            i += 1
+    tl = jnp.asarray(np.broadcast_to(tlev[:, None, None],
+                                     (n_steps, 1, 128)).copy())
+    gg = jnp.asarray(np.broadcast_to(gs[:, None, None],
+                                     (n_steps, 1, 128)).copy())
+    return tl, gg
 
 
 def supports(grid, med, options=None) -> bool:
@@ -340,6 +429,9 @@ def build_tables(grid, med) -> MLTables:
 
     enc = sum(la.rows for lv in levels for la in lv.ax)
     hf = box / np.asarray(nf, np.float64)
+    nmax = int(max(nf))
+    plan, n_steps = _make_plan(levels, nmax)
+    step_tlev, step_gs = _plan_step_meta(plan, n_steps)
     return MLTables(
         rho=tuple(rho_tabs),
         leafmap=jnp.asarray(leafmap.reshape(-1)),
@@ -349,20 +441,27 @@ def build_tables(grid, med) -> MLTables:
         n=tuple(int(v) for v in nf),
         lo=tuple(float(v) for v in lo0),
         h=tuple(float(v) for v in hf),
-        nmax=int(max(nf)),
+        nmax=nmax,
         enc=int(-(-enc // 8) * 8),
+        plan=plan,
+        n_steps=n_steps,
+        step_tlev=step_tlev,
+        step_gs=step_gs,
     )
 
 
 # ------------------------------------------------------------------- kernels
 
 def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
-                  want_enc: bool, nfine: int = 1 << 30, axes=(0, 1, 2)):
+                  want_enc: bool, nfine: int = 1 << 30, axes=(0, 1, 2),
+                  include=None):
     """Density (and deposit encoding) at fine coords through the level stack.
 
     Returns (k, enc_row, enc_col, leaf_any); enc outputs are None unless
     want_enc. Static loop over (level, axis, minor-row) — the cost driver,
-    bounded by supports() to <=128 total rows.
+    bounded by supports() to <=128 total rows. `include` (plan segments):
+    static (level, axis-layout) pairs overlapping the current march
+    segment — everything else is pruned at trace time.
     """
     shape = iu_f.shape
     k = jnp.zeros(shape, jnp.float32)
@@ -371,6 +470,8 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
     leaf_any = jnp.zeros(shape, jnp.float32)
     for li, lv in enumerate(levels):
         for aa in axes:
+            if include is not None and (li, aa) not in include:
+                continue
             g = lv.ax[aa]
             tl = t >> g.sht                # scalar
             ntl = g.t1 - g.t0
@@ -419,7 +520,7 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
             # in Mosaic, so only gate levels whose box covers a minority of
             # slabs (measured: unconditional wins for near-full coverage)
             coverage = ntl * (1 << g.sht) / float(nfine)
-            if coverage < 0.55 and g.rows >= 2:
+            if include is None and coverage < 0.55 and g.rows >= 2:
                 kk, lf, er, ec = jax.lax.cond(ok_t, _level_axis, _skip)
             else:
                 kk, lf, er, ec = _level_axis()
@@ -435,7 +536,7 @@ def _stack_lookup(levels, rho_refs, sig, C, a, t, iu_f, iv_f,
 
 
 def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
-                    *refs, n, lo, h, nmax, lb, C, levels, nlev,
+                    *refs, n, lo, h, nmax, lb, C, levels, nlev, plan,
                     axes=(0, 1, 2), want_sub=False):
     rho_refs = refs[:3 * nlev]
     out_ref = refs[3 * nlev]
@@ -446,55 +547,88 @@ def _ml_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
     smin = smin_ref[...]
     smax = smax_ref[...]
     sig = tuple(sig_ref[c] for c in range(C))
-    g = sw._axis_geometry(a, pos, dirn, n, lo, h)
+    # one geometry per granularity used by the plan (coarse steps march
+    # 2^gs fine cells per axis — exact: covering levels' voxels are
+    # aligned blocks of >= 2^gs fine voxels, see _make_plan)
+    geos = {}
+    for gs in sorted({seg[2] for seg in plan}):
+        if gs == 0:
+            geos[0] = sw._axis_geometry(a, pos, dirn, n, lo, h)
+        else:
+            ns = tuple(v >> gs for v in n)
+            hs = tuple(hv * (1 << gs) for hv in h)
+            geos[gs] = sw._axis_geometry(a, pos, dirn, ns, lo, hs)
 
-    def slab(t, _):
-        s_in, s_out = sw._slab_entry(g, t, smin, smax)
-        act = s_in < s_out
-        span = s_out - s_in
-        s_cur = s_in
-        iu, iv = sw._minor_idx(g, s_in + 1e-4 * span)
-        dtau = jnp.zeros_like(s_in)
-        for _j in range(3):
-            su, sv = sw._minor_crossing(g, iu, iv)
-            s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
-            ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
-            k, er, ec, leaf = _stack_lookup(levels, rho_refs, sig, C,
-                                            a, t, iu, iv,
-                                            want_enc=want_sub,
-                                            nfine=nmax, axes=axes)
-            if want_sub:
-                # per-substep record: the deposit pass re-reads these and
-                # skips the level-stack select loop entirely (its cost
-                # driver) — packed (enc_row*512 + enc_col*2 + leaf)
-                out_ref[t, _j] = k * ds
-                enc_ref[t, _j] = er * 512 + ec * 2 + leaf.astype(jnp.int32)
-            else:
-                dtau = dtau + k * ds
-            cross_u = su <= sv
-            iu = jnp.clip(iu + jnp.where(cross_u,
-                                         jnp.where(g["du"] > 0, 1, -1), 0),
-                          0, g["nu"] - 1)
-            iv = jnp.clip(iv + jnp.where(cross_u, 0,
-                                         jnp.where(g["dv"] > 0, 1, -1)),
-                          0, g["nv"] - 1)
-            s_cur = s_nxt
-        if not want_sub:
-            out_ref[t] = dtau
-        return 0
+    step_base = 0
+    for t0, cnt, gs, inc in plan:
+        gg = geos[gs]
 
-    jax.lax.fori_loop(0, nmax, slab, 0)
+        def slab(i, _, t0=t0, gs=gs, gg=gg, inc=inc, sb=step_base):
+            tc = (t0 >> gs) + i              # slab index at granularity gs
+            tf = t0 + (i << gs)              # fine base (level lookups)
+            s_in, s_out = sw._slab_entry(gg, tc, smin, smax)
+            act = s_in < s_out
+            span = s_out - s_in
+            s_cur = s_in
+            iu, iv = sw._minor_idx(gg, s_in + 1e-4 * span)
+            dtau = jnp.zeros_like(s_in)
+            for _j in range(3):
+                su, sv = sw._minor_crossing(gg, iu, iv)
+                s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
+                ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
+                k, er, ec, leaf = _stack_lookup(levels, rho_refs, sig, C,
+                                                a, tf, iu << gs, iv << gs,
+                                                want_enc=want_sub,
+                                                nfine=nmax, axes=axes,
+                                                include=inc)
+                if want_sub:
+                    # per-substep record: the deposit pass re-reads these
+                    # and skips the level-stack select loop entirely (its
+                    # cost driver) — packed (enc_row*512 + enc_col*2 + leaf)
+                    out_ref[sb + i, _j] = k * ds
+                    enc_ref[sb + i, _j] = (er * 512 + ec * 2
+                                           + leaf.astype(jnp.int32))
+                else:
+                    dtau = dtau + k * ds
+                cross_u = su <= sv
+                iu = jnp.clip(iu + jnp.where(cross_u,
+                                             jnp.where(gg["du"] > 0, 1, -1),
+                                             0),
+                              0, gg["nu"] - 1)
+                iv = jnp.clip(iv + jnp.where(cross_u, 0,
+                                             jnp.where(gg["dv"] > 0, 1, -1)),
+                              0, gg["nv"] - 1)
+                s_cur = s_nxt
+            if not want_sub:
+                out_ref[sb + i] = dtau
+            return 0
+
+        jax.lax.fori_loop(0, cnt, slab, 0)
+        step_base += cnt
+
+
+def _scaled_geom(g, scale_f, gsv):
+    """Per-lane geometry at runtime granularity 2^gs: cell sizes scale by
+    2^gs, minor counts shift down (exact: fine n are powers of two)."""
+    gg = dict(g)
+    gg["ha"] = g["ha"] * scale_f
+    gg["hu"] = g["hu"] * scale_f
+    gg["hv"] = g["hv"] * scale_f
+    gg["nu"] = g["nu"] >> gsv
+    gg["nv"] = g["nv"] >> gsv
+    return gg
 
 
 def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
                        dsub_ref, encc_ref, tb_ref, lum_ref, ti_ref,
+                       tlev_ref, gs_ref,
                        acc_ref, sint_ref, found_ref, *,
                        n, lo, h, nmax, lb, enc, ppb, inv2, T):
     """Deposits + interaction from PASS-1's per-substep record: no level
     tables, no select loop — only the sub-DDA geometry recompute (VPU) and
     the one-hot deposit matmuls (MXU). dsub/encc come from
-    _ml_dtau_kernel(want_sub=True)."""
-    tidx = pl.program_id(0)
+    _ml_dtau_kernel(want_sub=True); the march follows the same static
+    multi-granularity plan via the per-step (tlev, gs) metadata rows."""
     gidx = pl.program_id(1)
 
     @pl.when(gidx % ppb == 0)
@@ -514,18 +648,21 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
     found_ref[0] = jnp.zeros(smin.shape, jnp.int32)
 
     def slab(tl, _):
-        t = tidx * T + tl
-        s_in, s_out = sw._slab_entry(g, t, smin, smax)
+        tlev = tlev_ref[tl, 0].reshape(1, 128)
+        gsv = gs_ref[tl, 0].reshape(1, 128)
+        scale_f = jnp.left_shift(1, gsv).astype(jnp.float32)
+        gg = _scaled_geom(g, scale_f, gsv)
+        s_in, s_out = sw._slab_entry(gg, tlev, smin, smax)
         act = s_in < s_out
         span = s_out - s_in
         s_cur = s_in
-        iu, iv = sw._minor_idx(g, s_in + 1e-4 * span)
+        iu, iv = sw._minor_idx(gg, s_in + 1e-4 * span)
         tb = tb_ref[tl]
         scale = (lum_ref[...] * jnp.exp(-tb)) * inv2
         rel = ti_ref[...] - tb
         tau_loc = jnp.zeros_like(s_in)
         for _j in range(3):
-            su, sv = sw._minor_crossing(g, iu, iv)
+            su, sv = sw._minor_crossing(gg, iu, iv)
             s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
             ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
             dtau = dsub_ref[tl, _j]
@@ -559,11 +696,11 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
             tau_loc = tau_loc + dtau
             cross_u = su <= sv
             iu = jnp.clip(iu + jnp.where(cross_u,
-                                         jnp.where(g["du"] > 0, 1, -1), 0),
-                          0, g["nu"] - 1)
+                                         jnp.where(gg["du"] > 0, 1, -1), 0),
+                          0, gg["nu"] - 1)
             iv = jnp.clip(iv + jnp.where(cross_u, 0,
-                                         jnp.where(g["dv"] > 0, 1, -1)),
-                          0, g["nv"] - 1)
+                                         jnp.where(gg["dv"] > 0, 1, -1)),
+                          0, gg["nv"] - 1)
             s_cur = s_nxt
         return 0
 
@@ -574,28 +711,34 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
 
 def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
                axis_hint: int | None = None, want_sub: bool = False):
-    """Per-fine-slab optical depth (nmax, B) through the level stack.
+    """Per-march-step optical depth (n_steps, B) through the level stack.
+
+    Steps follow the static multi-granularity plan (tabs.plan): fine
+    slabs inside the finest level's bounding box, 2^gs-slab coarse steps
+    outside it — spatially ordered along the major axis, so slab_prefix
+    ray-ordering works unchanged.
 
     axis_hint: statically known shared dominant axis (observer marches)
     — one slab layout instead of three in the select loop.
     want_sub: also record PER-SUBSTEP taus and packed deposit encodings so
     the deposit pass can skip the select loop; returns
-    (dtau_sub (nmax, 3, B), enc (nmax, 3, B) int32) instead."""
+    (dtau_sub (n_steps, 3, B), enc (n_steps, 3, B) int32) instead."""
     pos3, dir3, grp, smin, smax, sig, NB = sw._prep(tabs, pos, dirn, sigma,
                                                     active)
     C = sig.shape[0]
     axes = (0, 1, 2) if axis_hint is None else (int(axis_hint),)
     if axis_hint is not None:
         grp = jnp.full_like(grp, axis_hint)
+    NS = tabs.n_steps
     lb = _lane_block(NB)
-    if want_sub and tabs.nmax * 3 * (lb // 128) * 128 * 8 > 7 * 2**20:
-        # two full-nmax per-substep output blocks stay VMEM-resident:
+    if want_sub and NS * 3 * (lb // 128) * 128 * 8 > 7 * 2**20:
+        # two full-plan per-substep output blocks stay VMEM-resident:
         # shrink the lane block for deep trees
         lb = _lane_block(NB, cap=8)
     lbr = lb // 128
     nlev = len(tabs.levels)
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=tabs.nmax, lb=lb, C=C,
-                levels=tabs.levels, nlev=nlev, axes=axes,
+                levels=tabs.levels, nlev=nlev, plan=tabs.plan, axes=axes,
                 want_sub=want_sub)
     kern = functools.partial(_ml_dtau_kernel, **meta)
     G = NB // lbr
@@ -605,20 +748,20 @@ def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
                  for r in tabs.rho]
     if want_sub:
         out_specs = (
-            pl.BlockSpec((tabs.nmax, 3, lbr, 128), lambda g: (0, 0, g, 0),
+            pl.BlockSpec((NS, 3, lbr, 128), lambda g: (0, 0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tabs.nmax, 3, lbr, 128), lambda g: (0, 0, g, 0),
+            pl.BlockSpec((NS, 3, lbr, 128), lambda g: (0, 0, g, 0),
                          memory_space=pltpu.VMEM),
         )
         out_shape = (
-            jax.ShapeDtypeStruct((tabs.nmax, 3, NB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((tabs.nmax, 3, NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NS, 3, NB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NS, 3, NB, 128), jnp.int32),
         )
     else:
-        out_specs = pl.BlockSpec((tabs.nmax, lbr, 128),
+        out_specs = pl.BlockSpec((NS, lbr, 128),
                                  lambda g: (0, g, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((tabs.nmax, NB, 128), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((NS, NB, 128), jnp.float32)
     out = pl.pallas_call(
         kern,
         grid=(G,),
@@ -638,9 +781,9 @@ def sweep_dtau(tabs: MLTables, pos, dirn, sigma, active,
         interpret=sw._interpret(),
     )(pos3, dir3, grp, smin, smax, sig, *tabs.rho)
     if want_sub:
-        return (out[0].reshape(tabs.nmax, 3, NB * 128),
-                out[1].reshape(tabs.nmax, 3, NB * 128))
-    return out.reshape(tabs.nmax, NB * 128)
+        return (out[0].reshape(NS, 3, NB * 128),
+                out[1].reshape(NS, 3, NB * 128))
+    return out.reshape(NS, NB * 128)
 
 
 def sweep_deposit(tabs: MLTables, pos, dirn, active,
@@ -650,9 +793,9 @@ def sweep_deposit(tabs: MLTables, pos, dirn, active,
     consuming PASS-1's per-substep record (sweep_dtau want_sub=True) so no
     level-table access — and therefore no select loop — happens here.
 
-    dtau_sub/enc_sub (nmax, 3, B): per-substep taus + packed encodings;
+    dtau_sub/enc_sub (n_steps, 3, B): per-substep taus + packed encodings;
     lum_pre (B,): masked luminosity pre-scaled by 1/sqrt(rf_scale);
-    tau_int (B,): sampled interaction optical depth; tb_slab (nmax, B):
+    tau_int (B,): sampled interaction optical depth; tb_slab (n_steps, B):
     ray-ordered tau prefix per fine slab; inv2: the second 1/sqrt(rf_scale)
     factor, applied in-kernel (keeps XLA from folding the pair to zero).
 
@@ -664,29 +807,28 @@ def sweep_deposit(tabs: MLTables, pos, dirn, active,
                                                      sigma, active)
     lb = _lane_block(NB, n_groups)
     lbr = lb // 128
-    nmax = tabs.nmax
-    nlev = len(tabs.levels)
+    NS = tabs.n_steps
     G = NB // lbr
     ppb = G // n_groups
-    # slab-tiled accumulator: the (nmax, enc, 128) deposit planes stream
-    # through VMEM T slabs at a time (grid dim 0), so deep trees with
-    # nmax=256+ fine slabs fit the scoped VMEM budget; the interaction
-    # candidates come back per tile and combine with a max (the crossing
-    # slab is unique per lane)
-    T = nmax
+    # step-tiled accumulator: the (n_steps, enc, 128) deposit planes
+    # stream through VMEM T march steps at a time (grid dim 0), so deep
+    # trees fit the scoped VMEM budget; the interaction candidates come
+    # back per tile and combine with a max (the crossing step is unique
+    # per lane)
+    T = NS
     while T > 1 and T * tabs.enc * 128 * 4 > 4 * 2**20:
         T //= 2
-    while nmax % T:
+    while NS % T:
         T -= 1
-    NT = nmax // T
-    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=nmax, lb=lb,
+    NT = NS // T
+    meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, nmax=tabs.nmax, lb=lb,
                 enc=tabs.enc, ppb=ppb, inv2=float(inv2), T=T)
     kern = functools.partial(_ml_deposit_kernel, **meta)
-    tb3 = tb_slab.reshape(nmax, NB, 128)
+    tb3 = tb_slab.reshape(NS, NB, 128)
     lum3 = lum_pre.astype(jnp.float32).reshape(NB, 128)
     ti3 = tau_int.astype(jnp.float32).reshape(NB, 128)
-    dsub3 = dtau_sub.reshape(nmax, 3, NB, 128)
-    enc3 = enc_sub.reshape(nmax, 3, NB, 128)
+    dsub3 = dtau_sub.reshape(NS, 3, NB, 128)
+    enc3 = enc_sub.reshape(NS, 3, NB, 128)
     lane = lambda t, g: (g, 0)
     acc, s_int_t, found_t = pl.pallas_call(
         kern,
@@ -707,6 +849,10 @@ def sweep_deposit(tabs: MLTables, pos, dirn, active,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, 128), lambda t, g: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, 128), lambda t, g: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, T, tabs.enc, 128),
@@ -718,19 +864,23 @@ def sweep_deposit(tabs: MLTables, pos, dirn, active,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_groups, nmax, tabs.enc, 128),
+            jax.ShapeDtypeStruct((n_groups, NS, tabs.enc, 128),
                                  jnp.float32),
             jax.ShapeDtypeStruct((NT, NB, 128), jnp.float32),
             jax.ShapeDtypeStruct((NT, NB, 128), jnp.int32),
         ),
         interpret=sw._interpret(),
-    )(pos3, dir3, grp, smin, smax, dsub3, enc3, tb3, lum3, ti3)
+    )(pos3, dir3, grp, smin, smax, dsub3, enc3, tb3, lum3, ti3,
+      tabs.step_tlev, tabs.step_gs)
 
     B = NB * 128
     s_int = jnp.max(s_int_t, axis=0).reshape(B)
     found = (jnp.max(found_t, axis=0) != 0).reshape(B)
     s_int = jnp.maximum(s_int, 0.0)
-    # decode the (level, axis, row)-encoded planes into per-level box grids
+    # decode the (level, axis, row)-encoded step planes into per-level box
+    # grids: each march step maps to exactly one level voxel along the
+    # major axis (sht >= gs for covering levels), encoded in a static
+    # 0/1 matrix contracted on the MXU
     deltas = []
     for li, lv in enumerate(tabs.levels):
         x0, x1, y0, y1, z0, z1 = lv.box
@@ -738,12 +888,20 @@ def sweep_deposit(tabs: MLTables, pos, dirn, active,
         total = None
         for a in range(3):
             g = lv.ax[a]
-            sh = g.sht
-            sub = acc[:, g.t0 << sh:g.t1 << sh, g.off:g.off + g.rows, :]
             ntl = g.t1 - g.t0
-            sub = sub.reshape(n_groups, ntl, 1 << sh, g.rows * 128)
-            sub = sub.sum(axis=2)[:, :, : g.nu * g.nv]
-            sub = sub.reshape(n_groups, ntl, g.nu, g.nv)
+            M = np.zeros((NS, ntl), np.float32)
+            i = 0
+            for t0s, cnt, gs, _inc in tabs.plan:
+                for k in range(cnt):
+                    tl = ((t0s + (k << gs)) >> g.sht) - g.t0
+                    if 0 <= tl < ntl:
+                        M[i, tl] = 1.0
+                    i += 1
+            sub = acc[:, :, g.off:g.off + g.rows, :].reshape(
+                n_groups, NS, g.rows * 128)
+            sub = jnp.einsum("gsm,st->gtm", sub, jnp.asarray(M))
+            sub = sub[:, :, : g.nu * g.nv].reshape(n_groups, ntl,
+                                                   g.nu, g.nv)
             if a == 0:
                 cube = sub                                   # (t=x, y, z)
             elif a == 1:
@@ -757,6 +915,91 @@ def sweep_deposit(tabs: MLTables, pos, dirn, active,
     icell = locate_cells(tabs, ipos)
     icell = jnp.where(found, icell, -1)
     return tuple(deltas), s_int, icell, found
+
+
+def resolve_interaction(tabs: MLTables, pos, dirn, active, dtau_sub,
+                        tb_slab, tau_int):
+    """Exact interaction point from the per-substep tau record, all in XLA
+    (plan-aware twin of transport/sweepxl.resolve_interaction for the
+    multi-granularity march): locate the crossing MARCH STEP via the
+    ray-ordered prefix, then re-derive that step's <=3 sub-segments with
+    vector math at the step's granularity. The cell resolves afterwards
+    through the fine leaf map (locate_cells), so no cell id is computed
+    here. Returns (s_int, icell=-1 placeholder, found)."""
+    from ..ops import sampling as _smp
+
+    B = pos.shape[0]
+    NS = tabs.n_steps
+    grp = sw.dominant_axis(tabs, dirn)
+    dtau_slab = jnp.sum(dtau_sub, axis=1)               # (NS, B)
+    rel = tau_int[None, :] - tb_slab                    # geometric order
+    hit = (rel >= 0.0) & (rel < dtau_slab) & (dtau_slab > 0)
+    found = jnp.any(hit, axis=0) & active
+    t_hit = jnp.argmax(hit, axis=0).astype(jnp.int32)   # (B,) step index
+
+    # per-step plan metadata (host constants; dense take: NS is small)
+    t0f_np = np.zeros(NS, np.int32)
+    gs_np = np.zeros(NS, np.int32)
+    i = 0
+    for t0s, cnt, gs, _inc in tabs.plan:
+        for k in range(cnt):
+            t0f_np[i] = t0s + (k << gs)
+            gs_np[i] = gs
+            i += 1
+    tc_hit = _smp.take_small(jnp.asarray(t0f_np >> gs_np), t_hit)
+    gs_hit = _smp.take_small(jnp.asarray(gs_np), t_hit)
+    scale = jnp.left_shift(1, gs_hit).astype(jnp.float32)
+
+    take_t = lambda arr: jnp.take_along_axis(arr, t_hit[None, :], axis=0)[0]
+    rel_t = take_t(rel)
+    dj3 = [jnp.take_along_axis(dtau_sub[:, j], t_hit[None, :], axis=0)[0]
+           for j in range(3)]
+
+    # per-lane geometry at the hit step's granularity
+    lo = jnp.asarray(tabs.lo, jnp.float32)
+    hi = lo + (jnp.asarray(tabs.n, jnp.float32)
+               * jnp.asarray(tabs.h, jnp.float32))
+    tiny3 = jnp.abs(dirn) < 1e-30
+    inv3 = 1.0 / jnp.where(tiny3, 1e-30, dirn)
+    t1b = (lo[None] - pos) * inv3
+    t2b = (hi[None] - pos) * inv3
+    smin = jnp.maximum(jnp.max(jnp.where(tiny3, -_BIG,
+                                         jnp.minimum(t1b, t2b)), axis=-1),
+                       0.0)
+    smax = jnp.min(jnp.where(tiny3, _BIG, jnp.maximum(t1b, t2b)), axis=-1)
+    smax = jnp.where(active & (smax > smin), smax, smin)
+    g = sw._axis_geometry(grp, (pos[:, 0], pos[:, 1], pos[:, 2]),
+                          (dirn[:, 0], dirn[:, 1], dirn[:, 2]),
+                          tabs.n, tabs.lo, tabs.h)
+    gg = _scaled_geom(g, scale, gs_hit)
+    s_in, s_out = sw._slab_entry(gg, tc_hit, smin, smax)
+    act = s_in < s_out
+    span = s_out - s_in
+    s_cur = s_in
+    iu, iv = sw._minor_idx(gg, s_in + 1e-4 * span)
+    cum = jnp.zeros_like(rel_t)
+    s_int = jnp.zeros_like(rel_t)
+    got = jnp.zeros((B,), bool)
+    for j in range(3):
+        su, sv = sw._minor_crossing(gg, iu, iv)
+        s_nxt = jnp.minimum(jnp.minimum(su, sv), s_out)
+        ds = jnp.maximum(s_nxt - s_cur, 0.0) * act
+        dj = dj3[j]
+        here = (~got) & (rel_t >= cum) & (rel_t < cum + dj)
+        frac = (rel_t - cum) / jnp.maximum(dj, 1e-37)
+        s_int = jnp.where(here, s_cur + frac * ds, s_int)
+        got = got | here
+        cum = cum + dj
+        cross_u = su <= sv
+        iu = jnp.clip(iu + jnp.where(cross_u,
+                                     jnp.where(gg["du"] > 0, 1, -1), 0),
+                      0, gg["nu"] - 1)
+        iv = jnp.clip(iv + jnp.where(cross_u, 0,
+                                     jnp.where(gg["dv"] > 0, 1, -1)),
+                      0, gg["nv"] - 1)
+        s_cur = s_nxt
+    found = found & got
+    return s_int, jnp.full((B,), -1, jnp.int32), found
 
 
 def locate_cells(tabs: MLTables, pos) -> jax.Array:

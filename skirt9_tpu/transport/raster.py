@@ -189,6 +189,9 @@ def build_tables(grid, med, resolution: tuple | None = None) -> ml.MLTables:
                       box=(0, nx, 0, ny, 0, nz), nvox=nx * ny * nz)
     vox_ids = np.flatnonzero(owned).astype(np.int32)
     enc = sum(la.rows for la in ax)
+    nmax = int(max(n))
+    plan, n_steps = ml._make_plan((level,), nmax)
+    step_tlev, step_gs = ml._plan_step_meta(plan, n_steps)
     tabs = ml.MLTables(
         rho=tuple(rho_tabs),
         leafmap=jnp.asarray(owner),
@@ -198,8 +201,12 @@ def build_tables(grid, med, resolution: tuple | None = None) -> ml.MLTables:
         n=(nx, ny, nz),
         lo=tuple(float(v) for v in lo),
         h=tuple(float(v) for v in h),
-        nmax=int(max(n)),
+        nmax=nmax,
         enc=int(-(-enc // 8) * 8),
+        plan=plan,
+        n_steps=n_steps,
+        step_tlev=step_tlev,
+        step_gs=step_gs,
     )
     from ..utils.log import default as _log
     frac = _boundary_fraction(owner.reshape(nx, ny, nz))
