@@ -657,6 +657,7 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
         else:  # ConfigurableDustMix: explicit GrainPopulation children
             pops = []
             polarized = []
+            spheroidal_specs = []
             for p_el in el.iter("GrainPopulation"):
                 comp_el = _child(p_el, "composition")
                 # exact resource tables when the named composition's
@@ -674,14 +675,24 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                             if comp_el is not None
                             and "Graphite" in comp_el.tag
                             else gr.silicate_composition())
-                if comp_el is not None and "Polarized" in comp_el.tag:
+                if comp_el is not None and ("Polarized" in comp_el.tag
+                                            or "Spheroidal" in comp_el.tag):
                     # Polarized{Silicate,Graphite}GrainComposition select
                     # the SphericalPolarization scattering mode; the
                     # Mueller tables come from our Mie pipeline instead of
-                    # resource packs (ref: DustMix.hpp:319)
+                    # resource packs (ref: DustMix.hpp:319). Spheroidal
+                    # compositions derive from the polarized ones
+                    # (scattering stays spherical,
+                    # SpheroidalSilicateGrainComposition.hpp)
                     polarized.append(gr.nk_graphite_approx
                                      if "Graphite" in comp_el.tag
                                      else gr.nk_silicate_approx)
+                spec = None
+                if comp_el is not None and "Spheroidal" in comp_el.tag:
+                    # aligned-grain polarized EMISSION tables
+                    # (ref: GrainComposition::resourcesForSpheroidalEmission)
+                    spec = _spheroidal_spec(comp_el, base_dir)
+                spheroidal_specs.append(spec)
                 sd_el = _child(p_el, "sizeDistribution")
                 a = sd_el.attrib if sd_el is not None else {}
                 amin = _q(a, "minSize", "grainsize") if "minSize" in a else 5e-9
@@ -719,7 +730,8 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                 mass = _q(p_el.attrib, "dustMassPerHydrogenAtom", "mass") \
                     if "dustMassPerHydrogenAtom" in p_el.attrib else 1e-29
                 pops.append(gr.GrainPopulation(comp, sd, nbins, mass))
-                if (comp_el is not None and "Polarized" in comp_el.tag):
+                if (comp_el is not None and ("Polarized" in comp_el.tag
+                                             or "Spheroidal" in comp_el.tag)):
                     polarized[-1] = (polarized[-1], sd)
             mg = gr.build_multi_grain(pops)
             if polarized:
@@ -727,12 +739,54 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
                 mt = gr.mie_mueller([p for p in polarized
                                      if isinstance(p, tuple)], lam0)
                 object.__setattr__(mg.mix, "_mueller", mt)
+            if any(s is not None for s in spheroidal_specs):
+                se = gr.build_spheroidal_emission(pops, spheroidal_specs)
+                object.__setattr__(mg.mix, "_spheroidal", se)
         # MixTables is a frozen (but slot-less) dataclass; carry the
         # size-bin payload for the stochastic calculator on the object
         # itself so its lifetime is tied to the mix (no global cache)
         object.__setattr__(mg.mix, "_multigrain", mg)
         return mg.mix
     raise NotImplementedError(f"material mix '{t}' not supported yet")
+
+
+def _spheroidal_spec(comp_el, base_dir):
+    """SpheroidalEmissionSpec from a Spheroidal*GrainComposition element
+    (ref: SpheroidalSilicateGrainComposition.hpp tableType enum:
+    Builtin resource tables / OneTable / TwoTables with alignment
+    interpolation)."""
+    import os as _os
+
+    from ..media import grains as gr
+
+    a = comp_el.attrib
+    tt = a.get("tableType", "Builtin")
+    frac = float(a.get("alignmentFraction", "1."))
+
+    def _resolve(fn):
+        if not _os.path.isabs(fn):
+            fn = _os.path.join(base_dir, fn)
+        return fn
+
+    if tt == "OneTable":
+        return gr.SpheroidalEmissionSpec(
+            table1=_resolve(a["emissionTable"]), fraction=0.0)
+    if tt == "TwoTables":
+        return gr.SpheroidalEmissionSpec(
+            table1=_resolve(a["nonAlignedEmissionTable"]),
+            table2=_resolve(a["alignedEmissionTable"]),
+            fraction=frac)
+    # Builtin: reference resource tables (require an installed resource
+    # pack, utils/filepaths); graphite ships only the non-aligned table
+    # (ref: SpheroidalGraphiteGrainComposition.cpp:26)
+    from ..utils.filepaths import find_resource
+    kind = "Graphite" if "Graphite" in comp_el.tag else "Silicate"
+    t1 = find_resource(f"Spheroidal{kind}NonAlignedEmissionOpticalProps.stab")
+    if kind == "Silicate":
+        t2 = find_resource("SpheroidalSilicateAlignedEmissionOpticalProps"
+                           ".stab")
+        return gr.SpheroidalEmissionSpec(table1=t1, table2=t2, fraction=frac)
+    return gr.SpheroidalEmissionSpec(table1=t1, fraction=0.0)
 
 
 def multigrain_for(mix) -> "object | None":
@@ -1215,6 +1269,7 @@ def _load_ski(path: str, num_packets: int | None = None,
     medium = None
     components = []
     velocity_fields = []  # (component index, field, magnitude [m/s])
+    magnetic_fields = []  # (field, strength [T]) — medium-state B
     voronoi_import = None  # (sites (N,3), density (N,) [kg/m^3], mix, v)
     amr_import = None      # (file path, massType, importVelocity, mix, box)
     snapshot_import = None  # (snapshot, mix, temperature) particle/cell
@@ -1404,6 +1459,15 @@ def _load_ski(path: str, num_packets: int | None = None,
                 if vmag != 0.0:
                     velocity_fields.append((len(components),
                                             build_vector_field(vd_el), vmag))
+            bd_el = _child(m_el, "magneticFieldDistribution")
+            if bd_el is not None:
+                # (ref: GeometricMedium.hpp:47-52 magneticFieldDistribution
+                # VectorField x magneticFieldStrength multiplier; the
+                # reference allows one field-defining component)
+                bmag = _q(m_el.attrib, "magneticFieldStrength",
+                          "magneticfield", 0.0)
+                if bmag != 0.0:
+                    magnetic_fields.append((build_vector_field(bd_el), bmag))
             components.append((geom, mix, norm))
         grid_el = list(med_sys.find("grid"))[0]
         if amr_import is not None:
@@ -1584,6 +1648,11 @@ def _load_ski(path: str, num_packets: int | None = None,
                               / np.maximum(nsum, 1e-300)[:, None], 0.0)
             medium = medium._replace(
                 bulk_v=jnp.asarray(bulk_v, jnp.float32))
+        if magnetic_fields:
+            centers = np.asarray(grid.cell_centers(), np.float64)
+            fld, bmag = magnetic_fields[0]
+            medium = medium._replace(magnetic_field=jnp.asarray(
+                bmag * fld.field(centers), jnp.float32))
 
     if grid is None:
         # no medium: trivial one-cell empty grid spanning the sources
@@ -1672,6 +1741,19 @@ def _load_ski(path: str, num_packets: int | None = None,
         if mt is not None:
             mueller = mt
             break
+
+    # aligned-spheroidal-grain polarized dust emission (requires a
+    # magnetic field in the medium state; the reference likewise derives
+    # hasSpheroidalPolarization from the mixes, Configuration.cpp)
+    spheroidal = None
+    for _, mix_i, _ in components:
+        se = getattr(mix_i, "_spheroidal", None)
+        if se is not None:
+            if spheroidal is not None:
+                raise NotImplementedError(
+                    "multiple media with spheroidal emission tables are "
+                    "not supported (one combined mix is)")
+            spheroidal = se
 
     # X-ray gas: fluorescence + Compton channel tables switch the photon
     # cycle to the wavelength-changing X-ray branch (ref: XRayAtomicGasMix
@@ -1763,7 +1845,7 @@ def _load_ski(path: str, num_packets: int | None = None,
         max_primary_iterations=int(_f(ia, "maxPrimaryIterations", 10)),
         primary_iteration_packets_multiplier=_f(
             ia, "primaryIterationPacketsMultiplier", 1.0),
-        mueller=mueller, xray_tabs=xray_dev_tabs)
+        mueller=mueller, spheroidal=spheroidal, xray_tabs=xray_dev_tabs)
     # keep the configuration WITH the materialized defaults for the
     # parameters.xml round-trip: the build wrote every consulted default
     # back into the tree (ref: SkirtCommandLineHandler.cpp:342-347)

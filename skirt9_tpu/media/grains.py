@@ -746,3 +746,114 @@ def mrn_mueller(lam0: float = 0.55e-6, n_theta: int = 91):
     return mie_mueller([(nk_silicate_approx, power_law_sizes()),
                         (nk_graphite_approx, power_law_sizes())], lam0,
                        n_theta=n_theta)
+
+
+# ------------------------------------------------ spheroidal emission tables
+
+@dataclasses.dataclass(frozen=True)
+class SpheroidalEmissionSpec:
+    """Aligned-grain polarized-emission tables for one population
+    (ref: GrainComposition::resourcesForSpheroidalEmission,
+    SpheroidalSilicateGrainComposition.hpp Builtin/OneTable/TwoTables).
+
+    table1/table2: .stab path or StoredTable with axes
+    a(m), lambda(m), theta(rad) and quantities Qabs(1), Qabspol(1)
+    (the CosTuuM layout the reference consumes,
+    MultiGrainDustMix.cpp:198-203). `fraction` is the alignment fraction
+    q interpolating table1 (non-aligned) -> table2 (aligned)."""
+
+    table1: object
+    table2: object = None
+    fraction: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SpheroidalEmissionTables:
+    """Size-integrated polarized-emission cross sections per H
+    (ref: MultiGrainDustMix.cpp:186-317 sigmaabsvv/sigmaabspolvv)."""
+
+    lam: np.ndarray       # (L,)
+    theta: np.ndarray     # (T,) zenith angle w.r.t. the alignment axis
+    sabs: np.ndarray      # (L, T) sigma_abs per H [m^2]
+    sabspol: np.ndarray   # (L, T) linearly polarized component [m^2]
+
+
+def _open_spheroidal(table):
+    from ..utils.storedtable import StoredTable, read_stored_table
+    if isinstance(table, StoredTable):
+        return table
+    return read_stored_table(str(table))
+
+
+def _q_at_sizes(tab, a):
+    """(Qabs, Qabspol) interpolated to sizes a: each (n_a, L, T).
+
+    Stored-table values carry the FIRST declared axis LAST, so for axes
+    (a, lambda, theta) a quantity is shaped (T, L, A)."""
+    a_ax = np.asarray(tab.axes_points[0], np.float64)
+    la = np.log(a_ax)
+    lq = np.log(np.clip(a, a_ax[0], a_ax[-1]))
+    j = np.clip(np.searchsorted(la, lq) - 1, 0, len(a_ax) - 2)
+    f = np.clip((lq - la[j]) / np.maximum(la[j + 1] - la[j], 1e-300),
+                0.0, 1.0)
+    out = []
+    for qname in ("Qabs", "Qabspol"):
+        v = tab.quantity(qname).transpose(2, 1, 0)   # (A, L, T)
+        out.append((1.0 - f)[:, None, None] * v[j]
+                   + f[:, None, None] * v[j + 1])
+    return out
+
+
+def build_spheroidal_emission(populations: list,
+                              specs: list,
+                              nsizes_per_bin: int = 12
+                              ) -> SpheroidalEmissionTables:
+    """Integrate aligned-grain emission properties over the grain size
+    distributions (ref: MultiGrainDustMix.cpp:216-295: the spheroidal
+    branch weights pi a^2 Q(a, lambda, theta) by the size distribution).
+
+    `specs` parallels `populations`; a None entry contributes the
+    SPHERICAL terms Qabs(a,lambda,theta)=Qabs(a,lambda), Qabspol=0
+    (ref branch at MultiGrainDustMix.cpp:279-283). Output axes are those
+    of the first table; every table must share them.
+    """
+    first = next(s for s in specs if s is not None)
+    t0 = _open_spheroidal(first.table1)
+    l_out = np.asarray(t0.axes_points[1], np.float64)
+    th_out = np.asarray(t0.axes_points[2], np.float64)
+    L, T = len(l_out), len(th_out)
+    sabs = np.zeros((L, T))
+    sabspol = np.zeros((L, T))
+    for pop, spec in zip(populations, specs):
+        comp = pop.composition
+        a = np.geomspace(pop.sizes.a_min, pop.sizes.a_max,
+                         pop.num_bins * nsizes_per_bin)
+        w = pop.sizes.dnda(a) * a                       # per dln a
+        m_all = 4.0 / 3.0 * np.pi * a**3 * comp.bulk_density
+        mass_raw = np.trapezoid(w * m_all, np.log(a))
+        scale = pop.mass_per_h / mass_raw
+        factor = w * np.pi * a**2
+        if spec is None:
+            qa, _, _ = comp.q_tables(a, l_out)          # (n_a, L)
+            sabs += scale * np.trapezoid(factor[:, None] * qa,
+                                         np.log(a), axis=0)[:, None]
+            continue
+        tab1 = _open_spheroidal(spec.table1)
+        if (len(tab1.axes_points[1]) != L
+                or len(tab1.axes_points[2]) != T
+                or not np.allclose(tab1.axes_points[1], l_out)
+                or not np.allclose(tab1.axes_points[2], th_out)):
+            raise ValueError("spheroidal emission tables must share "
+                             "(lambda, theta) axes across populations")
+        Qa, Qp = _q_at_sizes(tab1, a)
+        if spec.fraction and spec.table2 is not None:
+            Qa2, Qp2 = _q_at_sizes(_open_spheroidal(spec.table2), a)
+            q = float(spec.fraction)
+            Qa = (1.0 - q) * Qa + q * Qa2
+            Qp = (1.0 - q) * Qp + q * Qp2
+        sabs += scale * np.trapezoid(factor[:, None, None] * Qa,
+                                     np.log(a), axis=0)
+        sabspol += scale * np.trapezoid(factor[:, None, None] * Qp,
+                                        np.log(a), axis=0)
+    return SpheroidalEmissionTables(lam=l_out, theta=th_out,
+                                    sabs=sabs, sabspol=sabspol)

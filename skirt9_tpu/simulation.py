@@ -65,6 +65,11 @@ class Simulation:
     batch_size: int = 16_384
     seed: int = 0
     mueller: object = None  # MuellerTables for polarized scattering
+    # aligned-spheroidal-grain polarized dust emission tables
+    # (media.grains.SpheroidalEmissionTables); needs a per-cell magnetic
+    # field in the medium state (ref: MaterialMix::ScatteringMode
+    # SpheroidalPolarization, DustSecondarySource.cpp polarised branch)
+    spheroidal: object = None
     source_bias: float = 0.5   # ref: SourceSystem.hpp:88 (xi over sources)
 
     # dust emission configuration (ref: DustEmissionOptions.hpp:30-66)
@@ -205,6 +210,18 @@ class Simulation:
                 self._sweep_tabs = _xsw.build_tables(self.grid, self.medium)
             else:
                 self._sweep_tabs = None
+                import jax as _jax
+                if _jax.default_backend() in ("tpu", "axon"):
+                    # a grid family that normally rides a fast engine but
+                    # failed its supports() gate (encoding rows, fine
+                    # raster size, component count...) silently costs
+                    # ~40x: say so (round-3 verdict: log every fallback)
+                    from .utils.log import default as _log
+                    _log().warning(
+                        "transport: no sweep engine supports "
+                        f"{type(self.grid).__name__} ({self.grid.ncells} "
+                        f"cells, {self.medium.ncomp} components) — "
+                        "falling back to the scan-march engine")
 
     def _fire_probes(self, when: str, rf=None, it=None):
         """Fire the per-iteration probe hooks (Primary/Secondary)
@@ -1155,10 +1172,9 @@ class Simulation:
                 lo, hi = sec.cell_bounds(self.grid)
                 self._bounds_dev = (jnp.asarray(lo, jnp.float32),
                                     jnp.asarray(hi, jnp.float32))
-            return sec.prepare_device(self.grid, L_cell, eps,
-                                      np.asarray(self.ems_borders),
-                                      self.spatial_bias,
-                                      bounds_dev=self._bounds_dev)
+            return self._attach_spheroidal(sec.prepare_device(
+                self.grid, L_cell, eps, np.asarray(self.ems_borders),
+                self.spatial_bias, bounds_dev=self._bounds_dev))
         L_cell = eq.dust_luminosities(med, etabs, rf, self.rf_scale)
         if self.dust_emission_type == "Stochastic":
             # per-cell temperature-probability distributions for every grain
@@ -1192,8 +1208,21 @@ class Simulation:
                 p_abs = eq.absorbed_power(med, etabs, rf, vols, self.rf_scale)
                 T = eq.equilibrium_temperature(etabs, p_abs, p_cmb=p_cmb)
             eps = eq.cell_emission_spectra(med, etabs, T)
-        return sec.prepare(self.grid, L_cell, eps,
-                           np.asarray(self.ems_borders), self.spatial_bias)
+        return self._attach_spheroidal(sec.prepare(
+            self.grid, L_cell, eps, np.asarray(self.ems_borders),
+            self.spatial_bias))
+
+    def _attach_spheroidal(self, source):
+        """Switch the dust secondary source to aligned-grain polarized
+        emission when spheroidal tables are configured (profile built once;
+        the per-cell B field is static over a run)."""
+        if self.spheroidal is None:
+            return source
+        if getattr(self, "_spheroidal_profile", None) is None:
+            self._spheroidal_profile = sec.build_spheroidal_profile(
+                self.spheroidal, self.medium)
+        return dataclasses.replace(source,
+                                   spheroidal=self._spheroidal_profile)
 
     def dust_temperature(self, rf):
         """Indicative equilibrium dust temperature per cell (ncells, H)

@@ -35,11 +35,25 @@ class DustSecondarySource:
     # bin-pure strata for the sweep engine even though there is no single
     # SED (per-cell spectra); see Simulation._strata_for
     lam_range: tuple = None
+    # aligned-spheroidal-grain polarized emission (SpheroidalEmissionProfile
+    # below); None = isotropic unpolarized emission (the default)
+    spheroidal: object = None
     _tables: dict = dataclasses.field(default=None, compare=False, hash=False,
                                       repr=False)
 
     def tables(self) -> dict:
         return self._tables
+
+    @property
+    def emission_phase(self):
+        """Direct-peel-off angular emission profile (lifecycle protocol);
+        present only for spheroidal polarized emission."""
+        return (self.spheroidal.emission_phase
+                if self.spheroidal is not None else None)
+
+    @property
+    def polarization(self):
+        return self.spheroidal
 
     def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
         # --- cell selection with bias correction
@@ -115,6 +129,15 @@ class DustSecondarySource:
         hi = tabs["cell_hi"][cell]
         pos = lo + u3 * (hi - lo)
 
+        if self.spheroidal is not None:
+            # aligned-grain polarized emission: direction from the
+            # per-wavelength theta-CDF around the cell's B axis, Stokes
+            # from (sigma_abs, sigma_abspol) at the sampled angle
+            # (ref: DustSecondarySource.cpp:562-583 polarised branch)
+            dirn = self.spheroidal.sample_direction(keys, lam, cell)
+            stokes, normal = self.spheroidal.stokes_for(dirn, lam, cell)
+            return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn,
+                    "stokes": stokes, "normal": normal}
         dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
         return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn}
 
@@ -229,3 +252,174 @@ def cell_bounds(grid):
     hi = np.stack(np.meshgrid(xb[1:], yb[1:], zb[1:], indexing="ij"),
                   axis=-1).reshape(-1, 3)
     return lo, hi
+
+
+# -------------------------------------------- spheroidal polarized emission
+
+@dataclasses.dataclass(frozen=True)
+class SpheroidalEmissionProfile:
+    """Aligned-grain polarized thermal emission for the dust secondary
+    source (ref: DustCellPolarisedEmission in DustSecondarySource.cpp:
+    generateDirection samples the zenith angle theta w.r.t. the cell's
+    magnetic field from a CDF ~ sigma_abs(lambda, theta) sin(theta);
+    polarizationForDirection returns (I, Q) = (sigma_abs, sigma_abspol)
+    with reference direction k x B).
+
+    All tables are device arrays; lookups avoid serialized XLA gathers
+    (dense compare-reduce over the small theta axis, row gathers over
+    the wavelength axis)."""
+
+    tabs: dict
+    # lifecycle protocol markers: emission_phase/stokes_for take
+    # (..., lam, cell)
+    wants_lam = True
+    wants_cell = True
+
+    @property
+    def polarization(self):
+        return self
+
+    def _lam_nodes(self, lam):
+        from ..ops import sampling as _smp
+        lt = self.tabs["lam"]
+        i = jnp.clip(_smp.searchsorted_right(lt, lam) - 1,
+                     0, lt.shape[0] - 2)
+        f = (lam - _smp.take_small(lt, i)) / jnp.maximum(
+            _smp.take_small(lt, i + 1) - _smp.take_small(lt, i), 1e-37)
+        return i, jnp.clip(f, 0.0, 1.0)
+
+    def _interp2(self, name, lam, theta):
+        """Bilinear (lambda, theta) lookup of tabs[name] per lane."""
+        from ..ops import sampling as _smp
+        i, fi = self._lam_nodes(lam)
+        tt = self.tabs["theta"]
+        j = jnp.clip(_smp.searchsorted_right(tt, theta) - 1,
+                     0, tt.shape[0] - 2)
+        fj = jnp.clip((theta - _smp.take_small(tt, j)) / jnp.maximum(
+            _smp.take_small(tt, j + 1) - _smp.take_small(tt, j), 1e-37),
+            0.0, 1.0)
+        tab = self.tabs[name]
+        r0 = tab[i]                      # (B, T) row gathers
+        r1 = tab[i + 1]
+        v00 = _smp.take_along_small(r0, j)
+        v01 = _smp.take_along_small(r0, j + 1)
+        v10 = _smp.take_along_small(r1, j)
+        v11 = _smp.take_along_small(r1, j + 1)
+        return ((1 - fi) * ((1 - fj) * v00 + fj * v01)
+                + fi * ((1 - fj) * v10 + fj * v11))
+
+    def _cell_b(self, cell):
+        c = jnp.clip(cell, 0, self.tabs["bdir"].shape[0] - 1)
+        b = self.tabs["bdir"][c]                          # (B, 3)
+        ok = self.tabs["bok"][c] > 0.5
+        return b, ok
+
+    def _theta_of(self, k, b):
+        return jnp.arccos(jnp.clip(jnp.sum(k * b, axis=-1), -1.0, 1.0))
+
+    def emission_phase(self, kobs, pos, lam, cell):
+        """Angular emission probability per sr toward the observer:
+        sigma_abs(lambda, theta_obs) normalized so the sphere average is
+        1/(4 pi); isotropic for cells without a magnetic field."""
+        from ..ops import sampling as _smp
+        B = lam.shape[0]
+        ko = jnp.broadcast_to(kobs, (B, 3))
+        b, ok = self._cell_b(cell)
+        theta = self._theta_of(ko, b)
+        sa = self._interp2("sabs", lam, theta)
+        nrm = _smp.interp_linlin(lam, self.tabs["lam"], self.tabs["norm"])
+        iso = 1.0 / (4.0 * jnp.pi)
+        return jnp.where(ok, sa / (4.0 * jnp.pi * jnp.maximum(nrm, 1e-37)),
+                         iso)
+
+    def stokes_for(self, k, lam, cell):
+        """Normalized Stokes state (I=1) + reference normal for emission
+        into direction k: Q/I = sigma_abspol/sigma_abs at (lambda, theta),
+        U = V = 0, normal = k x B (ref: polarizationForDirection)."""
+        b, ok = self._cell_b(cell)
+        theta = self._theta_of(k, b)
+        sa = jnp.maximum(self._interp2("sabs", lam, theta), 1e-37)
+        qr = jnp.where(ok, self._interp2("sabspol", lam, theta) / sa, 0.0)
+        st = jnp.stack([jnp.ones_like(qr), qr,
+                        jnp.zeros_like(qr), jnp.zeros_like(qr)], axis=-1)
+        n = jnp.cross(k, b)
+        nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        # degenerate (k parallel to B, or no field): any perpendicular
+        # direction works (Q is ~0 there)
+        fb = _any_perp(k)
+        n = jnp.where(nn > 1e-6, n / jnp.maximum(nn, 1e-30), fb)
+        return st, n
+
+    def sample_direction(self, keys, lam, cell):
+        """Emission direction: theta from the per-wavelength CDF around
+        the cell's B axis, phi uniform; isotropic without a field."""
+        from ..ops import sampling as _smp
+        b, ok = self._cell_b(cell)
+        i, fi = self._lam_nodes(lam)
+        inode = jnp.where(fi > 0.5, i + 1, i)
+        rows = self.tabs["cdf"][inode]                    # (B, T)
+        u = rng.uniform(keys, rng.LAUNCH_DIRECTION + 13)
+        j = jnp.sum((rows < u[:, None]).astype(jnp.int32), axis=1)
+        j = jnp.clip(j, 1, rows.shape[1] - 1)
+        c0 = _smp.take_along_small(rows, j - 1)
+        c1 = _smp.take_along_small(rows, j)
+        f = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.5)
+        tt = self.tabs["theta"]
+        th = _smp.take_small(tt, j - 1) + f * (
+            _smp.take_small(tt, j) - _smp.take_small(tt, j - 1))
+        phi = 2.0 * jnp.pi * rng.uniform(keys, rng.LAUNCH_DIRECTION + 14)
+        e1 = _any_perp(b)
+        e2 = jnp.cross(b, e1)
+        st_ = jnp.sin(th)
+        k = (jnp.cos(th)[:, None] * b
+             + (st_ * jnp.cos(phi))[:, None] * e1
+             + (st_ * jnp.sin(phi))[:, None] * e2)
+        k_iso = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        return jnp.where(ok[:, None], k, k_iso)
+
+
+def _any_perp(v):
+    """A unit vector perpendicular to each row of v (robust pick)."""
+    ax = jnp.where(jnp.abs(v[:, 0:1]) < 0.9,
+                   jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                   jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    e = jnp.cross(v, jnp.broadcast_to(ax, v.shape))
+    n = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    # v ~ 0 (no field): return the axis itself
+    return jnp.where(n > 1e-12, e / jnp.maximum(n, 1e-30),
+                     jnp.broadcast_to(ax, v.shape))
+
+
+def build_spheroidal_profile(sph, med) -> SpheroidalEmissionProfile:
+    """Device profile from size-integrated tables
+    (media.grains.SpheroidalEmissionTables) + the medium's per-cell
+    magnetic field (MediumState.magneticField,
+    ref: MediumSystem::magneticField)."""
+    B = np.asarray(med.magnetic_field, np.float64)
+    mag = np.linalg.norm(B, axis=-1)
+    ok = mag > 0
+    bdir = np.where(ok[:, None], B / np.maximum(mag, 1e-300)[:, None], 0.0)
+    th = np.asarray(sph.theta, np.float64)
+    sabs = np.asarray(sph.sabs, np.float64)
+    w = sabs * np.sin(th)[None, :]
+    # sphere average of the piecewise-LINEAR interpolant (what _interp2
+    # evaluates): refine each theta segment so the emission_phase
+    # normalization matches the interpolated profile, not just its nodes
+    thf = np.interp(np.linspace(0, len(th) - 1, (len(th) - 1) * 32 + 1),
+                    np.arange(len(th)), th)
+    sabs_f = np.stack([np.interp(thf, th, row) for row in sabs])
+    norm = 0.5 * np.trapezoid(sabs_f * np.sin(thf)[None, :], thf, axis=1)
+    seg = 0.5 * (w[:, 1:] + w[:, :-1]) * np.diff(th)[None, :]
+    cdf = np.concatenate([np.zeros((len(sabs), 1)), np.cumsum(seg, axis=1)],
+                         axis=1)
+    cdf = cdf / np.maximum(cdf[:, -1:], 1e-300)
+    return SpheroidalEmissionProfile(tabs={
+        "lam": jnp.asarray(sph.lam, jnp.float32),
+        "theta": jnp.asarray(th, jnp.float32),
+        "sabs": jnp.asarray(sabs, jnp.float32),
+        "sabspol": jnp.asarray(sph.sabspol, jnp.float32),
+        "norm": jnp.asarray(np.maximum(norm, 1e-300), jnp.float32),
+        "cdf": jnp.asarray(cdf, jnp.float32),
+        "bdir": jnp.asarray(bdir, jnp.float32),
+        "bok": jnp.asarray(ok.astype(np.float32)),
+    })
