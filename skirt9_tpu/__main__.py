@@ -24,7 +24,9 @@ def main(argv=None) -> int:
         prog="skirt9_tpu",
         description="TPU-native Monte Carlo radiative transfer (SKIRT 9 "
                     "capability set)")
-    ap.add_argument("skifiles", nargs="+", help=".ski parameter files")
+    ap.add_argument("skifiles", nargs="*",
+                    help=".ski parameter files (none: interactive wizard, "
+                    "like the reference's no-argument mode)")
     ap.add_argument("-o", "--outdir", default=".", help="output directory")
     ap.add_argument("-s", "--seed", type=int, default=0, help="RNG seed")
     ap.add_argument("-p", "--packets", type=int, default=None,
@@ -40,6 +42,9 @@ def main(argv=None) -> int:
                     help="devices for packet data-parallelism (0 = all); "
                     "the reference's -d throws 'not supported' "
                     "(SkirtCommandLineHandler.cpp:329) — here it works")
+    ap.add_argument("--export-schema", metavar="FILE", default=None,
+                    help="write a SMILE-style schema XML describing the "
+                    "supported item surface and exit (ref: smiletool)")
     ap.add_argument("--dd", action="store_true",
                     help="spatial domain decomposition: shard the per-cell "
                     "density/radiation-field tables into x-slabs over the "
@@ -49,6 +54,24 @@ def main(argv=None) -> int:
 
     from .config.ski import load_ski
     from .utils import log as logmod
+
+    if args.export_schema:
+        from .config.schema import export_smile
+        export_smile(args.export_schema)
+        print(f"Schema written to {args.export_schema}")
+        return 0
+
+    if not args.skifiles:
+        # interactive ski creation (ref: SkirtCommandLineHandler::
+        # doInteractive — `skirt` with no arguments walks a Q&A session
+        # and writes the ski file)
+        from .config.wizard import run_wizard
+        name = input("Enter a name for the new ski file (wizard): "
+                     ).strip() or "wizard"
+        path = os.path.join(args.outdir, name + ".ski")
+        run_wizard(path)
+        print(f"Created {path}. Run it with: python -m skirt9_tpu {path}")
+        return 0
 
     os.makedirs(args.outdir, exist_ok=True)
     for ski in args.skifiles:

@@ -264,3 +264,70 @@ def materialize(root) -> None:
             visit(c)
 
     visit(root)
+
+
+# ----------------------------------------------------------- schema export
+
+def supported_type_names() -> list:
+    """Item type names the ski loader accepts, extracted from the loader
+    source itself (the builders are `if t == "Name"` chains, so the
+    scan stays in sync with the code automatically)."""
+    import os
+    import re
+
+    src = open(os.path.join(os.path.dirname(__file__), "ski.py"),
+               encoding="utf-8").read()
+    names = set()
+    # t == "Name" / .tag == "Name" / == "Name" comparisons
+    for m in re.finditer(r'==\s*"([A-Z][A-Za-z0-9]+)"', src):
+        names.add(m.group(1))
+    # t in ("A", "B", ...) membership tests
+    for m in re.finditer(r'in\s*\(\s*((?:"[A-Z][A-Za-z0-9]+",?\s*)+)\)',
+                         src):
+        names.update(re.findall(r'"([A-Z][A-Za-z0-9]+)"', m.group(1)))
+    # registry/dict keys mapping type names (probe map, compositions...)
+    for m in re.finditer(r'"([A-Z][A-Za-z0-9]+(?:Probe|Composition|Mix|'
+                         r'Geometry|Source|SED|Grid|Mesh|Instrument|'
+                         r'Decorator|Policy|Distribution|VectorField|'
+                         r'Family|Normalization|Field|Recipe|Law))"\s*:',
+                         src):
+        names.add(m.group(1))
+    drop = {"MonteCarloSimulation", "UTF"}
+    return sorted(n for n in names - drop
+                  if not n.startswith(("Not", "No")) or n == "NoPolarization")
+
+
+def export_smile(path: str) -> str:
+    """Write a SMILE-style schema XML describing this framework's item
+    surface: the declarative registry's typed property definitions
+    (defaults + conditional relevance) plus every type name the loader
+    accepts (ref: the reference's `smiletool` schema export consumed by
+    MakeUp, SMILE/serialize/XmlHierarchyWriter)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("smile-schema", {"producer": "skirt9_tpu",
+                                       "format": "9"})
+    types = ET.SubElement(root, "Types")
+    reg_names = set()
+    for name, d in REGISTRY.items():
+        reg_names.add(name)
+        te = ET.SubElement(types, "Type", {"name": name})
+        for attr, val, names_i in d.inserts:
+            ie = ET.SubElement(te, "Insert", {"names": ",".join(names_i)})
+            if attr:
+                ie.set("attribute", attr)
+            if val is not None:
+                ie.set("value", val)
+        for p in d.props:
+            pe = ET.SubElement(te, "Property", {"name": p.name})
+            if p.default is not None:
+                pe.set("default", p.default)
+            if p.relevant_if is not None:
+                pe.set("relevantIf", p.relevant_if)
+    for name in supported_type_names():
+        if name not in reg_names:
+            ET.SubElement(types, "Type", {"name": name})
+    ET.indent(root)
+    ET.ElementTree(root).write(path, encoding="UTF-8",
+                               xml_declaration=True)
+    return path

@@ -33,9 +33,10 @@ radiation-field deposits compose exactly across levels at fine-slab
 granularity — no approximation anywhere.
 
 Deposits ride the MXU as in sweep.py, with the one-hot output row encoding
-(level, axis, minor-row) packed into 128 rows (supported when
-sum_{l,a} rows_{l,a} <= 128); the per-level accumulator planes map back to
-leaf cells once per segment.
+(level, axis, minor-row) packed into matmul passes of 128 rows each
+(one pass for sum_{l,a} rows_{l,a} <= 128, two up to 256 — the
+refinement-everywhere regime); the per-level accumulator planes map back
+to leaf cells once per segment.
 """
 
 from __future__ import annotations
@@ -236,7 +237,9 @@ def supports(grid, med, options=None) -> bool:
     except ValueError:
         return False
     enc = sum(la.rows for lv in meta["levels"] for la in lv.ax)
-    if enc > 128:
+    if enc > 256:
+        # beyond two deposit-matmul passes; the scan march takes over
+        # (refinement-everywhere trees past ~10^6 leaves)
         return False
     nfmax = max(meta["nf"])
     if nfmax > 256:
@@ -675,15 +678,19 @@ def _ml_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
                              (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
                              / jnp.maximum(dtau, 1e-37))
             contrib = scale * jnp.exp(-tau_loc) * ds * gfac * leaf_any
-            # one combined MXU deposit: output row = (level, axis, row) enc
+            # combined MXU deposit: output row = (level, axis, row) enc;
+            # one matmul pass per 128 encoding rows (refinement-everywhere
+            # trees reach enc up to 256 -> two passes)
             cf = ec.reshape(1, lb)
             rf_ = er.reshape(1, lb)
             sub = jax.lax.broadcasted_iota(jnp.int32, (128, lb), 0)
             Bm = jnp.where(sub == cf, 1.0, 0.0)
-            A = jnp.where(sub == rf_, contrib.reshape(1, lb), 0.0)
-            tile = jax.lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            acc_ref[0, tl] += tile[:enc]
+            for r0 in range(0, enc, 128):
+                A = jnp.where(sub == rf_ - r0, contrib.reshape(1, lb), 0.0)
+                tile = jax.lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+                hi = min(r0 + 128, enc)
+                acc_ref[0, tl, r0:hi] += tile[:hi - r0]
             # interaction point (exact cross-level composition: rel and
             # tau_loc are fine-granularity ray-ordered)
             rem = rel - tau_loc

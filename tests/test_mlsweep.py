@@ -185,3 +185,92 @@ def test_octree_simulation_end_to_end_sweep_vs_scan():
     tot = float(np.asarray(rf_r).sum())
     np.testing.assert_allclose(np.asarray(rf_s), np.asarray(rf_r),
                                rtol=5e-3, atol=1e-5 * tot)
+
+
+def test_two_pass_deposit_enc_over_128():
+    """Encoding rows > 128 (refinement-everywhere trees; supports() admits
+    up to 256) split the one-hot deposit into two MXU passes. A
+    single-level 128x128x8 table forces enc = 144 with modest cost; tau,
+    deposits, and the interaction point must still match the scan march."""
+    from skirt9_tpu.grids.cartesian import make_cartesian
+    from skirt9_tpu.transport import raster as ra
+    from skirt9_tpu.transport.sweep import slab_prefix
+
+    n = (128, 128, 8)
+    lo = (-PC, -PC, -PC / 8)
+    hi = (PC, PC, PC / 8)
+    grid = make_cartesian(tuple(zip(lo, hi)), n)
+    rs = np.random.default_rng(7)
+    nd = (rs.uniform(0.2, 1.0, grid.ncells) / (SIG * PC)).astype(np.float32)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           sigma_ext=np.full((1, 2), SIG),
+                           albedo=np.full((1, 2), 0.5),
+                           g=np.full((1, 2), 0.3))
+
+    # single-level MLTables over the SAME cells (raster-style build with
+    # an identity owner map)
+    import skirt9_tpu.transport.raster as _ra
+
+    class _FakeVor:
+        box_lo, box_hi = lo, hi
+        ncells = grid.ncells
+        sites = None
+
+    owner = np.arange(grid.ncells, dtype=np.int32)
+    orig = _ra._owner_map
+    _ra._owner_map = lambda g_, centers: owner
+    try:
+        tabs = ra.build_tables(_FakeVor(), med, resolution=n)
+    finally:
+        _ra._owner_map = orig
+    assert tabs.enc > 128, tabs.enc
+
+    B = 256
+    rs2 = np.random.default_rng(5)
+    glo = np.asarray(lo) + 0.05 * (np.asarray(hi) - np.asarray(lo))
+    ghi = np.asarray(hi) - 0.05 * (np.asarray(hi) - np.asarray(lo))
+    pos = jnp.asarray(rs2.uniform(glo, ghi, (B, 3)), jnp.float32)
+    d_ = rs2.normal(size=(B, 3))
+    dirn = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True),
+                       jnp.float32)
+    lam = jnp.full((B,), 0.55e-6)
+    opt = msys.optics_at(med, lam)
+    cell = grid.locate(pos)
+    active = cell >= 0
+
+    cells, ds, dtau = lc.march_record(grid, med, opt, pos, dirn, cell,
+                                      grid.max_steps(), active)
+    tau_before = jnp.cumsum(dtau, axis=0) - dtau
+    tau_path_ref = tau_before[-1] + dtau[-1]
+    rf_ref = lc.deposit_rf(jnp.zeros((grid.ncells, 1), jnp.float32),
+                           cells, ds, dtau, tau_before,
+                           jnp.ones((B,), jnp.float32),
+                           jnp.zeros((B,), jnp.int32), active, 1.0)
+
+    dtau_sub, enc_sub = ml.sweep_dtau(tabs, pos, dirn, opt.sigma_ext.T,
+                                      active, want_sub=True)
+    dtau_slab = jnp.sum(dtau_sub, axis=1)
+    grp = jnp.argmax(jnp.abs(dirn) / jnp.asarray(tabs.h), axis=-1)
+    dmaj = jnp.take_along_axis(dirn, grp[:, None], 1)[:, 0]
+    tb_slab, tau_path = slab_prefix(dtau_slab, dmaj > 0)
+    a = np.asarray(active)
+    np.testing.assert_allclose(np.asarray(tau_path)[a],
+                               np.asarray(tau_path_ref)[a],
+                               rtol=2e-4, atol=1e-5)
+    tau_int = 0.6 * tau_path_ref
+    deltas, s_int, icell, found = ml.sweep_deposit(
+        tabs, pos, dirn, active, dtau_sub, enc_sub,
+        jnp.where(active, 1.0, 0.0), tau_int, tb_slab, 1.0)
+    rf_state = tuple(r + d for r, d in zip(ml.init_rf(tabs, 1), deltas))
+    rf_ml = ml.finalize_rf(tabs, rf_state, grid.ncells)
+    tot = float(np.asarray(rf_ref).sum())
+    np.testing.assert_allclose(np.asarray(rf_ml)[:, 0],
+                               np.asarray(rf_ref)[:, 0],
+                               rtol=3e-3, atol=3e-6 * tot)
+    ipos_r, icell_r, found_r, _, _ = lc.interaction_point(
+        pos, dirn, cells, ds, dtau, tau_before, tau_int, active)
+    hit = a & np.asarray(found_r)
+    np.testing.assert_array_equal(np.asarray(found)[a],
+                                  np.asarray(found_r)[a])
+    np.testing.assert_array_equal(np.asarray(icell)[hit],
+                                  np.asarray(icell_r)[hit])
