@@ -61,6 +61,8 @@ def main(argv=None) -> int:
         print(f"Schema written to {args.export_schema}")
         return 0
 
+    os.makedirs(args.outdir, exist_ok=True)
+
     if not args.skifiles:
         # interactive ski creation (ref: SkirtCommandLineHandler::
         # doInteractive — `skirt` with no arguments walks a Q&A session
@@ -72,8 +74,6 @@ def main(argv=None) -> int:
         run_wizard(path)
         print(f"Created {path}. Run it with: python -m skirt9_tpu {path}")
         return 0
-
-    os.makedirs(args.outdir, exist_ok=True)
     for ski in args.skifiles:
         prefix = os.path.splitext(os.path.basename(ski))[0]
         # file log next to the outputs (ref: FileLog; <prefix>_log.txt)

@@ -1014,11 +1014,41 @@ def build_wavelength_grid(el) -> np.ndarray:
             borders.append(borders[-1] * (1.0 + 1.0 / R))
         return np.asarray(borders)
     if t == "CompositeWavelengthGrid":
-        # union of child grids' borders (ref: CompositeWavelengthGrid)
+        # reference compositing semantics (ref: CompositeWavelengthGrid.cpp
+        # SegmentedGrid::add): children composite IN ORDER, later children's
+        # bins REPLACING any earlier bins they overlap; earlier bins only
+        # partially overlapped are truncated at the newcomer's range edges.
+        # Our wavelength grids are live-border lists (no dead segments), so
+        # disjoint children that would leave a zero-transmission gap between
+        # bins are rejected instead of silently bridged.
         kids = _child_list(el, "wavelengthGrids")
-        bs = np.concatenate([np.asarray(build_wavelength_grid(k))
-                             for k in kids])
-        return np.unique(bs)
+        segs: list[tuple[float, float]] = []    # disjoint live bins, sorted
+        for k in kids:
+            b = np.asarray(build_wavelength_grid(k), np.float64)
+            lo, hi = float(b[0]), float(b[-1])
+            kept = []
+            for (l, r) in segs:
+                if r <= lo * (1 + 1e-9) and l < lo:
+                    kept.append((l, min(r, lo)))
+                elif l >= hi * (1 - 1e-9) and r > hi:
+                    kept.append((max(l, hi), r))
+                else:
+                    if l < lo * (1 - 1e-9):
+                        kept.append((l, lo))
+                    if r > hi * (1 + 1e-9):
+                        kept.append((hi, r))
+            kept.extend(zip(b[:-1], b[1:]))
+            segs = sorted(kept)
+        borders = [segs[0][0]]
+        for (l, r) in segs:
+            if l > borders[-1] * (1 + 1e-9):
+                raise NotImplementedError(
+                    "CompositeWavelengthGrid: child grids leave a dead "
+                    f"(zero-transmission) gap [{borders[-1]:.6g}, {l:.6g}] m; "
+                    "gapped composite grids are not supported — add a child "
+                    "covering the gap")
+            borders.append(float(r))
+        return np.asarray(borders)
     raise NotImplementedError(f"wavelength grid '{t}' not supported yet")
 
 

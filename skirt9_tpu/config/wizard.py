@@ -54,7 +54,7 @@ GEOMETRIES = {
                           "maxZ": "0 pc"}),
     "Sersic bulge": ("SersicGeometry",
                      {"effectiveRadius": "1 pc", "index": "4"}),
-    "uniform sphere": ("UniformBoxGeometry",
+    "uniform box": ("UniformBoxGeometry",
                        {"minX": "-1 pc", "maxX": "1 pc", "minY": "-1 pc",
                         "maxY": "1 pc", "minZ": "-1 pc", "maxZ": "1 pc"}),
 }

@@ -272,7 +272,12 @@ class Simulation:
         dec, ddmesh = st["dec"], st["mesh"]
         nrf = (len(self.rf_borders) - 1
                if (self.rf_borders is not None and opts.store_rf) else 1)
-        key = ("dd", seg_key, int(n_packets), float(lum_weight), nrf,
+        # hist_base is baked into the compiled runner as a trace-time
+        # constant (hist_end = hist_base + n_total), so it must be part of
+        # the cache key — a stale runner would apply the wrong
+        # launch-validity window (round-4 advisory)
+        key = ("dd", seg_key, int(n_packets), int(hist_base),
+               float(lum_weight), nrf,
                opts.store_rf, opts.peel_off, opts.primary)
         if key not in self._seg_cache:
             self._seg_cache[key] = dom.dd_segment(

@@ -168,9 +168,10 @@ class FilePolarizedPointSource:
 
     def stokes_for(self, k, lam):
         """Stokes state for propagation directions k at wavelengths lam;
-        the reference direction is the projection of the symmetry axis on
-        the plane perpendicular to k (ref: FilePolarizedPointSource.hpp
-        'Reference direction')."""
+        the reference direction is n = s x k / ||s x k|| — the normal of
+        the (symmetry axis, propagation) plane, matching the reference's
+        convention (ref: FilePolarizedPointSource.hpp 'Reference
+        direction') and SpheroidalEmissionProfile.stokes_for."""
         s = jnp.asarray(self._frame[0], jnp.float32)
         mu = jnp.clip(jnp.sum(k * s[None, :], axis=-1), -1.0, 1.0)
         I = jnp.maximum(self._interp_tab(self._I, lam, mu), 1e-37)
@@ -178,7 +179,7 @@ class FilePolarizedPointSource:
         u = self._interp_tab(self._QUV[1], lam, mu) / I
         v = self._interp_tab(self._QUV[2], lam, mu) / I
         stokes = jnp.stack([jnp.ones_like(q), q, u, v], axis=-1)
-        n = s[None, :] - mu[:, None] * k
+        n = jnp.cross(jnp.broadcast_to(s[None, :], k.shape), k)
         nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
         # degenerate (k parallel to s): any perpendicular direction works
         fallback = jnp.asarray(self._frame[1], jnp.float32)

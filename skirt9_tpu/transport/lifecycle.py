@@ -544,6 +544,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                  and (not opts.kinematics or kin_ok)
                  and not opts.lya and not opts.compton and not opts.xray
                  and B_lanes % max(128 * n_groups, 128) == 0
+                 # the XL streamed engine covers lanes in 8-row blocks:
+                 # NB = B/128 must divide into them exactly (sweepxl
+                 # _lane_block raises otherwise)
+                 and (not is_xl or (B_lanes // 128) % 8 == 0)
                  and rf_nbins >= 0)
     if sweep_tabs is not None and not use_sweep and not is_ml:
         # engine fallback is a material performance event — say so once per
@@ -565,6 +569,9 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if B_lanes % max(128 * n_groups, 128) != 0:
             why.append(f"batch {B_lanes} not divisible by "
                        f"{128 * max(n_groups, 1)}")
+        if is_xl and (B_lanes // 128) % 8 != 0:
+            why.append(f"batch {B_lanes} not divisible into the XL "
+                       "engine's 1024-lane blocks")
         if rf_nbins < 0:
             why.append("multi-bin RF without bin-pure lane layout")
         _log().warning("transport: falling back to the scan-march engine "

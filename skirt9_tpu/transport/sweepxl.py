@@ -276,10 +276,20 @@ def _xl_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
 # ------------------------------------------------------------------ wrappers
 
 def _lane_block(NB: int) -> int:
-    best = 8
+    """Largest lane-block rows (multiple of 8, <=16) dividing NB.
+
+    NB = B/128 lane rows; every program must own an exact block, so lbr
+    must DIVIDE NB — silently flooring G = NB//lbr would drop the
+    remainder rows (zero optical depth => transparent medium). Raise for
+    batch shapes the kernel cannot cover (mirrors mlsweep._lane_block)."""
+    best = None
     for d in (8, 16):
         if NB % d == 0:
             best = d
+    if best is None:
+        raise ValueError(
+            f"sweepxl needs the {NB}-row batch divisible into 8-row lane "
+            f"blocks; use a batch size that is a multiple of 1024")
     return best * 128
 
 

@@ -58,14 +58,31 @@ def test_border_wavelength_grids():
                                   resolution="20"))
     np.testing.assert_allclose(r[1:] / r[:-1], 1.05, rtol=1e-12)
 
+    # compositing: a later child REPLACES the borders of earlier children
+    # over its full range; earlier bins partially overlapped are truncated
+    # at the newcomer's edge (ref: CompositeWavelengthGrid.cpp
+    # SegmentedGrid::add/replaceSegments)
     comp = _el("CompositeWavelengthGrid")
     kids = ET.SubElement(comp, "wavelengthGrids")
-    kids.append(_el("LogWavelengthGrid", minWavelength="0.1 micron",
-                    maxWavelength="1 micron", numWavelengths="5"))
-    kids.append(_el("LinWavelengthGrid", minWavelength="2 micron",
+    kids.append(_el("LinWavelengthGrid", minWavelength="1 micron",
                     maxWavelength="3 micron", numWavelengths="4"))
-    u = build_wavelength_grid(comp)
-    assert (np.diff(u) > 0).all() and len(u) >= 10
+    kids.append(_el("LinWavelengthGrid", minWavelength="2 micron",
+                    maxWavelength="4 micron", numWavelengths="2"))
+    u = build_wavelength_grid(comp) / 1e-6
+    # child 1 (chars 1, 5/3, 7/3, 3) has borders 2/3, 4/3, 2, 8/3, 10/3;
+    # child 2 (chars 2, 4) has borders 1, 3, 5 and REPLACES [1, 5],
+    # truncating child 1 to its part below 1: [2/3, 1]
+    np.testing.assert_allclose(u, [2 / 3, 1.0, 3.0, 5.0], rtol=1e-5)
+    # disjoint children with a dead (zero-transmission) gap are rejected —
+    # our live-border representation cannot express dead segments
+    gap = _el("CompositeWavelengthGrid")
+    gkids = ET.SubElement(gap, "wavelengthGrids")
+    gkids.append(_el("LogWavelengthGrid", minWavelength="0.1 micron",
+                     maxWavelength="1 micron", numWavelengths="5"))
+    gkids.append(_el("LinWavelengthGrid", minWavelength="2 micron",
+                     maxWavelength="3 micron", numWavelengths="4"))
+    with pytest.raises(NotImplementedError):
+        build_wavelength_grid(gap)
 
 
 def test_symlog_mesh():

@@ -85,6 +85,14 @@ def test_file_polarized_point_source_launch_and_stokes():
     p = np.hypot(quv[0].sum(), quv[1].sum()) / direct
     assert 0.27 < p < 0.33
     assert abs(np.asarray(accs[0]["stokes"])[2]).sum() < 1e-6 * direct
+    # SIGN check (round-4 advisory): the table's Stokes frame has
+    # reference direction n = s x k (reference convention), so Q/I = +0.3
+    # means E-field along s x k — azimuthal around the symmetry axis,
+    # horizontal in the edge-on image — which lands in the instrument
+    # frame as Q = +0.3 * I_direct. The old (wrong) projection normal
+    # n = s - (k.s)k is rotated 90 deg and would flip this to -0.3.
+    assert quv[0].sum() > 0.27 * direct
+    assert abs(quv[1].sum()) < 1e-4 * direct
 
 
 def test_read_fits_geometry_deprojection(tmp_path):
