@@ -191,6 +191,25 @@ def bench_config5():
     return {"rate": n_pk / (time.perf_counter() - t0)}
 
 
+def bench_config6():
+    """Lyman-alpha resonant line transfer (BASELINE.md config 6): tau0=1e5
+    uniform HI sphere at 1e4 K, LyaGaussianSED point source, Constant
+    acceleration scheme (xcrit=3) — the exact bench6.ski the reference
+    binary ran (ref: LyaNeutralHydrogenGasMix, LyaUtils.cpp)."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench6.ski")
+    n_pk = 1 << 17
+
+    sim = load_ski(ski, batch_size=1 << 16, max_events=128,
+                   num_packets=n_pk)
+    sim.seed = 0
+    sim.run_primary(verbose=False)      # warmup/compile
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
+
+
 def _bench_config1_at(n: int, n_pk: int):
     """bench1 scaled to an n^3 uniform grid (the large-grid capability
     benchmark: beyond ~73^3 the streamed one-hot-matmul engine
@@ -280,6 +299,7 @@ CONFIGS = {
     "3": bench_config3,
     "4": bench_config4,
     "5": bench_config5,
+    "6": bench_config6,
     "1x128": bench_config1x128,
     "1x256": bench_config1x256,
     "3d9": bench_config3d9,
@@ -319,7 +339,7 @@ def main():
         return
 
     results = {name: _run_isolated(name)
-               for name in ("2", "1", "1h", "3", "4", "5",
+               for name in ("2", "1", "1h", "3", "4", "5", "6",
                             "1x128", "1x256", "3d9")}
 
     base = {}
@@ -332,7 +352,10 @@ def main():
                 "1h": b.get("config1h_packets_per_s"),
                 "3": b.get("config3_packets_per_s"),
                 "4": b.get("config4_packets_per_s"),
-                "5": b.get("config5_packets_per_s")}
+                "5": b.get("config5_packets_per_s"),
+                "6": b.get("config6_packets_per_s"),
+                "1x128": b.get("config1x128_packets_per_s"),
+                "1x256": b.get("config1x256_packets_per_s")}
 
     def rate(name):
         r = results.get(name)
@@ -364,13 +387,17 @@ def main():
         "config5_polarized_kinematic_packets_per_s":
             round(rate("5"), 1) if rate("5") else None,
         "config5_vs_baseline": vs("5"),
-        # large-grid capability benchmarks (no 2-core baseline measured;
-        # the reference's throughput at these sizes scales down with the
-        # ~4x/8x crossing count)
+        "config6_lya_packets_per_s":
+            round(rate("6"), 1) if rate("6") else None,
+        "config6_vs_baseline": vs("6"),
+        # large-grid runs (2-core baselines measured round 5: the
+        # reference's primary-emission-phase rate at 128^3/256^3)
         "config1_128cube_packets_per_s":
             round(rate("1x128"), 1) if rate("1x128") else None,
+        "config1_128cube_vs_baseline": vs("1x128"),
         "config1_256cube_packets_per_s":
             round(rate("1x256"), 1) if rate("1x256") else None,
+        "config1_256cube_vs_baseline": vs("1x256"),
         "config3_maxlevel9_packets_per_s":
             round(rate("3d9"), 1) if rate("3d9") else None,
         "iterations": (results.get("2") or {}).get("iterations"),

@@ -596,6 +596,22 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
             from ..ops import stokes as stk
             object.__setattr__(emix, "_mueller", stk.electron_mueller())
         return emix
+    if t == "LyaNeutralHydrogenGasMix":
+        # Lyman-alpha resonant scattering by neutral hydrogen: the opacity
+        # is computed on the fly per (wavelength, cell temperature) from
+        # the Voigt profile (ops/lya), NOT from static mix tables, so this
+        # returns a zero-opacity marker mix carrying the configuration
+        # (ref: LyaNeutralHydrogenGasMix.hpp:16-47)
+        a = el.attrib
+        lam = np.array([1e-8, 1e-3])
+        m_ = mx.MixTables(lam=lam, sigma_ext=np.zeros(2),
+                          albedo=np.zeros(2), g=np.zeros(2),
+                          mu=1.67262e-27 + 9.10938e-31)  # m_p + m_e
+        object.__setattr__(m_, "_lya", {
+            "T_default": _q(a, "defaultTemperature", "temperature", 1e4),
+            "polarization": a.get("includePolarization",
+                                  "false") == "true"})
+        return m_
     if t == "XRayAtomicGasMix":
         # X-ray photo-absorption + electron scattering gas
         # (ref: XRayAtomicGasMix.hpp:288; built-in Verner H+He fits, full
@@ -1796,16 +1812,52 @@ def _load_ski(path: str, num_packets: int | None = None,
             xray_dev_tabs = _xr.device_tables(xt)
             break
 
+    # Lyman-alpha line transfer (ref: Configuration.cpp:116-135): the
+    # LyaNeutralHydrogenGasMix marker switches the photon cycle to the
+    # resonant branch; acceleration scheme from MediumSystem lyaOptions
+    lya_cfg = None
+    for _, mix_i, _ in components:
+        lv = getattr(mix_i, "_lya", None)
+        if lv is not None:
+            lya_cfg = lv
+            break
+    lya_xcrit = 0.0
+    lya_variable = False
+    lya_strength = 1.0
+    if lya_cfg is not None:
+        if mode != "LyaExtinctionOnly":
+            raise ValueError("LyaNeutralHydrogenGasMix requires "
+                             "simulationMode='LyaExtinctionOnly' "
+                             "(ref: Configuration.cpp:298-301)")
+        lo_el = mcs.find(".//lyaOptions/LyaOptions")
+        la = lo_el.attrib if lo_el is not None else {}
+        scheme = la.get("lyaAccelerationScheme", "Variable")
+        lya_strength = _f(la, "lyaAccelerationStrength", 1.0)
+        if scheme == "Constant":
+            lya_xcrit = 3.0 * lya_strength     # ref: LyaUtils.cpp:55
+        elif scheme == "Variable":
+            lya_variable = True                # per-cell (nH/T)^(1/6)
+        # per-cell gas temperature defaults to the mix's defaultTemperature
+        # wherever the import didn't provide one (make_medium zero-fills)
+        if medium is not None:
+            T0 = float(lya_cfg["T_default"])
+            tarr = np.asarray(medium.temperature)
+            tarr = np.where(tarr > 0, tarr, T0).astype(np.float32)
+            medium = medium._replace(temperature=jnp.asarray(tarr))
+
     # photon-cycle knobs (ref: PhotonPacketOptions.hpp defaults)
     pp_el = mcs.find(".//photonPacketOptions/PhotonPacketOptions")
     pa = pp_el.attrib if pp_el is not None else {}
     force_scattering = pa.get("forceScattering", "true") == "true"
     path_length_bias = _f(pa, "pathLengthBias", 0.5)
     kinematics = bool(velocity_fields) and not oligo
-    if kinematics and force_scattering and path_length_bias > 0.0:
-        # moving media invalidate path-length stretching (the stretched
-        # path samples Doppler-shifted opacities incorrectly); the
-        # reference forces the bias off (ref: Configuration.cpp:493-497)
+    if (kinematics or lya_cfg is not None) and force_scattering \
+            and path_length_bias > 0.0:
+        # moving media and resonant Lya invalidate path-length stretching
+        # (the stretched path samples Doppler-shifted opacities
+        # incorrectly); the reference forces the bias off
+        # (ref: Configuration.cpp:493-497, condition includes
+        # _hasLymanAlpha)
         path_length_bias = 0.0
 
     max_steps = grid.max_steps() if hasattr(grid, "max_steps") else 128
@@ -1822,6 +1874,10 @@ def _load_ski(path: str, num_packets: int | None = None,
                                    "explicitAbsorption", "false") == "true",
                                kinematics=kinematics,
                                polarization=mueller is not None,
+                               lya=lya_cfg is not None,
+                               lya_xcrit=lya_xcrit,
+                               lya_variable=lya_variable,
+                               lya_strength=lya_strength,
                                xray=xray_dev_tabs is not None)
     # dynamic medium state recipes + primary-emission iterations
     # (ref: DynamicStateOptions.hpp:20, IterationOptions.hpp:21-66,

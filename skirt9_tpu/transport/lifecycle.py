@@ -83,7 +83,12 @@ class TransportOptions:
                                    # wavelength redistribution (ref:
                                    # LyaNeutralHydrogenGasMix, LyaUtils)
     lya_xcrit: float = 0.0         # core-skipping critical x (0 = off;
-                                   # ref: LyaOptions acceleration schemes)
+                                   # ref: LyaOptions acceleration schemes;
+                                   # Constant scheme: strength * 3)
+    lya_variable: bool = False     # Variable acceleration scheme: per-cell
+                                   # xcrit = strength * (nH/T)^(1/6)
+                                   # (ref: LyaUtils.cpp:58-61)
+    lya_strength: float = 1.0      # acceleration strength multiplier
     xray: bool = False             # X-ray gas: fluorescence (wavelength-
                                    # changing re-emission at line energies)
                                    # + bound/free Compton scattering as the
@@ -657,7 +662,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                                            pkt.lam)
         else:
             per_sr = lambda kobs: pkt.lum * emission_phase(kobs, pkt.pos)
-        lam_march0 = pkt.lam if opts.kinematics else None
+        # Lya: the emission peel-off march needs the resonant Voigt opacity
+        # at the packet wavelength (round-5 fix: without lya the direct
+        # component escaped unattenuated at line center)
+        lam_march0 = pkt.lam if (opts.kinematics or opts.lya) else None
         # polarized emission: per-observer Stokes from the source's
         # polarization profile, rotated into the instrument frame
         # (ref: MonteCarloSimulation::peelOffEmission polarized branch)
@@ -702,6 +710,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                            pkt.lam, pkt.pos, pkt.cell, per_sr, kind_direct,
                            opts.max_steps, emit, transparent_too=True,
                            lam_march=lam_march0, lam_fn=emis_lam_fn,
+                           lya=opts.lya,
                            tracer=tracer, dist=pkt.dist,
                            stokes_fn=emis_stokes_fn)
             accs = _stitch(accs, dist_ids, sub)
@@ -953,19 +962,32 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             inv_sqrt2 = 0.7071067811865476
             up1 = rng.gauss(keys, _TAG_SCATTER_COMP + 41) * inv_sqrt2
             up2 = rng.gauss(keys, _TAG_SCATTER_COMP + 42) * inv_sqrt2
-            core = jnp.abs(x_in) < 0.2
-            if opts.lya_xcrit > 0:
+            if opts.lya_xcrit > 0 or opts.lya_variable:
                 # core-skipping: boost the perpendicular velocity so the
                 # photon leaves the interaction in the wing (Smith+ scheme;
-                # ref: LyaOptions acceleration schemes :17-59)
-                skip = jnp.abs(x_in) < opts.lya_xcrit
+                # ref: LyaUtils.cpp:47-66). Constant scheme: fixed xcrit;
+                # Variable scheme: per-cell strength * (nH/T)^(1/6)
+                if opts.lya_variable:
+                    nH_here = jnp.sum(med.nd[jnp.maximum(icell, 0)],
+                                      axis=-1)
+                    xc = opts.lya_strength * (
+                        jnp.maximum(nH_here, 1e-30) / T_lya) ** (1.0 / 6.0)
+                else:
+                    xc = jnp.full_like(x_in, opts.lya_xcrit)
+                skip = jnp.abs(x_in) < xc
                 u_r = rng.uniform(keys, _TAG_SCATTER_COMP + 43)
                 u_a = rng.uniform(keys, _TAG_SCATTER_COMP + 44)
-                mag = jnp.sqrt(opts.lya_xcrit**2 - jnp.log(u_r))
+                mag = jnp.sqrt(xc * xc - jnp.log(u_r))
                 up1 = jnp.where(skip, mag * jnp.cos(2 * jnp.pi * u_a), up1)
                 up2 = jnp.where(skip, mag * jnp.sin(2 * jnp.pi * u_a), up2)
 
-            # direction: isotropic in the core, dipole in the wing
+            # direction: all wing events and 1/3 of core events follow the
+            # dipole phase function, the rest isotropic, with core/wing
+            # judged on the ATOM-frame frequency x - u.k = x - u_par
+            # (ref: LyaUtils.cpp:98-101)
+            x_atom = x_in - u_par
+            u_dip = rng.uniform(keys, _TAG_SCATTER_COMP + 45)
+            core = (jnp.abs(x_atom) <= 0.2) & (u_dip >= 1.0 / 3.0)
             u_ct = rng.uniform(keys, _TAG_SCATTER_CT)
             ct = jnp.where(core, 2.0 * u_ct - 1.0,
                            phs.dipole_sample_costheta(u_ct))
