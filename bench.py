@@ -210,6 +210,25 @@ def bench_config6():
     return {"rate": n_pk / (time.perf_counter() - t0)}
 
 
+def bench_config7():
+    """X-ray atomic gas (BASELINE.md config 7): Verner photo-absorption +
+    Fe K fluorescence + free-electron Compton, N_H = 2e23 cm^-2 sphere,
+    flat 0.3-10 keV source — the exact bench7.ski the reference binary ran
+    (identical atomic data via tools/export_xray.py on both sides)."""
+    from skirt9_tpu.config.ski import load_ski
+
+    ski = os.path.join(HERE, "tests", "golden", "bench7.ski")
+    n_pk = 1 << 18
+
+    sim = load_ski(ski, batch_size=1 << 16, max_events=16,
+                   num_packets=n_pk)
+    sim.seed = 0
+    sim.run_primary(verbose=False)      # warmup/compile
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
+
+
 def _bench_config1_at(n: int, n_pk: int):
     """bench1 scaled to an n^3 uniform grid (the large-grid capability
     benchmark: beyond ~73^3 the streamed one-hot-matmul engine
@@ -300,6 +319,7 @@ CONFIGS = {
     "4": bench_config4,
     "5": bench_config5,
     "6": bench_config6,
+    "7": bench_config7,
     "1x128": bench_config1x128,
     "1x256": bench_config1x256,
     "3d9": bench_config3d9,
@@ -339,7 +359,7 @@ def main():
         return
 
     results = {name: _run_isolated(name)
-               for name in ("2", "1", "1h", "3", "4", "5", "6",
+               for name in ("2", "1", "1h", "3", "4", "5", "6", "7",
                             "1x128", "1x256", "3d9")}
 
     base = {}
@@ -354,6 +374,7 @@ def main():
                 "4": b.get("config4_packets_per_s"),
                 "5": b.get("config5_packets_per_s"),
                 "6": b.get("config6_packets_per_s"),
+                "7": b.get("config7_packets_per_s"),
                 "1x128": b.get("config1x128_packets_per_s"),
                 "1x256": b.get("config1x256_packets_per_s")}
 
@@ -390,6 +411,9 @@ def main():
         "config6_lya_packets_per_s":
             round(rate("6"), 1) if rate("6") else None,
         "config6_vs_baseline": vs("6"),
+        "config7_xray_packets_per_s":
+            round(rate("7"), 1) if rate("7") else None,
+        "config7_vs_baseline": vs("7"),
         # large-grid runs (2-core baselines measured round 5: the
         # reference's primary-emission-phase rate at 128^3/256^3)
         "config1_128cube_packets_per_s":

@@ -258,7 +258,7 @@ def build_geometry(el, base_dir: str | None = None):
 
 # ---------------------------------------------------------------------- SEDs
 
-def build_sed(el) -> TabulatedSED:
+def build_sed(el, base_dir: str = ".") -> TabulatedSED:
     t = el.tag
     a = el.attrib
     if t == "BlackBodySED":
@@ -268,9 +268,13 @@ def build_sed(el) -> TabulatedSED:
     if t == "SunSED":
         return sedlib.sun_approx()
     if t == "FileSED":
-        # SKIRT text columns default to wavelength in micron
-        # (ref: TextInFile default units for FileSED)
-        return sedlib.from_file(a["filename"], lam_unit=1e-6)
+        # SKIRT text columns default to wavelength in micron; input files
+        # resolve relative to the ski file's directory
+        # (ref: TextInFile default units for FileSED; FilePaths input)
+        fn = a["filename"]
+        if not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
+        return sedlib.from_file(fn, lam_unit=1e-6)
     if t == "LyaGaussianSED":
         return sedlib.lya_gaussian(_q(a, "dispersion", "velocity", 50e3))
     if t == "LyaDoublePeakedSED":
@@ -336,7 +340,8 @@ def build_source(el, lrange=None, base_dir: str = "."):
                _q(a, "positionY", "length", 0.0),
                _q(a, "positionZ", "length", 0.0))
         sed_el = _child(el, "sed")
-        sed = build_sed(sed_el) if sed_el is not None else None
+        sed = build_sed(sed_el, base_dir=base_dir) \
+            if sed_el is not None else None
         # polarized emission (ref: PointSource.hpp:44 polarizationProfile)
         pol = None
         pol_el = _child(el, "polarizationProfile")
@@ -357,7 +362,8 @@ def build_source(el, lrange=None, base_dir: str = "."):
     if t == "GeometricSource":
         geom = build_geometry(_child(el, "geometry"))
         sed_el = _child(el, "sed")
-        sed = build_sed(sed_el) if sed_el is not None else None
+        sed = build_sed(sed_el, base_dir=base_dir) \
+            if sed_el is not None else None
         return GeometricSource(geometry=geom,
                                luminosity=source_luminosity(el), sed=sed,
                                **_bias_kw())

@@ -86,11 +86,14 @@ def verner_sigma(E_eV: np.ndarray, p: ShellParams) -> np.ndarray:
     E = np.asarray(E_eV, np.float64)
     x = E / p.E0 - p.y0
     y = np.sqrt(x * x + p.y1 * p.y1)
+    # exponent Q = 5.5 + l - P/2 (Verner+96 eq. 1; the l term matters for
+    # p/d subshells — round-5 fix, ref: XRayAtomicGasMix.cpp:134)
+    Q = 5.5 + p.l - 0.5 * p.P
     F = ((x - 1.0) ** 2 + p.yw ** 2) \
-        * np.power(np.maximum(y, 1e-300), 0.5 * p.P - 5.5) \
+        * np.power(np.maximum(y, 1e-300), -Q) \
         * np.power(1.0 + np.sqrt(np.maximum(y, 0.0) / p.ya), -p.P)
     sig = p.sigma0 * MBARN * F
-    return np.where((E >= p.Eth) & (E <= p.Emax), sig, 0.0)
+    return np.where((E >= p.Eth) & (E < p.Emax), sig, 0.0)
 
 
 def load_pa_file(path: str) -> list:
