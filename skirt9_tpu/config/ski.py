@@ -253,7 +253,145 @@ def build_geometry(el, base_dir: str | None = None):
             phase_zero_point=_q(a, "phaseZeroPoint", "posangle", 0.0),
             perturbation_weight=_f(a, "perturbationWeight", 0.25),
             index=int(_f(a, "index", 1)))
+    if t in ("ParticleGeometry", "CellGeometry", "CylindricalCellGeometry",
+             "SphericalCellGeometry", "VoronoiMeshGeometry",
+             "AdaptiveMeshGeometry"):
+        return build_imported_geometry(el, base_dir)
     raise NotImplementedError(f"geometry type '{t}' not supported yet")
+
+
+def build_imported_geometry(el, base_dir: str):
+    """Snapshot data as a normalized geometry (ref: ImportedGeometry.hpp:19
+    + its concrete subclasses): usable anywhere a Geometry is — as a
+    GeometricSource's shape or a GeometricMedium's density profile."""
+    from ..geometries import imported as ig
+    from ..imports import snapshots as snap
+
+    t, a = el.tag, el.attrib
+    fn = a["filename"]
+    if not os.path.isabs(fn):
+        fn = os.path.join(base_dir, fn)
+    import_z = a.get("importMetallicity", "false") == "true"
+    import_t = a.get("importTemperature", "false") == "true"
+    max_t = _q(a, "maxTemperature", "temperature", 0.0) if import_t else 0.0
+    mt = a.get("massType", "MassDensity")
+
+    def _zt_cols(cols):
+        if import_z:
+            cols.append(("Z", "", ""))
+        if import_t:
+            cols.append(("T", "temperature", "K"))
+        return cols
+
+    def _mass_post(mass, d):
+        # metallicity scales the included mass; a positive maxTemperature
+        # excludes hot entities (ref: ImportedGeometry.hpp
+        # importMetallicity/maxTemperature semantics via Snapshot policy)
+        mass = np.asarray(mass, np.float64)
+        if import_z:
+            mass = mass * d["Z"]
+        if import_t and max_t > 0:
+            mass = np.where(d["T"] <= max_t, mass, 0.0)
+        return mass
+
+    if t == "ParticleGeometry":
+        kern_el = _child(el, "smoothingKernel")
+        cols = _zt_cols([("x", "length", "pc"), ("y", "length", "pc"),
+                         ("z", "length", "pc"), ("h", "length", "pc"),
+                         ("M", "mass", "Msun")])
+        d = snap.read_column_file(fn, cols)
+        ss = snap.ParticleSnapshot(
+            positions=np.stack([d["x"], d["y"], d["z"]], axis=-1),
+            h=d["h"], mass=_mass_post(d["M"], d))
+        return ig.ParticleGeometry(
+            snapshot=ss,
+            kernel_kind=(kern_el.tag if kern_el is not None
+                         else "CubicSplineSmoothingKernel"))
+    if t == "CellGeometry":
+        cols = [("xmin", "length", "pc"), ("ymin", "length", "pc"),
+                ("zmin", "length", "pc"), ("xmax", "length", "pc"),
+                ("ymax", "length", "pc"), ("zmax", "length", "pc")]
+        cols.append(("rho", "massvolumedensity", "Msun/pc3")
+                    if mt == "MassDensity" else ("M", "mass", "Msun"))
+        d = snap.read_column_file(fn, _zt_cols(cols))
+        lo = np.stack([d["xmin"], d["ymin"], d["zmin"]], axis=-1)
+        hi = np.stack([d["xmax"], d["ymax"], d["zmax"]], axis=-1)
+        mass = (d["rho"] * np.prod(hi - lo, axis=-1)
+                if mt == "MassDensity" else d["M"])
+        return ig.CellGeometry(snapshot=snap.CellSnapshot(
+            lo=lo, hi=hi, mass=_mass_post(mass, d)))
+    if t == "CylindricalCellGeometry":
+        cols = _zt_cols([("Rmin", "length", "pc"),
+                         ("phimin", "posangle", "deg"),
+                         ("zmin", "length", "pc"),
+                         ("Rmax", "length", "pc"),
+                         ("phimax", "posangle", "deg"),
+                         ("zmax", "length", "pc"),
+                         ("M", "mass", "Msun")])
+        d = snap.read_column_file(fn, cols)
+        lo = np.stack([d["Rmin"], d["phimin"], d["zmin"]], axis=-1)
+        hi = np.stack([d["Rmax"], d["phimax"], d["zmax"]], axis=-1)
+        return ig.CylindricalCellGeometry(
+            snapshot=snap.CylindricalCellSnapshot(
+                lo=lo, hi=hi, mass=_mass_post(d["M"], d)))
+    if t == "SphericalCellGeometry":
+        cols = _zt_cols([("rmin", "length", "pc"),
+                         ("thetamin", "posangle", "deg"),
+                         ("phimin", "posangle", "deg"),
+                         ("rmax", "length", "pc"),
+                         ("thetamax", "posangle", "deg"),
+                         ("phimax", "posangle", "deg"),
+                         ("M", "mass", "Msun")])
+        d = snap.read_column_file(fn, cols)
+        lo = np.stack([d["rmin"], d["thetamin"], d["phimin"]], axis=-1)
+        hi = np.stack([d["rmax"], d["thetamax"], d["phimax"]], axis=-1)
+        return ig.SphericalCellGeometry(
+            snapshot=snap.SphericalCellSnapshot(
+                lo=lo, hi=hi, mass=_mass_post(d["M"], d)))
+
+    # mesh-based variants need the domain box (ref: MeshGeometry.hpp:31)
+    ext_box = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+               (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+               (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+    if t == "VoronoiMeshGeometry":
+        cols = [("x", "length", "pc"), ("y", "length", "pc"),
+                ("z", "length", "pc")]
+        cols.append(("rho", "massvolumedensity", "Msun/pc3")
+                    if mt == "MassDensity" else ("M", "mass", "Msun"))
+        d = snap.read_column_file(fn, _zt_cols(cols))
+        sites = np.stack([d["x"], d["y"], d["z"]], axis=-1)
+        if mt == "MassDensity":
+            # metallicity/temperature filters scale the density directly
+            # (per-cell mass = rho * volume after the tessellation build)
+            return ig.VoronoiMeshGeometry(
+                sites=sites, mass_density=_mass_post(d["rho"], d),
+                extent=ext_box)
+        return ig.VoronoiMeshGeometry(sites=sites,
+                                      mass=_mass_post(d["M"], d),
+                                      extent=ext_box)
+    if t == "AdaptiveMeshGeometry":
+        from ..grids.amr import build_amr
+        grid, leaf = build_amr(fn, ext_box)
+        MSUN = 1.98892e30
+        q = leaf[:, 0]
+        vol = grid.volumes()
+        if mt == "MassDensity":
+            mass = q * (MSUN / 3.0857e16 ** 3) * vol
+        elif mt == "Mass":
+            mass = q * MSUN
+        else:
+            raise NotImplementedError(f"massType '{mt}'")
+        c_ = 1
+        d = {}
+        if import_z:
+            d["Z"] = leaf[:, c_]
+            c_ += 1
+        if import_t:
+            d["T"] = leaf[:, c_]
+            c_ += 1
+        return ig.AdaptiveMeshGeometry(grid=grid,
+                                       mass=_mass_post(mass, d))
+    raise NotImplementedError(f"imported geometry '{t}'")
 
 
 # ---------------------------------------------------------------------- SEDs
@@ -387,7 +525,120 @@ def build_source(el, lrange=None, base_dir: str = "."):
         #                                 and the source wavelength range)
     if t == "CellSource":
         return ("cell_source", el)      # same deferral
+    if t in ("VoronoiMeshSource", "AdaptiveMeshSource"):
+        return ("mesh_source", el)      # same deferral
     raise NotImplementedError(f"source type '{t}' not supported yet")
+
+
+def _family_from_columns(ft, fam_el, base_dir, lam_range, d):
+    """Shared SED-family resolution for imported sources: returns
+    (FamilyTables-ready family, scales, params) from imported columns
+    (ref: ImportedSource.hpp:104 sedFamily + SEDFamily parameterInfo)."""
+    from ..spectral import named as _named
+    from ..spectral import sedfamily as sf
+    from ..utils import constants as _c
+
+    _SSP_LIKE = ("BruzualCharlotSEDFamily", "MarastonSEDFamily",
+                 "Starburst99SEDFamily", "FSPSSEDFamily", "BpassSEDFamily")
+    if ft == "BlackBodySEDFamily":
+        lam_grid = np.geomspace(max(lam_range[0] * 0.5, 1e-9),
+                                lam_range[1] * 2.0, 600)
+        Tgrid = np.geomspace(max(d["T"].min() * 0.9, 1.0),
+                             d["T"].max() * 1.1, 48)
+        fam = sf.blackbody_family(Tgrid, lam_grid)
+        return fam, 4.0 * np.pi * d["R"] ** 2, d["T"][:, None]
+    if ft == "FileIndexedSEDFamily":
+        sfn = fam_el.attrib["filename"]
+        if not os.path.isabs(sfn):
+            sfn = os.path.join(base_dir, sfn)
+        return sf.load_indexed_family(sfn), d["L"], d["index"][:, None]
+    if ft == "FileSSPSEDFamily" or ft in _SSP_LIKE:
+        if ft == "FileSSPSEDFamily":
+            sfn = fam_el.attrib["filename"]
+            if not os.path.isabs(sfn):
+                sfn = os.path.join(base_dir, sfn)
+            fam = sf.load_ssp_family(sfn)
+        else:
+            fam = _named.load_named_family(ft, fam_el.attrib)
+        return fam, d["Minit"] / sf.M_SUN, \
+            np.stack([d["Z"], d["t"] / _c.YEAR], axis=-1)
+    raise NotImplementedError(f"SED family '{ft}' for mesh sources")
+
+
+def _family_cols(ft):
+    """Import-column descriptors for a family's parameters (shared with
+    _family_from_columns; ref: SEDFamily::parameterInfo column lists)."""
+    _SSP_LIKE = ("BruzualCharlotSEDFamily", "MarastonSEDFamily",
+                 "Starburst99SEDFamily", "FSPSSEDFamily", "BpassSEDFamily")
+    if ft == "BlackBodySEDFamily":
+        return [("R", "length", "km"), ("T", "temperature", "K")]
+    if ft == "FileIndexedSEDFamily":
+        return [("L", "", ""), ("index", "", "")]
+    if ft == "FileSSPSEDFamily" or ft in _SSP_LIKE:
+        return [("Minit", "mass", "Msun"), ("Z", "", ""),
+                ("t", "time", "yr")]
+    raise NotImplementedError(f"SED family '{ft}' for mesh sources")
+
+
+def build_mesh_source(el, base_dir: str, lam_range):
+    """VoronoiMeshSource / AdaptiveMeshSource: mesh-snapshot imported
+    sources — every mesh cell is an emitting entity with SED-family
+    parameters; launch positions are uniform within the (Voronoi / AMR
+    leaf) cell via the imported-geometry samplers
+    (ref: VoronoiMeshSource.hpp:47, AdaptiveMeshSource.hpp:46)."""
+    from ..geometries import imported as ig
+    from ..imports import snapshots as snap
+    from ..spectral import sedfamily as sf
+
+    t, a = el.tag, el.attrib
+    fn = a["filename"]
+    if not os.path.isabs(fn):
+        fn = os.path.join(base_dir, fn)
+    import_v = a.get("importVelocity", "false") == "true"
+    fam_el = _child(el, "sedFamily")
+    ft = fam_el.tag if fam_el is not None else "BlackBodySEDFamily"
+    ext_box = ((_q(a, "minX", "length"), _q(a, "maxX", "length")),
+               (_q(a, "minY", "length"), _q(a, "maxY", "length")),
+               (_q(a, "minZ", "length"), _q(a, "maxZ", "length")))
+
+    if t == "VoronoiMeshSource":
+        cols = [("x", "length", "pc"), ("y", "length", "pc"),
+                ("z", "length", "pc")]
+        if import_v:
+            cols += [("vx", "velocity", "km/s"),
+                     ("vy", "velocity", "km/s"),
+                     ("vz", "velocity", "km/s")]
+        cols += _family_cols(ft)
+        d = snap.read_column_file(fn, cols)
+        sites = np.stack([d["x"], d["y"], d["z"]], axis=-1)
+        sampler = ig.VoronoiMeshGeometry(sites=sites,
+                                         mass=np.ones(len(sites)),
+                                         extent=ext_box)
+    else:  # AdaptiveMeshSource: Morton-order '!' tree file
+        from ..grids.amr import build_amr
+        grid, leaf = build_amr(fn, ext_box)
+        c_ = 0
+        d = {}
+        if import_v:
+            d["vx"], d["vy"], d["vz"] = (leaf[:, c_] * 1e3,
+                                         leaf[:, c_ + 1] * 1e3,
+                                         leaf[:, c_ + 2] * 1e3)
+            c_ += 3
+        from ..utils import units as U
+        for name, qty, unit in _family_cols(ft):
+            factor = U.to_si(qty, 1.0, unit) if unit else 1.0
+            d[name] = leaf[:, c_] * factor
+            c_ += 1
+        sampler = ig.AdaptiveMeshGeometry(grid=grid,
+                                          mass=np.ones(grid.ncells))
+    fam, scales, params = _family_from_columns(ft, fam_el, base_dir,
+                                               lam_range, d)
+    vel = (np.stack([d["vx"], d["vy"], d["vz"]], axis=-1)
+           if import_v else None)
+    tabs = sf.FamilyTables(fam, lam_range=lam_range)
+    return snap.EntityFamilySource(sampler=sampler, family_tables=tabs,
+                                   scales=scales, params=params,
+                                   velocity=vel)
 
 
 def build_particle_source(el, base_dir: str, lam_range):
@@ -1304,6 +1555,9 @@ def _load_ski(path: str, num_packets: int | None = None,
                for s in sources]
     sources = [build_cell_source(s[1], _base_dir, src_range or (1e-8, 1e-3))
                if isinstance(s, tuple) and s[0] == "cell_source" else s
+               for s in sources]
+    sources = [build_mesh_source(s[1], _base_dir, src_range or (1e-8, 1e-3))
+               if isinstance(s, tuple) and s[0] == "mesh_source" else s
                for s in sources]
     if src_range is not None and not oligo:
         # the reference normalizes SEDs and samples wavelengths over the

@@ -619,6 +619,78 @@ class CellFamilySource:
                 "v_emit": v}
 
 
+@dataclasses.dataclass(frozen=True)
+class EntityFamilySource:
+    """Imported source over arbitrary entity shapes: the launch position
+    comes from a per-entity sampler (the imported-geometry machinery,
+    geometries/imported.py), the wavelength from a per-entity SED family.
+    Backs AdaptiveMeshSource (ref: AdaptiveMeshSource.hpp:46) and
+    VoronoiMeshSource (ref: VoronoiMeshSource.hpp:47) — the cell shapes
+    are AMR leaf boxes / Voronoi cells instead of CellSource's cuboids."""
+
+    sampler: object            # provides _entity_position(keys, j, tag)
+    family_tables: object
+    scales: np.ndarray
+    params: np.ndarray
+    velocity: np.ndarray | None = None
+
+    @property
+    def emits_with_velocity(self) -> bool:
+        return self.velocity is not None
+
+    @property
+    def lam_range(self):
+        if self.velocity is not None:
+            return None
+        return self.family_tables.lam_range
+
+    @property
+    def luminosity(self) -> float:
+        return float(np.sum(self.family_tables.entity_luminosities(
+            self.scales, self.params)))
+
+    def tables(self) -> dict:
+        ft = self.family_tables
+        L = ft.entity_luminosities(self.scales, self.params)
+        cdf = np.cumsum(L) / max(L.sum(), 1e-300)
+        cidx, ccdf, cw, ratio = ft.corner_tables(self.params)
+        return {
+            "cdf": jnp.asarray(cdf, jnp.float32),
+            "corner_idx": cidx,
+            "corner_cdf": ccdf,
+            "corner_w": cw,
+            "lin_over_geo": ratio,
+            "v": jnp.asarray(self.velocity if self.velocity is not None
+                             else np.zeros((len(self.scales), 3)),
+                             jnp.float32),
+        }
+
+    def launch(self, tabs: dict, keys: jax.Array, n_total: int) -> dict:
+        B = keys.shape[0]
+        u_sel = rng.uniform(keys, rng.LAUNCH_SOURCE)
+        p = jnp.clip(jnp.searchsorted(tabs["cdf"], u_sel, side="right"),
+                     0, tabs["cdf"].shape[0] - 1).astype(jnp.int32)
+        pos = self.sampler._entity_position(keys, p, rng.LAUNCH_POSITION)
+        dirn = rng.isotropic_direction(keys, rng.LAUNCH_DIRECTION)
+        if "strata" in tabs:
+            lam, w_strat = self.family_tables.sample_wavelength_stratified(
+                keys, p, tabs["corner_idx"], tabs["corner_cdf"],
+                tabs["strata"], tabs.get("strata_w"))
+        else:
+            lam = self.family_tables.sample_wavelength(
+                keys, p, tabs["corner_idx"], tabs["corner_cdf"])
+            w_strat = 1.0
+        wgt = self.family_tables.mixture_weight(
+            lam, p, tabs["corner_idx"], tabs["corner_w"],
+            tabs["lin_over_geo"]) * w_strat
+        inv_c = 1.0 / c.C_LIGHT
+        v = tabs["v"][p]
+        lam = lam * (1.0 - jnp.sum(dirn * v, axis=-1) * inv_c)
+        lum = jnp.full((B,), self.luminosity / n_total, jnp.float32) * wgt
+        return {"lam": lam, "lum": lum, "pos": pos, "dir": dirn,
+                "v_emit": v}
+
+
 def read_column_file(path: str, columns: list[tuple[str, str, str]]):
     """Text import with unit conversion: columns = [(name, quantity, unit)]
     (ref: TextInFile column descriptors). Returns dict of SI arrays."""

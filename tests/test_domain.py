@@ -274,3 +274,29 @@ def test_dd_tree_grid_voxelized():
     rd, rr = np.asarray(rf_d).ravel(), np.asarray(rf_r).ravel()
     m = rr > 0.01 * rr.max()
     assert np.median(np.abs(rd[m] / rr[m] - 1.0)) < 1e-3
+
+
+def test_dd_refuses_unsupported_physics():
+    """A ski needing physics outside the DD event's envelope must refuse
+    with the reason NAMED, never silently run wrong physics (the DD event
+    is elastic non-polarized scattering with launch-lambda optics; ref
+    envelope: MaterialMix capability flags, MaterialMix.hpp:305)."""
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skirt9_tpu.config.ski import load_ski
+
+    G = os.path.join(os.path.dirname(__file__), "golden")
+    # bench5: ElectronMix includePolarization + kinematic outflow
+    sim = load_ski(os.path.join(G, "bench5.ski"), batch_size=1024,
+                   max_events=2, num_packets=1024)
+    sim.seed = 0
+    sim.mesh = Mesh(np.array(jax.devices()[:8]), (sim.mesh_axis,))
+    sim.dd = True
+    sim._build_sweep_tables()
+    with pytest.raises(NotImplementedError) as ei:
+        sim.run_primary(verbose=False)
+    msg = str(ei.value)
+    assert "polarization" in msg and "--dd" in msg
