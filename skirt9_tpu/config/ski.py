@@ -435,8 +435,9 @@ def build_sed(el, base_dir: str = ".") -> TabulatedSED:
     raise NotImplementedError(f"SED type '{t}' not supported yet")
 
 
-def source_luminosity(el) -> float:
-    """LuminosityNormalization subset (ref: IntegratedLuminosityNormalization)."""
+def source_luminosity(el, lrange=None, base_dir: str = ".") -> float:
+    """LuminosityNormalization family: the scalar luminosity the normalized
+    SED is multiplied by (ref: LuminosityNormalization subclasses)."""
     norm = _child(el, "normalization")
     if norm is None:
         return 1.0
@@ -444,8 +445,113 @@ def source_luminosity(el) -> float:
     if norm.tag == "IntegratedLuminosityNormalization":
         return _q(a, "integratedLuminosity", "bolluminosity")
     if norm.tag == "SpecificLuminosityNormalization":
-        return _q(a, "specificLuminosity", "monluminosity")
+        # L_lambda at one wavelength, converted per unitStyle
+        lam0 = _q(a, "wavelength", "wavelength", 0.55e-6)
+        style = a.get("unitStyle", "wavelengthmonluminosity")
+        if "specificLuminosity" in a:
+            Lspec = U.parse({"wavelengthmonluminosity": "monluminosity",
+                             "frequencymonluminosity": "monluminosityHz",
+                             "neutralmonluminosity": "bolluminosity"}
+                            .get(style, "monluminosity"),
+                            a["specificLuminosity"])
+        else:
+            return _q(a, "specificLuminosity", "monluminosity")
+        Llam = _style_to_per_wavelength(Lspec, lam0, style)
+        sed_el = _child(el, "sed")
+        if sed_el is None:
+            return Llam
+        sed = build_sed(sed_el, base_dir=base_dir)
+        if lrange is not None:
+            sed = sedlib.clipped(sed, *lrange)
+        lam = np.asarray(sed.lam, np.float64)
+        p = np.asarray(sed.s, np.float64)
+        p = p / np.trapezoid(p, lam)
+        p0 = float(np.interp(lam0, lam, p, left=0.0, right=0.0))
+        if p0 <= 0:
+            raise ValueError("normalization wavelength outside the SED")
+        return Llam / p0
+    if norm.tag == "BandLuminosityNormalization":
+        # mean specific luminosity over a band (ref:
+        # BandLuminosityNormalization.cpp luminosityForSED: user L_lambda
+        # at the pivot divided by the SED's band-convolved mean)
+        band = _build_single_band(_child(norm, "band"), base_dir)
+        sed_el = _child(el, "sed")
+        if sed_el is None:
+            raise NotImplementedError(
+                "BandLuminosityNormalization needs a continuum SED")
+        sed = build_sed(sed_el, base_dir=base_dir)
+        if lrange is not None:
+            sed = sedlib.clipped(sed, *lrange)
+        lam = np.asarray(sed.lam, np.float64)
+        p = np.asarray(sed.s, np.float64)
+        p = p / np.trapezoid(p, lam)          # normalized L_lambda density
+        lg = np.asarray(band.lam, np.float64)
+        T = np.asarray(band.transmission, np.float64)
+        pv = np.interp(lg, lam, p, left=0.0, right=0.0)
+        mean = np.trapezoid(T * pv, lg) / np.trapezoid(T, lg)
+        if mean <= 0:
+            raise ValueError("normalization band outside the SED range")
+        style = a.get("unitStyle", "wavelengthmonluminosity")
+        Lspec = U.parse({"wavelengthmonluminosity": "monluminosity",
+                         "frequencymonluminosity": "monluminosityHz",
+                         "neutralmonluminosity": "bolluminosity"}
+                        .get(style, "monluminosity"),
+                        a["specificLuminosity"])
+        Llam = _style_to_per_wavelength(Lspec, band.pivot_wavelength(),
+                                        style)
+        return Llam / mean
+    if norm.tag == "LineLuminosityNormalization":
+        # luminosity in one emission line of a line SED (ref:
+        # LineLuminosityNormalization.cpp: L_total = L_line / sum of the
+        # SED's relative line luminosities within the line's neighborhood)
+        lam0 = _q(a, "wavelength", "wavelength")
+        L_line = _q(a, "luminosity", "bolluminosity")
+        sed_el = _child(el, "sed")
+        sed = build_sed(sed_el, base_dir=base_dir) \
+            if sed_el is not None else None
+        lines = getattr(sed, "_lines", None)
+        if lines is None:
+            raise NotImplementedError(
+                "LineLuminosityNormalization needs a line SED "
+                "(ListLineSED/FileLineSED)")
+        lams, lums = lines
+        i = int(np.argmin(np.abs(np.asarray(lams) - lam0)))
+        if abs(lams[i] / lam0 - 1) > 1e-3:
+            raise ValueError(
+                f"no emission line at {lam0 * 1e6:.4f} micron")
+        frac = lums[i] / np.sum(lums)
+        return L_line / frac
     raise NotImplementedError(f"normalization '{norm.tag}' not supported yet")
+
+
+def _style_to_per_wavelength(L: float, lam: float, style: str) -> float:
+    """Convert a specific luminosity in the given unit style to
+    per-wavelength units (ref: Units::fromFluxStyle)."""
+    C = 2.99792458e8
+    if style == "frequencymonluminosity":
+        return L * C / lam ** 2
+    if style == "neutralmonluminosity":
+        return L / lam
+    return L
+
+
+def _build_single_band(b_el, base_dir: str):
+    """One Band item (ref: Band.hpp subclasses)."""
+    from ..spectral import bands as bnd
+    from ..spectral import named as _named
+    ba = b_el.attrib
+    if b_el.tag == "BroadBand":
+        return _named.broad_band(ba["bandName"])
+    if b_el.tag == "FileBand":
+        fn = ba["filename"]
+        if not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
+        return bnd.file_band(ba.get("bandName", fn), fn)
+    if b_el.tag == "ListBand":
+        lams = U.parse_list("wavelength", ba["wavelengths"])
+        trans = [float(x) for x in ba["transmissionValues"].split(",")]
+        return bnd.list_band("list", lams, trans)
+    raise NotImplementedError(f"band '{b_el.tag}'")
 
 
 # ------------------------------------------------------------------- sources
@@ -495,7 +601,9 @@ def build_source(el, lrange=None, base_dir: str = "."):
                           _f(pa2, "symmetryZ", 1.0)),
                 max_polarization=_f(pa2, "maxPolarizationDegree", 1.0),
                 angle=_q(pa2, "polarizationAngle", "posangle", 0.0))
-        return PointSource(position=pos, luminosity=source_luminosity(el),
+        return PointSource(position=pos,
+                           luminosity=source_luminosity(el, lrange,
+                                                        base_dir),
                            sed=sed, polarization=pol, **_bias_kw())
     if t == "GeometricSource":
         geom = build_geometry(_child(el, "geometry"))
@@ -503,7 +611,8 @@ def build_source(el, lrange=None, base_dir: str = "."):
         sed = build_sed(sed_el, base_dir=base_dir) \
             if sed_el is not None else None
         return GeometricSource(geometry=geom,
-                               luminosity=source_luminosity(el), sed=sed,
+                               luminosity=source_luminosity(el, lrange, base_dir),
+                               sed=sed,
                                **_bias_kw())
     if t == "FilePolarizedPointSource":
         # (ref: FilePolarizedPointSource.hpp: tabulated Stokes components
@@ -518,7 +627,8 @@ def build_source(el, lrange=None, base_dir: str = "."):
         axis = (_f(a, "symmetryX", 0.0), _f(a, "symmetryY", 0.0),
                 _f(a, "symmetryZ", 1.0))
         return FilePolarizedPointSource(
-            filename=fn, luminosity=source_luminosity(el), position=pos,
+            filename=fn, luminosity=source_luminosity(el, lrange, base_dir),
+            position=pos,
             symmetry_axis=axis)
     if t == "ParticleSource":
         return ("particle_source", el)  # resolved in load_ski (needs paths
@@ -1020,6 +1130,31 @@ def build_mix(el, base_dir: str = ".") -> mx.MixTables:
         # itself so its lifetime is tied to the mix (no global cache)
         object.__setattr__(mg.mix, "_multigrain", mg)
         return mg.mix
+    if t == "DiffuseIonizedGasMix":
+        # photoionized-gas mechanism mix (ref: DiffuseIonizedGasMix.hpp:153):
+        # temperature/opacity come from stab lookups + an inline ionization
+        # balance driven by the stored radiation field (media/dig.py). The
+        # Cloudy stab packs are resource-blocked; temperatureTableFilename
+        # stands in with a (logU, T) text table. The mix itself carries no
+        # static opacity — the recipe updates the effective density.
+        a = el.attrib
+        lam = np.array([1e-8, 1e-3])
+        m_ = mx.MixTables(lam=lam, sigma_ext=np.zeros(2),
+                          albedo=np.zeros(2), g=np.zeros(2),
+                          mu=1.67262192e-27)
+        tfn = a.get("temperatureTableFilename", "")
+        if tfn and not os.path.isabs(tfn):
+            tfn = os.path.join(base_dir, tfn)
+        object.__setattr__(m_, "_dig", {
+            "Z": _f(a, "defaultMetallicity", 0.02),
+            "T_default": _q(a, "defaultTemperature", "temperature", 1e4),
+            "use_cloudy_T": a.get("useCloudyTemperature", "true") == "true",
+            "max_change": _f(a, "maxChangeInIonization", 0.01),
+            "max_frac": _f(a, "maxFractionNotConvergedCells", 0.1),
+            "max_nH": _f(a, "maxHydrogenDensity", 1e5) * 1e6,  # cm^-3->m^-3
+            "T_table": tfn,
+        })
+        return m_
     raise NotImplementedError(f"material mix '{t}' not supported yet")
 
 
@@ -1223,6 +1358,24 @@ def build_grid(el, base_dir: str = "."):
         nt, tb = _scaled("meshPolar", 16, 0.0, np.pi)
         return make_sphere3d(r_max, nr, nt,
                              _mesh("meshAzimuthal", 16)[0], rb=rb, tb=tb)
+    if t == "ClumpySphericalSpatialGrid":
+        # specialty grid: structured sphere + imported clump spheres
+        # (ref: ClumpySphericalSpatialGrid.hpp:67; clump file columns
+        # x y z radius in pc, extra columns ignored)
+        from ..grids.clumpy import make_clumpy_spherical
+        r_min = _q(a, "minRadius", "length") if "minRadius" in a else 0.0
+        r_max = _q(a, "maxRadius", "length")
+        nr, rb = _scaled("meshRadial", 32, r_min, r_max)
+        nt, tb = _scaled("meshPolar", 16, 0.0, np.pi)
+        nphi = _mesh("meshAzimuthal", 16)[0]
+        fn = a["filename"]
+        if not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
+        PC = 3.0857e16
+        d = np.loadtxt(fn, ndmin=2)
+        return make_clumpy_spherical(
+            r_max, nr, nt, nphi, d[:, :3] * PC, d[:, 3] * PC,
+            r_min=r_min, rb=rb, tb=tb)
     if t == "Cylinder2DSpatialGrid":
         from ..grids.cylinder import make_cylinder2d
         r_max = _q(a, "maxRadius", "length")
@@ -2192,6 +2345,29 @@ def _load_ski(path: str, num_packets: int | None = None,
         primary_iteration_packets_multiplier=_f(
             ia, "primaryIterationPacketsMultiplier", 1.0),
         mueller=mueller, spheroidal=spheroidal, xray_tabs=xray_dev_tabs)
+    # diffuse-ionized-gas components: per-iteration state recipe + nebular
+    # gas emitter (ref: DiffuseIonizedGasMix.hpp:153; media/dig.py)
+    for h, (_, mix_i, _) in enumerate(components):
+        dg = getattr(mix_i, "_dig", None)
+        if dg is None or medium is None or rf_borders is None:
+            continue
+        from ..media import dig as _dig
+        nH = np.asarray(medium.nd)[:, h].astype(np.float64)
+        T_tab = None
+        if dg["T_table"]:
+            d2 = np.loadtxt(dg["T_table"], ndmin=2)
+            T_tab = (d2[:, 0], d2[:, 1])
+        recipe = _dig.DIGRecipe(
+            nH=nH, Z=np.full(len(nH), dg["Z"]),
+            rf_borders=np.asarray(rf_borders),
+            default_T=dg["T_default"],
+            use_cloudy_temperature=dg["use_cloudy_T"],
+            T_logU=T_tab, max_change=dg["max_change"],
+            max_frac_not_converged=dg["max_frac"], max_nH=dg["max_nH"])
+        sim.dynamic_recipes = list(sim.dynamic_recipes) + [recipe]
+        if ems_borders is not None:
+            sim.gas_emitters.append(recipe.make_emitter(
+                grid, np.asarray(ems_borders)))
     # keep the configuration WITH the materialized defaults for the
     # parameters.xml round-trip: the build wrote every consulted default
     # back into the tree (ref: SkirtCommandLineHandler.cpp:342-347)

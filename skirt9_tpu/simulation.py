@@ -102,6 +102,11 @@ class Simulation:
     # dynamic medium state (ref: DynamicStateOptions.hpp:20 recipes +
     # MonteCarloSimulation.cpp:266 runPrimaryEmissionIterations)
     dynamic_recipes: list = dataclasses.field(default_factory=list)
+    # emitting-gas secondary sources: callables (rf, rf_scale) -> source,
+    # launched alongside the dust secondary in the final peel-off segment
+    # (ref: SecondarySourceSystem aggregates one dust source + one source
+    # per emitting gas component, SecondarySourceSystem.hpp:176)
+    gas_emitters: list = dataclasses.field(default_factory=list)
     iterate_primary: bool = False
     min_primary_iterations: int = 1
     max_primary_iterations: int = 10
@@ -1005,6 +1010,17 @@ class Simulation:
                 src2, src2.tables(), dataclasses.replace(opts2, store_rf=False),
                 n2, jax.random.fold_in(seed_key, 777), None, accs,
                 seg_key=("seco-final",))
+        # emitting-gas secondary segments (ref: ContGas/LineGas secondary
+        # sources launch after the dust source in the same phase)
+        for gi, build in enumerate(self.gas_emitters):
+            gsrc = build(rf_total, self.rf_scale)
+            info[f"L_gas{gi}"] = gsrc.luminosity
+            if gsrc.luminosity > 0:
+                _, accs = self._run_segment(
+                    gsrc, gsrc.tables(),
+                    dataclasses.replace(opts2, store_rf=False),
+                    n2, jax.random.fold_in(seed_key, 778 + gi), None, accs,
+                    seg_key=("gas-final", gi))
         self._block(rf_total, accs, phase="dust emission")
         self._clear_checkpoint()
         if verbose:

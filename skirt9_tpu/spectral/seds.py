@@ -141,4 +141,8 @@ def lines(lams, lums, width_frac: float = 1e-5) -> TabulatedSED:
         grid += [lam0 - 0.6 * w, lam0 - 0.5 * w, lam0 + 0.5 * w,
                  lam0 + 0.6 * w]
         vals += [0.0, L / w, L / w, 0.0]
-    return TabulatedSED(lam=np.asarray(grid), s=np.asarray(vals))
+    sed = TabulatedSED(lam=np.asarray(grid), s=np.asarray(vals))
+    # keep the discrete line list for LineLuminosityNormalization
+    # (ref: LineSED::intrinsicWavelengthsAndLuminosities)
+    object.__setattr__(sed, "_lines", (lams, lums))
+    return sed

@@ -60,6 +60,10 @@ _UNITS: dict[str, dict[str, float]] = {
         "W/m": 1.0, "W/micron": 1e6, "W/Angstrom": 1e10,
         "Lsun/micron": c.SOLAR_LUMINOSITY * 1e6,
     },
+    # per-frequency specific luminosity (ref: SkirtUnitDef
+    # "frequencymonluminosity": W/Hz, erg/s/Hz, Jy-style not applicable)
+    "monluminosityHz": {"W/Hz": 1.0, "erg/s/Hz": 1e-7,
+                        "Lsun/Hz": c.SOLAR_LUMINOSITY},
     # flux density: internal W/m2/m (F_lambda per wavelength)
     "fluxdensity": {"W/m3": 1.0, "W/m2/micron": 1e6, "W/m2/m": 1.0},
     "angle": {"rad": 1.0, "deg": 3.141592653589793 / 180.0, "arcsec": 3.141592653589793 / 180.0 / 3600.0, "arcmin": 3.141592653589793 / 180.0 / 60.0},
