@@ -317,6 +317,14 @@ class Simulation:
                 rf = rf + rf_add
             else:
                 rf = rf + rf_vox
+            # replicate the aggregated RF over the mesh: downstream
+            # emission-state code pulls it to the host, which under
+            # MULTI-PROCESS meshes requires every process to hold all
+            # shards (the per-segment allreduce of the reference,
+            # ProcessManager.cpp:206)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(st["mesh"], P())
+            rf = jax.jit(lambda a: a, out_shardings=rep)(rf)
         return rf, accs
 
     def _grid_diagonal(self) -> float:

@@ -540,14 +540,36 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         ss = np.asarray(med.sigma_sca)
         sig_const = bool(np.all(se == se[:, :1]) and np.all(ss == ss[:, :1]))
         kin_ok = sig_const and rf_nbins <= 1
-    # X-ray fluorescence/Compton change the wavelength mid-flight, so the
-    # sweep's STATIC stratum->bin (or rf_mono_bin) RF mapping would deposit
-    # post-scattering path segments into the launch wavelength's bin
-    # (round-3 advisory); the scan march re-bins per event instead
+    # Wavelength-changing physics (Compton/Lya/X-ray) rides the sweep when
+    # the per-lane cross sections stay constant ALONG each path (the
+    # kernels' contract): per-event re-derived sigma handles the
+    # between-event shifts, and the RF path must not need per-cell
+    # re-binning — i.e. at most one stored RF bin (the static stratum->bin
+    # map of multi-bin deposits can't re-bin after a shift; round-3
+    # advisory). Lya additionally requires a static medium with a uniform
+    # gas temperature: the resonant Voigt opacity then factors into one
+    # per-lane cross section exactly (bench6's regime; ref:
+    # LyaNeutralHydrogenGasMix opacityExt per-cell T dependence).
+    lya_T0 = 0.0
+    lya_sweep_ok = False
+    if opts.lya:
+        nd_h = np.asarray(med.nd)
+        t_h = np.asarray(med.temperature)
+        v_h = np.asarray(med.bulk_v)
+        occ = nd_h.sum(axis=-1) > 0
+        if occ.any() and nd_h.shape[1] == 1 and np.all(v_h == 0.0):
+            t_occ = t_h[occ]
+            if t_occ.min() > 0 and \
+                    (t_occ.max() - t_occ.min()) <= 1e-6 * t_occ.max():
+                lya_sweep_ok = True
+                lya_T0 = float(t_occ[0])
+    lam_sweep_ok = (not lam_changing) or (
+        rf_nbins <= 1 and n_groups == 1
+        and (not opts.lya or lya_sweep_ok))
     use_sweep = (sweep_tabs is not None
                  and not opts.explicit_absorption
                  and (not opts.kinematics or kin_ok)
-                 and not opts.lya and not opts.compton and not opts.xray
+                 and lam_sweep_ok
                  and B_lanes % max(128 * n_groups, 128) == 0
                  # the XL streamed engine covers lanes in 8-row blocks:
                  # NB = B/128 must divide into them exactly (sweepxl
@@ -585,14 +607,26 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         raise ValueError("multi-level sweep grid cannot fall back to the "
                          "scan march with plane-space RF accumulators")
     if use_sweep:
-        sigma_lanes = opt.sigma_ext.T  # (H, B)
+        def sig_lanes_of(lam):
+            """Per-lane (H, B) cross sections at the given wavelengths,
+            including the Lya resonant Voigt term at the (uniform) gas
+            temperature when in Lya mode (the marker mix's static tables
+            are zero; ref: LyaNeutralHydrogenGasMix opacity)."""
+            sig = msys.optics_at(med, lam).sigma_ext.T
+            if opts.lya:
+                sig = sig.at[0].add(lyo.cross_section(lam, lya_T0))
+            return sig
+
+        sigma_lanes = (sig_lanes_of(pkt.lam) if opts.lya
+                       else opt.sigma_ext.T)  # (H, B)
 
         def tracer(o, pos, kdir, cell, mask, lam_m=None, lya_f=False,
                    kobs_host=None):
-            # per-observer wavelengths (fluorescence lines, Doppler) need
-            # extinction at the DETECTION wavelength, not the packet's
-            sig = (msys.optics_at(med, lam_m).sigma_ext.T
-                   if lam_m is not None else o.sigma_ext.T)
+            # per-observer wavelengths (fluorescence lines, Doppler, Lya
+            # redistribution) need extinction at the DETECTION wavelength,
+            # not the packet's
+            sig = (sig_lanes_of(lam_m) if lam_m is not None
+                   else (sigma_lanes if opts.lya else o.sigma_ext.T))
             hint = None
             if kobs_host is not None:
                 # every lane marches toward the SAME observer: the slab
@@ -753,7 +787,7 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         rf_mask = (active & ev_rf_in_range if use_rf
                    else jnp.zeros_like(active))
         if use_sweep:
-            sig_ev = opt_ev.sigma_ext.T if lam_changing else sigma_lanes
+            sig_ev = sig_lanes_of(pkt.lam) if lam_changing else sigma_lanes
             dtau_sub = enc_sub = None
             if is_xl:
                 # the XL engine records per-substep taus so the deposit
