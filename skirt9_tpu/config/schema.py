@@ -292,7 +292,15 @@ def supported_type_names() -> list:
                          r'Family|Normalization|Field|Recipe|Law))"\s*:',
                          src):
         names.add(m.group(1))
-    drop = {"MonteCarloSimulation", "UTF"}
+    drop = {"MonteCarloSimulation", "UTF",
+            # enum VALUES the regex over-collects (attribute values, not
+            # item types: massType / policies / table counts / schemes)
+            "Mass", "MassDensity", "Number", "NumberDensity", "BinTree",
+            "Constant", "Variable", "Inside", "Outside", "DustDensity",
+            "DustEmission", "DustAndGasEmission", "ImportedMesh",
+            "OneTable", "TwoTables", "Silicate", "Stochastic",
+            "Equilibrium", "ExtinctionOnly", "OligoExtinctionOnly",
+            "LyaExtinctionOnly", "NoMedium", "OligoNoMedium"}
     return sorted(n for n in names - drop
                   if not n.startswith(("Not", "No")) or n == "NoPolarization")
 
@@ -324,9 +332,29 @@ def export_smile(path: str) -> str:
                 pe.set("default", p.default)
             if p.relevant_if is not None:
                 pe.set("relevantIf", p.relevant_if)
+    # every other accepted type: typed property lists HARVESTED from the
+    # builders themselves (config/harvest.py) — name, unit quantity,
+    # default, required/item kind for each attribute the loader consumes
+    # (ref: SchemaDef.hpp:22 describes every property of every type; the
+    # harvest keeps this export from ever drifting from the code)
+    from .harvest import harvest
+    hv = harvest()
     for name in supported_type_names():
-        if name not in reg_names:
-            ET.SubElement(types, "Type", {"name": name})
+        if name in reg_names:
+            continue
+        te = ET.SubElement(types, "Type", {"name": name})
+        props = hv.get(name) or {}
+        if not props:
+            te.set("noProperties", "true")
+        for p in props.values():
+            pe = ET.SubElement(te, "Property",
+                              {"name": p.name, "kind": p.kind})
+            if p.quantity:
+                pe.set("quantity", p.quantity)
+            if p.default is not None:
+                pe.set("default", p.default)
+            if p.required:
+                pe.set("required", "true")
     ET.indent(root)
     ET.ElementTree(root).write(path, encoding="UTF-8",
                                xml_declaration=True)

@@ -68,6 +68,55 @@ MIXES = {
 }
 
 
+def schema_item(ask, parent_el, type_name: str, hv=None) -> ET.Element:
+    """Build ANY accepted item by walking its harvested property list —
+    the schema-driven path of the reference wizard (one question per
+    property; ref: SMILE/wizard property panes over SchemaDef). The
+    property lists come from config/harvest.py, i.e. from the loader's
+    own code, so every question corresponds to an attribute the engine
+    actually consumes."""
+    from ..utils import units as U
+    from .harvest import harvest
+
+    if hv is None:
+        hv = harvest()
+    attrs = {}
+    children = []
+    for p in (hv.get(type_name) or {}).values():
+        if p.kind == "item":
+            children.append(p)
+            continue
+        default = None
+        if p.default is not None:
+            raw = p.default.strip("'\"")
+            if p.kind == "quantity":
+                try:
+                    default = U.format_si(p.quantity, float(raw))
+                except (ValueError, KeyError):
+                    default = raw
+            else:
+                default = raw
+        prompt = f"{type_name}.{p.name}"
+        if p.kind == "quantity" and p.quantity:
+            prompt += f" [{p.quantity}]"
+        if p.required:
+            prompt += " (required)"
+        v = ask(prompt, default)
+        if v not in (None, ""):
+            attrs[p.name] = str(v)
+    el = ET.SubElement(parent_el, type_name, attrs)
+    for c in children:
+        tname = ask(f"{type_name}.{c.name}: child item type "
+                    "(empty to skip)", "")
+        if tname:
+            li = ET.SubElement(el, c.name, {"type": tname})
+            schema_item(ask, li, tname, hv)
+    return el
+
+
+OTHER = "other (any accepted type, schema-driven)"
+
+
 def run_wizard(out_path: str, ask=None) -> str:
     """Walk the Q&A tree and write a ski file; returns the path."""
     ask = ask or _console_ask
@@ -105,9 +154,15 @@ def run_wizard(out_path: str, ask=None) -> str:
     else:
         src = ET.SubElement(srcs, "GeometricSource",
                             {"sourceWeight": "1", "wavelengthBias": "0.5"})
-        gname = ask("Which source geometry?", None, list(GEOMETRIES))
-        tag, attrs = GEOMETRIES[gname]
-        _sub(src, "geometry", tag, _type="Geometry", **attrs)
+        gname = ask("Which source geometry?", None,
+                    list(GEOMETRIES) + [OTHER])
+        if gname == OTHER:
+            tname = ask("Geometry type name?", "PlummerGeometry")
+            li = ET.SubElement(src, "geometry", {"type": "Geometry"})
+            schema_item(ask, li, tname)
+        else:
+            tag, attrs = GEOMETRIES[gname]
+            _sub(src, "geometry", tag, _type="Geometry", **attrs)
     T = ask("Black-body temperature (K)?", "5778")
     _sub(src, "sed", "BlackBodySED", _type="SED", temperature=f"{T} K")
     L = ask("Integrated luminosity (Lsun)?", "1e5")
@@ -146,9 +201,15 @@ def run_wizard(out_path: str, ask=None) -> str:
         media = ET.SubElement(ms, "media", {"type": "Medium"})
         gm = ET.SubElement(media, "GeometricMedium",
                            {"velocityMagnitude": "0 km/s"})
-        gname = ask("Which medium geometry?", None, list(GEOMETRIES))
-        tag, attrs = GEOMETRIES[gname]
-        _sub(gm, "geometry", tag, _type="Geometry", **attrs)
+        gname = ask("Which medium geometry?", None,
+                    list(GEOMETRIES) + [OTHER])
+        if gname == OTHER:
+            tname = ask("Geometry type name?", "PlummerGeometry")
+            li = ET.SubElement(gm, "geometry", {"type": "Geometry"})
+            schema_item(ask, li, tname)
+        else:
+            tag, attrs = GEOMETRIES[gname]
+            _sub(gm, "geometry", tag, _type="Geometry", **attrs)
         mname = ask("Which material mix?", None, list(MIXES))
         mm = ET.SubElement(gm, "materialMix", {"type": "MaterialMix"})
         if MIXES[mname] is None:
