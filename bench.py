@@ -59,11 +59,13 @@ def bench_config1():
     inst = dinst.DistantInstrumentCfg(
         name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
         npx=64, npy=64, fovx=4 * PC, fovy=4 * PC)
-    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=24)
+    # ExtinctionOnly semantics: bench1.ski stores no radiation field
+    # (ref: Configuration.cpp ExtinctionOnly => !hasRadiationField)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=24,
+                               store_rf=False)
     sim = Simulation(grid=grid, medium=med,
                      sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
                      instruments=[inst], options=opts,
-                     rf_borders=np.array([0.5e-6, 0.6e-6]),
                      num_packets=1 << 20, batch_size=1 << 17, seed=0)
     # warmup (compile) at the same packet count as the timed run: the
     # per-source launch count is a static jit argument
@@ -229,7 +231,7 @@ def bench_config7():
     return {"rate": n_pk / (time.perf_counter() - t0)}
 
 
-def _bench_config1_at(n: int, n_pk: int):
+def _bench_config1_at(n: int, n_pk: int, batch: int = 1 << 16):
     """bench1 scaled to an n^3 uniform grid (the large-grid capability
     benchmark: beyond ~73^3 the streamed one-hot-matmul engine
     transport/sweepxl.py takes over from the resident-table sweep)."""
@@ -253,12 +255,13 @@ def _bench_config1_at(n: int, n_pk: int):
     inst = dinst.DistantInstrumentCfg(
         name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
         npx=64, npy=64, fovx=4 * PC, fovy=4 * PC)
-    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=24)
+    # ExtinctionOnly semantics (see bench_config1): no stored RF
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=24,
+                               store_rf=False)
     sim = Simulation(grid=grid, medium=med,
                      sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
                      instruments=[inst], options=opts,
-                     rf_borders=np.array([0.5e-6, 0.6e-6]),
-                     num_packets=n_pk, batch_size=1 << 16, seed=0)
+                     num_packets=n_pk, batch_size=batch, seed=0)
     from skirt9_tpu.transport import sweepxl as xsw
     assert isinstance(sim._sweep_tabs, xsw.XLTables), \
         f"expected the XL engine at {n}^3, got {type(sim._sweep_tabs)}"
@@ -273,7 +276,7 @@ def bench_config1x128():
 
 
 def bench_config1x256():
-    return _bench_config1_at(256, 1 << 16)
+    return _bench_config1_at(256, 1 << 17, batch=1 << 17)
 
 
 def bench_config3d9():
@@ -348,12 +351,13 @@ def bench_config3ism():
     inst = dinst.DistantInstrumentCfg(
         name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
         npx=64, npy=64, fovx=4 * PC, fovy=4 * PC)
-    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=16)
+    # ExtinctionOnly semantics (see bench_config1): no stored RF
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=16,
+                               store_rf=False)
     n_pk = 1 << 17
     sim = Simulation(grid=grid, medium=med,
                      sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
                      instruments=[inst], options=opts,
-                     rf_borders=np.array([0.5e-6, 0.6e-6]),
                      num_packets=n_pk, batch_size=1 << 16, seed=0)
     assert isinstance(sim._sweep_tabs, ml.MLTables), \
         "site-list tree should ride the clustered multi-level sweep"

@@ -634,6 +634,21 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                 hk = np.asarray(kobs_host, np.float64)
                 hint = int(np.argmax(np.abs(hk)
                                      / np.asarray(sweep_tabs.h)))
+            if is_xl and hint is not None:
+                # entry-slab sort: axis-pure blocks with compact slab
+                # windows (the peel ray runs one-sided from the packet
+                # position to the boundary); only the summed taus come
+                # back, so the inverse gather is (B,)-cheap
+                t_e = jnp.clip(
+                    ((pos[:, hint] - sweep_tabs.lo[hint])
+                     / sweep_tabs.h[hint]).astype(jnp.int32),
+                    0, sweep_tabs.nmax - 1)
+                prm = jnp.argsort(t_e)
+                tau_p = jnp.sum(
+                    _eng.sweep_dtau(sweep_tabs, pos[prm], kdir[prm],
+                                    sig[:, prm], mask[prm],
+                                    axis_hint=hint), axis=0)
+                return tau_p[jnp.argsort(prm)]
             return jnp.sum(_eng.sweep_dtau(sweep_tabs, pos, kdir,
                                            sig, mask, axis_hint=hint),
                            axis=0)
@@ -789,13 +804,48 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
         if use_sweep:
             sig_ev = sig_lanes_of(pkt.lam) if lam_changing else sigma_lanes
             dtau_sub = enc_sub = None
+            xl_perm = xl_inv = p_pos = p_dir = p_act = None
             if is_xl:
                 # the XL engine records per-substep taus so the deposit
                 # pass needs no density access and the interaction point
-                # resolves in XLA (transport/sweepxl.py)
-                dtau_sub = _xl.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
-                                          sig_ev, active, want_sub=True)
+                # resolves in XLA (transport/sweepxl.py). Lanes are sorted
+                # by dominant axis (stable, within bin-pure groups) so the
+                # kernel's lane blocks are axis-pure and each runs ONE
+                # axis pass instead of three; everything downstream of the
+                # kernels stays in permuted lane order, and only the small
+                # per-lane results are gathered back.
+                grp = _sw.dominant_axis(sweep_tabs, pkt.dir)
+                # sort key (axis, major sign, entry slab): sign+entry
+                # clustering shrinks each block's slab window so the
+                # kernel's dynamic loop bounds skip the untouched half of
+                # the major axis (a forced-scattering path always runs to
+                # the grid boundary, so the window is one-sided per lane)
+                nmax_t = sweep_tabs.nmax
+                pa_s = jnp.take_along_axis(pkt.pos, grp[:, None], 1)[:, 0]
+                da_s = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
+                lo_s = jnp.asarray(sweep_tabs.lo, jnp.float32)[grp]
+                h_s = jnp.asarray(sweep_tabs.h, jnp.float32)[grp]
+                t_ent = jnp.clip(((pa_s - lo_s) / h_s).astype(jnp.int32),
+                                 0, nmax_t - 1)
+                skey = (grp * 2 + (da_s > 0)) * nmax_t + t_ent
+                if n_groups > 1:
+                    gsz = B_lanes // n_groups
+                    skey = (jnp.arange(B_lanes, dtype=jnp.int32) // gsz) \
+                        * 6 * nmax_t + skey
+                xl_perm = jnp.argsort(skey)
+                xl_inv = jnp.argsort(xl_perm)
+                p_pos = pkt.pos[xl_perm]
+                p_dir = pkt.dir[xl_perm]
+                p_act = active[xl_perm]
+                dtau_sub = _xl.sweep_dtau(sweep_tabs, p_pos, p_dir,
+                                          sig_ev[:, xl_perm], p_act,
+                                          want_sub=True)
                 dtau_slab = jnp.sum(dtau_sub, axis=1)
+                grp_p = grp[xl_perm]
+                dmaj_p = jnp.take_along_axis(p_dir, grp_p[:, None],
+                                             1)[:, 0]
+                tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj_p > 0)
+                tau_path = tau_path[xl_inv]
             elif is_ml:
                 # pass 1 records per-substep taus + deposit encodings so
                 # the deposit pass skips the level-stack select loop
@@ -806,9 +856,10 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
             else:
                 dtau_slab = _eng.sweep_dtau(sweep_tabs, pkt.pos, pkt.dir,
                                             sig_ev, active)
-            grp = _sw.dominant_axis(sweep_tabs, pkt.dir)
-            dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
-            tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
+            if not is_xl:
+                grp = _sw.dominant_axis(sweep_tabs, pkt.dir)
+                dmaj = jnp.take_along_axis(pkt.dir, grp[:, None], 1)[:, 0]
+                tb_slab, tau_path = _sw.slab_prefix(dtau_slab, dmaj > 0)
         else:
             rec = march_record(grid, med, opt_ev, pkt.pos, pkt.dir,
                                pkt.cell, opts.max_steps, active | rf_mask,
@@ -856,17 +907,23 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                                       _ml.locate_cells(sweep_tabs, ip_tmp),
                                       -1)
             elif is_xl:
+                # all inputs in the axis-sorted lane order of pass 1
+                # (tb_slab and dtau_sub are permuted); only the small
+                # per-lane results gather back to launch order
                 if use_rf:
-                    scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
-                        * inv_sqrt
+                    scale_slab = (lum_half[xl_perm][None, :]
+                                  * jnp.exp(-tb_slab)) * inv_sqrt
                     rf_delta = _xl.sweep_deposit(
-                        sweep_tabs, pkt.pos, pkt.dir, active, dtau_sub,
+                        sweep_tabs, p_pos, p_dir, p_act, dtau_sub,
                         scale_slab, n_groups=n_groups)
                 else:
                     rf_delta = None   # no stored RF: skip the deposit pass
-                s_int, icell, found = _xl.resolve_interaction(
-                    sweep_tabs, pkt.pos, pkt.dir, active_int, dtau_sub,
-                    tb_slab, tau_int)
+                s_int_p, icell_p, found_p = _xl.resolve_interaction(
+                    sweep_tabs, p_pos, p_dir, active_int[xl_perm],
+                    dtau_sub, tb_slab, tau_int[xl_perm])
+                s_int = s_int_p[xl_inv]
+                icell = icell_p[xl_inv]
+                found = found_p[xl_inv]
             else:
                 scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
                     * inv_sqrt

@@ -563,8 +563,14 @@ def slab_prefix(dtau_slab, d_major_pos):
     Slab order equals ray order when the dominant direction component is
     positive; otherwise it is reversed.
     """
-    cum = jnp.cumsum(dtau_slab, axis=0)
-    total = cum[-1]
-    before_up = cum - dtau_slab
-    before_dn = total[None, :] - cum
+    nmax = dtau_slab.shape[0]
+    total = jnp.sum(dtau_slab, axis=0)
+    # strictly-lower-triangular ones matmul on the MXU: ~10x faster than
+    # XLA's log-depth cumsum at (nmax, B) sweep shapes (measured round 5);
+    # HIGHEST precision keeps the f32 tau sums exact-to-f32
+    L = jnp.tril(jnp.ones((nmax, nmax), jnp.float32), -1)
+    before_up = jax.lax.dot_general(L, dtau_slab, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+    before_dn = total[None, :] - before_up - dtau_slab
     return jnp.where(d_major_pos[None, :], before_up, before_dn), total

@@ -7,32 +7,43 @@ the scale-out redesign:
 
   * density planes STREAM through VMEM slab-tile by slab-tile (the Pallas
     grid iterates over slab tiles; XLA pipelines the HBM copies);
-  * the per-lane density lookup is a ONE-HOT MATMUL: a (lanes, 3U) one-hot
-    of (axis, major-minor-u) against the slab's stacked (3U, V) planes
-    gives each lane its candidate minor row on the MXU, and a V-wide
-    masked reduction picks the (iv) entry — O(U·V) MACs per lane-substep
-    on the 100+ TFLOP/s unit instead of O(rows) VPU passes. (Measured:
-    Mosaic has no per-lane sublane gather — take_along_axis(axis=0) fails
-    to lower — so matmul one-hots are the only sub-O(rows) primitive;
+  * the per-lane density lookup is a ONE-HOT MATMUL: a (U, lanes) one-hot
+    of the minor-u row against the slab's (U, V) plane gives each lane its
+    candidate minor row on the MXU, and a V-wide masked reduction picks
+    the (iv) entry — O(U·V) MACs per lookup on the 100+ TFLOP/s unit
+    instead of O(rows) VPU passes. (Measured: Mosaic has no per-lane
+    sublane gather — take_along_axis(axis=0) fails to lower — so matmul
+    one-hots are the only sub-O(rows) primitive;
     tools/bench_sublane_gather.py.)
-  * radiation-field deposits are the transposed one-hot pair: contrib
-    enters an (3U, lanes) one-hot against a (lanes, V) one-hot — an exact
-    (axis,u,v)-plane scatter on the MXU, accumulated across lane programs
-    in a VMEM tile block;
+  * the AXIS LAYOUT is a grid dimension (round-5 redesign): lanes are
+    sorted by dominant axis per event (transport/lifecycle.py), so each
+    lane block usually holds ONE axis and the kernel pays U·V MACs per
+    lookup instead of 3U·V — `pl.when` skips the two foreign axis passes
+    outright. Blocks that do mix axes stay exact (each axis pass covers
+    its own lanes); sorting is a performance contract, not a correctness
+    one.
+  * a slab crossing touches at most a 2x2 minor patch (|d_minor| <=
+    |d_major| bounds each minor axis to one crossing per slab), so TWO
+    row matmuls — at the entry row iu0 and the exit row iu2 — serve all
+    three substeps; the middle substep selects between them per lane.
+    2 x (hi+lo) = 4 MXU passes per slab instead of 6.
+  * each block clips its slab loop to the [tmin, tmax] window its lanes
+    actually traverse (dynamic fori bounds) — interior launch points and
+    one-sided peel-off rays skip roughly half the major axis.
   * pass 1 emits the PER-SUBSTEP optical depths (nmax, 3, B); the
     interaction point then resolves entirely in XLA (find the crossing
     slab from the prefix table, re-derive the <=3 sub-segments of that one
     slab per lane with vector math) — pass 2 needs no density access at
-    all, halving MXU work;
-  * f32 lookups run at HIGHEST dot precision (Mosaic supports only
-    DEFAULT/HIGHEST; DEFAULT's bf16 rounding would bias densities 0.4%)
-    so streamed densities lose no precision vs the resident-table engine.
+    all;
+  * density planes split hi/lo in bf16: two native-MXU bf16 passes
+    reconstruct f32 densities to ~2^-16 relative (hi = bf16(rho),
+    lo = bf16(rho - hi)); same bytes as one f32 copy, 3x fewer MXU
+    passes than an f32 HIGHEST dot.
 
 Scope: UniformCartesianGrid beyond supports_sweep's ceiling, axes up to
-512, <=4 components. Cost scales with the minor-plane AREA per lane
-(U*V MACs/substep): ~16k at 128^3. The engine logs its choice; the
-per-packet cost makes 256^3 viable but not fast — see BASELINE.md
-roofline notes.
+512, <=4 components. Cost scales with the per-axis minor-plane AREA per
+lane (U*V MACs per row lookup). The engine logs its choice; see
+BASELINE.md roofline notes.
 
 Ref for the capability: SKIRT routinely runs 256^3 grids and 10^6-cell
 trees (SKIRT/core/TreeSpatialGrid.cpp:37-90); its per-crossing cost is
@@ -58,20 +69,20 @@ _BIG = 3e37
 class XLTables(NamedTuple):
     """Streamed slab-plane tables + static geometry."""
 
-    # density planes split hi/lo in bf16: the lookup runs TWO native-MXU
-    # bf16 matmuls instead of the 6 passes of f32 HIGHEST precision, with
-    # reconstruction error ~2^-16 relative (hi = bf16(rho),
-    # lo = bf16(rho - hi)); same bytes as one f32 copy
-    rho_hi: jax.Array     # (C, nmax, 3U, V) bf16: per slab, the three
-    #                       axis-major minor planes stacked on the 3U rows
-    #                       (row = a*U + iu, col = iv), zero-padded
-    rho_lo: jax.Array     # (C, nmax, 3U, V) bf16 residual
+    # (C, nmax, 3, U, V) bf16: per slab, one (U, V) minor plane per axis
+    # layout (a=0: slab=x,(u,v)=(y,z); a=1: slab=y,(x,z); a=2: slab=z,
+    # (x,y)), zero-padded to the max axis
+    rho_hi: jax.Array
+    rho_lo: jax.Array     # (C, nmax, 3, U, V) bf16 residual
     n: tuple              # (nx, ny, nz)
     lo: tuple
     h: tuple
     nmax: int
     U: int                # padded minor-u size (max over axes)
     V: int                # padded minor-v size
+    occ: tuple            # per-axis occupied slab range ((lo, hi),)*3:
+    #                       slabs outside carry zero density in every
+    #                       component, so the kernels clip their loops
 
     @property
     def ncomp(self) -> int:
@@ -103,39 +114,55 @@ def build_tables(grid, med) -> XLTables:
     C = med.ncomp
     nmax = max(n)
     # u axis per layout: a=0->y, a=1->x, a=2->x; v: z, z, y — pad both to
-    # the max axis so the three planes stack into one uniform (3U, V) tile
+    # the max axis so the three planes stack into one uniform (3, U, V)
     U = max(n)
     V = max(n)
-    tab = np.zeros((C, nmax, 3 * U, V), np.float32)
+    tab = np.zeros((C, nmax, 3, U, V), np.float32)
     for c in range(C):
         r3 = np.asarray(med.nd[:, c]).reshape(nx, ny, nz)
         # a=0: slab=x, (u,v)=(y,z); a=1: slab=y,(x,z); a=2: slab=z,(x,y)
-        tab[c, :nx, 0 * U:0 * U + ny, :nz] = r3
-        tab[c, :ny, 1 * U:1 * U + nx, :nz] = r3.transpose(1, 0, 2)
-        tab[c, :nz, 2 * U:2 * U + nx, :ny] = r3.transpose(2, 0, 1)
+        tab[c, :nx, 0, :ny, :nz] = r3
+        tab[c, :ny, 1, :nx, :nz] = r3.transpose(1, 0, 2)
+        tab[c, :nz, 2, :nx, :ny] = r3.transpose(2, 0, 1)
     lo = np.asarray(grid.lo, np.float64)
     h = np.asarray(grid.h, np.float64)
     hi_t = jnp.asarray(tab, jnp.bfloat16)
     lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32), jnp.bfloat16)
+    occ = []
+    for a in range(3):
+        nz = np.flatnonzero(np.abs(tab[:, :, a]).sum(axis=(0, 2, 3)) > 0)
+        occ.append((int(nz[0]), int(nz[-1]) + 1) if nz.size
+                   else (0, 0))
     return XLTables(
         rho_hi=hi_t,
         rho_lo=lo_t,
         n=n,
         lo=(float(lo[0]), float(lo[1]), float(lo[2])),
         h=(float(h[0]), float(h[1]), float(h[2])),
-        nmax=nmax, U=U, V=V,
+        nmax=nmax, U=U, V=V, occ=tuple(occ),
     )
 
 
-def _tile_size(tabs: XLTables, budget_mb: float = 4.0) -> int:
-    """Slabs per kernel tile: the larger of the rho tile (dtau pass) and
-    the accumulator+dtau_sub tile (deposit pass) stays within VMEM."""
-    per_slab = max(tabs.ncomp, 1) * 3 * tabs.U * tabs.V * 4  # hi+lo bf16
+def _tile_size(tabs: XLTables, per_slab: int,
+               budget_mb: float = 6.0) -> int:
+    """Slabs per kernel tile within the VMEM budget (doubled by the
+    pipeline's prefetch buffer). Bigger tiles mean fewer grid steps —
+    at 256^3 the per-step overhead is material."""
     t = max(1, int(budget_mb * 2**20 / max(per_slab, 1)))
     t = min(t, tabs.nmax)
     while tabs.nmax % t:
         t -= 1
     return t
+
+
+def _tile_dtau(tabs: XLTables) -> int:
+    # streamed rho tile: hi+lo bf16, one axis plane, C components
+    return _tile_size(tabs, max(tabs.ncomp, 1) * tabs.U * tabs.V * 4)
+
+
+def _tile_deposit(tabs: XLTables) -> int:
+    # resident accumulator tile: 3 axis planes f32 (+ small dsub/scale)
+    return _tile_size(tabs, 3 * tabs.U * tabs.V * 4)
 
 
 # ------------------------------------------------------------------ kernels
@@ -165,67 +192,121 @@ def _substeps(g, t, smin, smax):
     return out
 
 
-def _lookup_matmul(rho_hi_slab, rho_lo_slab, a, iu, iv, sig, C, U, V, lb):
-    """k(lane) = sum_c sigma_c * rho_c[a*U+iu, iv] via one-hot matmul +
-    V-masked reduction. rho_*_slab: (C, 3U, V) bf16 VMEM blocks (hi/lo
-    split: two native bf16 MXU passes reconstruct f32 densities to
-    ~2^-16 relative)."""
-    # transposed formulation: lanes stay on the LAST (128-tiled) axis
-    # throughout — Mosaic rejects (lanes, 1) reshapes but accepts
-    # (1, lanes) and the (1, lb) -> (lbr, 128) merge (measured,
-    # tools/bench_sublane_gather.py bisection)
-    lbr = lb // 128
-    rowf = (a * U + iu).reshape(1, lb)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (3 * U, lb), 0)
-    # build the one-hot in f32 (i1 masks can't relayout to the bf16
-    # (16,128) tiling in this Mosaic) and cast — exact either way
-    AT = jnp.where(sub == rowf, 1.0, 0.0).astype(jnp.bfloat16)
-    vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
-    vmask = vsub == iv.reshape(1, lb)                  # (V, lb)
-    k = None
-    for c in range(C):
-        MT = jax.lax.dot_general(rho_hi_slab[c], AT,
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        MT = MT + jax.lax.dot_general(rho_lo_slab[c], AT,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        val = jnp.sum(jnp.where(vmask, MT, 0.0), axis=0,
-                      keepdims=True).reshape(lbr, 128)
-        k = val * sig[c] if k is None else k + val * sig[c]
-    return k
+def _block_window(g, mine, smin, smax, na, t0, T):
+    """Local slab-loop bounds [lo, hi) for this block: the union of the
+    slab ranges its (matching, active) lanes traverse, clipped to the
+    tile, with a one-slab FP-safety margin."""
+    ta0 = jnp.floor((g["pa"] + smin * g["da"] - g["loa"]) / g["ha"])
+    ta1 = jnp.floor((g["pa"] + smax * g["da"] - g["loa"]) / g["ha"])
+    tlo = jnp.minimum(ta0, ta1) - 1.0
+    thi = jnp.maximum(ta0, ta1) + 1.0
+    tlo = jnp.where(mine, tlo, _BIG)
+    thi = jnp.where(mine, thi, -_BIG)
+    na_f = jnp.asarray(na).astype(jnp.float32)
+    t_lo = jnp.clip(jnp.min(tlo), 0.0, na_f).astype(jnp.int32)
+    t_hi = jnp.clip(jnp.max(thi) + 1.0, 0.0, na_f).astype(jnp.int32)
+    loop_lo = jnp.clip(t_lo - t0, 0, T)
+    loop_hi = jnp.clip(t_hi - t0, 0, T)
+    return loop_lo, loop_hi
+
+
+def _row_onehots(iu0, iu2, U, lb):
+    """bf16 one-hot row selectors (U, lb) for the two candidate minor
+    rows of the slab's 2x2 patch (built in f32 — i1 masks can't relayout
+    to the bf16 (16,128) tiling in this Mosaic — then cast; exact)."""
+    usub = jax.lax.broadcasted_iota(jnp.int32, (U, lb), 0)
+    ATa = jnp.where(usub == iu0.reshape(1, lb), 1.0, 0.0).astype(jnp.bfloat16)
+    ATb = jnp.where(usub == iu2.reshape(1, lb), 1.0, 0.0).astype(jnp.bfloat16)
+    return ATa, ATb
+
+
+def _row_dot(rho_hi, rho_lo, AT):
+    """(V, lb) f32 candidate minor row per lane: hi+lo bf16 MXU passes
+    reconstruct the f32 densities to ~2^-16 relative."""
+    MT = jax.lax.dot_general(rho_hi, AT, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return MT + jax.lax.dot_general(rho_lo, AT, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+
+def _extract(MT, vmask, lbr):
+    return jnp.sum(jnp.where(vmask, MT, 0.0), axis=0,
+                   keepdims=True).reshape(lbr, 128)
 
 
 def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
                     rho_hi_ref, rho_lo_ref, out_ref, *, n, lo, h, T, U, V,
-                    lb, C, want_sub, t0_mul):
+                    lb, C, want_sub, t0_mul, occ):
     tidx = pl.program_id(0)
-    a = grp_ref[...]
-    pos = (pos_ref[0], pos_ref[1], pos_ref[2])
-    dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
+    a = pl.program_id(2)
+    grp = grp_ref[...]
     smin = smin_ref[...]
-    smax = smax_ref[...]
-    sig = tuple(sig_ref[c] for c in range(C))
-    g = sw._axis_geometry(a, pos, dirn, n, lo, h)
-    lbr = lb // 128
+    smax0 = smax_ref[...]
+    mine = (grp == a) & (smax0 > smin)
 
-    def slab(tl, _):
-        t = tidx * t0_mul + tl
-        steps = _substeps(g, t, smin, smax)
-        dtau_t = jnp.zeros((lbr, 128), jnp.float32)
-        for j, (ds, iu, iv, _s) in enumerate(steps):
-            k = _lookup_matmul(rho_hi_ref[:, tl], rho_lo_ref[:, tl],
-                               a, iu, iv, sig, C, U, V, lb)
-            dt = k * ds
+    @pl.when(a == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.any(mine))
+    def _():
+        # foreign/inactive lanes collapse to an empty parameter range:
+        # every ds they produce is zero, so += accumulation across the
+        # three axis passes stays exact without per-lane writes masks
+        smax = jnp.where(mine, smax0, smin)
+        pos = (pos_ref[0], pos_ref[1], pos_ref[2])
+        dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
+        sig = tuple(sig_ref[c] for c in range(C))
+        g = sw._axis_geometry(a, pos, dirn, n, lo, h)
+        lbr = lb // 128
+        na = sw._sel3(a, n[0], n[1], n[2])
+        t0 = tidx * t0_mul
+        loop_lo, loop_hi = _block_window(g, mine, smin, smax, na, t0, T)
+        # clip to the density-occupied slab range of this axis: outside
+        # it every dtau is exactly zero (vacuum), so skipping is exact
+        loop_lo = jnp.maximum(loop_lo,
+                              sw._sel3(a, occ[0][0], occ[1][0],
+                                       occ[2][0]) - t0)
+        loop_hi = jnp.minimum(loop_hi,
+                              sw._sel3(a, occ[0][1], occ[1][1],
+                                       occ[2][1]) - t0)
+        vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
+
+        def slab(tl, _):
+            t = t0 + tl
+            steps = _substeps(g, t, smin, smax)
+            (ds0, iu0, iv0, _s0) = steps[0]
+            (ds1, iu1, iv1, _s1) = steps[1]
+            (ds2, iu2, iv2, _s2) = steps[2]
+            # second candidate row: the u-crossing happens either at
+            # j0->j1 (row iu1) or at j1->j2 (row iu2). When the slab is
+            # exhausted early the DDA garbage-steps iu, so iu2 alone is
+            # NOT reliable — but then the affected substeps have ds=0.
+            same = iu1 == iu0
+            rowb = jnp.where(same, iu2, iu1)
+            ATa, ATb = _row_onehots(iu0, rowb, U, lb)
+            vm0 = vsub == iv0.reshape(1, lb)
+            vm1 = vsub == iv1.reshape(1, lb)
+            vm2 = vsub == iv2.reshape(1, lb)
+            k0 = k1 = k2 = jnp.zeros((lbr, 128), jnp.float32)
+            for c in range(C):
+                MA = _row_dot(rho_hi_ref[c, tl, 0], rho_lo_ref[c, tl, 0],
+                              ATa)
+                MB = _row_dot(rho_hi_ref[c, tl, 0], rho_lo_ref[c, tl, 0],
+                              ATb)
+                k0 = k0 + _extract(MA, vm0, lbr) * sig[c]
+                k1 = k1 + jnp.where(same, _extract(MA, vm1, lbr),
+                                    _extract(MB, vm1, lbr)) * sig[c]
+                k2 = k2 + _extract(MB, vm2, lbr) * sig[c]
             if want_sub:
-                out_ref[tl, j] = dt
+                out_ref[tl, 0] += k0 * ds0
+                out_ref[tl, 1] += k1 * ds1
+                out_ref[tl, 2] += k2 * ds2
             else:
-                dtau_t = dtau_t + dt
-        if not want_sub:
-            out_ref[tl] = dtau_t
-        return 0
+                out_ref[tl] += k0 * ds0 + k1 * ds1 + k2 * ds2
+            return 0
 
-    jax.lax.fori_loop(0, T, slab, 0)
+        jax.lax.fori_loop(loop_lo, loop_hi, slab, 0)
 
 
 def _xl_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
@@ -233,44 +314,72 @@ def _xl_deposit_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref,
                        lb, t0_mul, ppb):
     tidx = pl.program_id(0)
     gidx = pl.program_id(1)
+    a = pl.program_id(2)
 
-    @pl.when(gidx % ppb == 0)
+    @pl.when((gidx % ppb == 0) & (a == 0))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    a = grp_ref[...]
-    pos = (pos_ref[0], pos_ref[1], pos_ref[2])
-    dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
+    grp = grp_ref[...]
     smin = smin_ref[...]
-    smax = smax_ref[...]
-    g = sw._axis_geometry(a, pos, dirn, n, lo, h)
-    vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
-    usub = jax.lax.broadcasted_iota(jnp.int32, (3 * U, lb), 0)
+    smax0 = smax_ref[...]
+    mine = (grp == a) & (smax0 > smin)
 
-    def slab(tl, _):
-        t = tidx * t0_mul + tl
-        steps = _substeps(g, t, smin, smax)
-        scale = scale_ref[tl]          # L * exp(-tau_before_slab)
-        tau_loc = jnp.zeros_like(smin)
-        tile = None
-        for j, (ds, iu, iv, _s) in enumerate(steps):
-            dtau = dsub_ref[tl, j]
-            small = dtau < 1e-3
-            gfac = jnp.where(small, 1.0 - 0.5 * dtau,
-                             (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
-                             / jnp.maximum(dtau, 1e-37))
-            contrib = scale * jnp.exp(-tau_loc) * ds * gfac
-            row = (a * U + iu).reshape(1, lb)
-            A = jnp.where(usub == row, contrib.reshape(1, lb), 0.0)
-            BmT = jnp.where(vsub == iv.reshape(1, lb), 1.0, 0.0)
-            prod = jax.lax.dot_general(A, BmT, (((1,), (1,)), ((), ())),
+    @pl.when(jnp.any(mine))
+    def _():
+        smax = jnp.where(mine, smax0, smin)
+        pos = (pos_ref[0], pos_ref[1], pos_ref[2])
+        dirn = (dir_ref[0], dir_ref[1], dir_ref[2])
+        g = sw._axis_geometry(a, pos, dirn, n, lo, h)
+        na = sw._sel3(a, n[0], n[1], n[2])
+        t0 = tidx * t0_mul
+        loop_lo, loop_hi = _block_window(g, mine, smin, smax, na, t0, T)
+        vsub = jax.lax.broadcasted_iota(jnp.int32, (V, lb), 0)
+        usub = jax.lax.broadcasted_iota(jnp.int32, (U, lb), 0)
+
+        def slab(tl, _):
+            t = t0 + tl
+            steps = _substeps(g, t, smin, smax)
+            scale = scale_ref[tl]          # L * exp(-tau_before_slab)
+            tau_loc = jnp.zeros_like(smin)
+            contribs = []
+            for j, (ds, iu, iv, _s) in enumerate(steps):
+                dtau = dsub_ref[tl, j]
+                small = dtau < 1e-3
+                gfac = jnp.where(small, 1.0 - 0.5 * dtau,
+                                 (1.0 - jnp.exp(-jnp.minimum(dtau, 80.0)))
+                                 / jnp.maximum(dtau, 1e-37))
+                contribs.append(scale * jnp.exp(-tau_loc) * ds * gfac)
+                tau_loc = tau_loc + dtau
+            (ds0, iu0, iv0, _), (ds1, iu1, iv1, _), (ds2, iu2, iv2, _) = \
+                steps
+            c0, c1, c2 = contribs
+            # the slab's 2x2 patch: substeps sharing a minor row merge
+            # into ONE weighted multi-hot column matrix per candidate row.
+            # Second candidate row = iu1 when j0 crossed u, else iu2 (the
+            # DDA garbage-steps iu once the slab is exhausted, but those
+            # substeps carry ds=0 -> contrib 0).
+            same = iu1 == iu0
+            rowb = jnp.where(same, iu2, iu1)
+            c1a = jnp.where(same, c1, 0.0).reshape(1, lb)
+            c1b = jnp.where(same, 0.0, c1).reshape(1, lb)
+            WA = (jnp.where(vsub == iv0.reshape(1, lb),
+                            c0.reshape(1, lb), 0.0)
+                  + jnp.where(vsub == iv1.reshape(1, lb), c1a, 0.0))
+            WB = (jnp.where(vsub == iv1.reshape(1, lb), c1b, 0.0)
+                  + jnp.where(vsub == iv2.reshape(1, lb),
+                              c2.reshape(1, lb), 0.0))
+            RA = jnp.where(usub == iu0.reshape(1, lb), 1.0, 0.0)
+            RB = jnp.where(usub == rowb.reshape(1, lb), 1.0, 0.0)
+            prod = jax.lax.dot_general(RA, WA, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-            tile = prod if tile is None else tile + prod
-            tau_loc = tau_loc + dtau
-        acc_ref[0, tl] += tile
-        return 0
+            prod = prod + jax.lax.dot_general(
+                RB, WB, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[0, tl, a] += prod
+            return 0
 
-    jax.lax.fori_loop(0, T, slab, 0)
+        jax.lax.fori_loop(loop_lo, loop_hi, slab, 0)
 
 
 # ------------------------------------------------------------------ wrappers
@@ -297,7 +406,11 @@ def sweep_dtau(tabs: XLTables, pos, dirn, sigma, active,
                axis_hint: int | None = None, want_sub: bool = False):
     """Per-slab (or per-substep) optical depth via streamed slab tiles.
 
-    Returns (nmax, B) when want_sub is False, else (nmax, 3, B)."""
+    Returns (nmax, B) when want_sub is False, else (nmax, 3, B).
+    Throughput contract: lanes should arrive sorted by dominant axis
+    (transport/lifecycle.py sorts per event) so blocks are axis-pure and
+    the kernel runs ONE axis pass per block; mixed blocks stay exact but
+    pay up to 3x."""
     pos3, dir3, grp, smin, smax, sig, NB = sw._prep(tabs, pos, dirn, sigma,
                                                     active)
     C = sig.shape[0]
@@ -305,40 +418,41 @@ def sweep_dtau(tabs: XLTables, pos, dirn, sigma, active,
         grp = jnp.full_like(grp, axis_hint)
     lb = _lane_block(NB)
     lbr = lb // 128
-    T = _tile_size(tabs)
+    T = _tile_dtau(tabs)
     NT = tabs.nmax // T
     G = NB // lbr
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, T=T, U=tabs.U, V=tabs.V,
-                lb=lb, C=C, want_sub=want_sub, t0_mul=T)
+                lb=lb, C=C, want_sub=want_sub, t0_mul=T, occ=tabs.occ)
     kern = functools.partial(_xl_dtau_kernel, **meta)
-    lane = lambda t, g: (g, 0)
+    lane = lambda t, g, a: (g, 0)
     if want_sub:
-        out_spec = pl.BlockSpec((T, 3, lbr, 128), lambda t, g: (t, 0, g, 0),
+        out_spec = pl.BlockSpec((T, 3, lbr, 128),
+                                lambda t, g, a: (t, 0, g, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((tabs.nmax, 3, NB, 128),
                                          jnp.float32)
     else:
-        out_spec = pl.BlockSpec((T, lbr, 128), lambda t, g: (t, g, 0),
+        out_spec = pl.BlockSpec((T, lbr, 128), lambda t, g, a: (t, g, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((tabs.nmax, NB, 128), jnp.float32)
     out = pl.pallas_call(
         kern,
-        grid=(NT, G),
+        grid=(NT, G, 3),
         in_specs=[
-            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+            pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+            pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, lbr, 128), lambda t, g: (0, g, 0),
+            pl.BlockSpec((C, lbr, 128), lambda t, g, a: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tabs.ncomp, T, 3 * tabs.U, tabs.V),
-                         lambda t, g: (0, t, 0, 0),
+            pl.BlockSpec((tabs.ncomp, T, 1, tabs.U, tabs.V),
+                         lambda t, g, a: (0, t, a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tabs.ncomp, T, 3 * tabs.U, tabs.V),
-                         lambda t, g: (0, t, 0, 0),
+            pl.BlockSpec((tabs.ncomp, T, 1, tabs.U, tabs.V),
+                         lambda t, g, a: (0, t, a, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
@@ -364,7 +478,7 @@ def sweep_deposit(tabs: XLTables, pos, dirn, active, dtau_sub, scale_slab,
                                                      sigma, active)
     lb = _lane_block(NB)
     lbr = lb // 128
-    T = _tile_size(tabs)
+    T = _tile_deposit(tabs)
     NT = tabs.nmax // T
     G = NB // lbr
     if G % n_groups:
@@ -374,38 +488,37 @@ def sweep_deposit(tabs: XLTables, pos, dirn, active, dtau_sub, scale_slab,
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, T=T, U=tabs.U, V=tabs.V,
                 lb=lb, t0_mul=T, ppb=ppb)
     kern = functools.partial(_xl_deposit_kernel, **meta)
-    lane = lambda t, g: (g, 0)
+    lane = lambda t, g, a: (g, 0)
     dsub3 = dtau_sub.reshape(tabs.nmax, 3, NB, 128)
     scale3 = scale_slab.reshape(tabs.nmax, NB, 128)
     acc = pl.pallas_call(
         kern,
-        grid=(NT, G),
+        grid=(NT, G, 3),
         in_specs=[
-            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+            pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, lbr, 128), lambda t, g: (0, g, 0),
+            pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
             pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 3, lbr, 128), lambda t, g: (t, 0, g, 0),
+            pl.BlockSpec((T, 3, lbr, 128), lambda t, g, a: (t, 0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, lbr, 128), lambda t, g: (t, g, 0),
+            pl.BlockSpec((T, lbr, 128), lambda t, g, a: (t, g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, 3 * tabs.U, tabs.V),
-                               lambda t, g: (g // ppb, t, 0, 0),
+        out_specs=pl.BlockSpec((1, T, 3, tabs.U, tabs.V),
+                               lambda t, g, a: (g // ppb, t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups, tabs.nmax, 3 * tabs.U, tabs.V), jnp.float32),
+            (n_groups, tabs.nmax, 3, tabs.U, tabs.V), jnp.float32),
         interpret=sw._interpret(),
     )(pos3, dir3, grp, smin, smax, dsub3, scale3)
-    # decode the (group, slab, axis*U, V) planes back to flat cells
+    # decode the (group, slab, axis, U, V) planes back to flat cells
     nx, ny, nz = tabs.n
-    U, V = tabs.U, tabs.V
-    rf = acc[:, :nx, 0 * U:0 * U + ny, :nz]
-    rf = rf + acc[:, :ny, 1 * U:1 * U + nx, :nz].transpose(0, 2, 1, 3)
-    rf = rf + acc[:, :nz, 2 * U:2 * U + nx, :ny].transpose(0, 2, 3, 1)
+    rf = acc[:, :nx, 0, :ny, :nz]
+    rf = rf + acc[:, :ny, 1, :nx, :nz].transpose(0, 2, 1, 3)
+    rf = rf + acc[:, :nz, 2, :nx, :ny].transpose(0, 2, 3, 1)
     return rf.reshape(n_groups, -1)
 
 
@@ -429,12 +542,14 @@ def resolve_interaction(tabs: XLTables, pos, dirn, active, dtau_sub,
     found = jnp.any(hit, axis=0) & active
     t_hit = jnp.argmax(hit, axis=0).astype(jnp.int32)   # (B,)
 
-    take_t = lambda arr: jnp.take_along_axis(
-        arr, t_hit[None, :], axis=0)[0]
+    # the hit slab is unique per lane (tau is monotone along the ray), so
+    # per-lane row extraction is a masked reduction — much faster on TPU
+    # than a take_along_axis gather over the (nmax, B) tables
+    take_t = lambda arr: jnp.sum(jnp.where(hit, arr, 0.0), axis=0)
     rel_t = take_t(rel)
-    d0 = jnp.take_along_axis(dtau_sub[:, 0], t_hit[None, :], axis=0)[0]
-    d1 = jnp.take_along_axis(dtau_sub[:, 1], t_hit[None, :], axis=0)[0]
-    d2 = jnp.take_along_axis(dtau_sub[:, 2], t_hit[None, :], axis=0)[0]
+    d0 = take_t(dtau_sub[:, 0])
+    d1 = take_t(dtau_sub[:, 1])
+    d2 = take_t(dtau_sub[:, 2])
     # substeps are recorded in GEOMETRIC order along the ray: the sub-DDA
     # always walks in +s, so order is already ray order
     lo = jnp.asarray(tabs.lo, jnp.float32)
