@@ -367,6 +367,59 @@ def bench_config3ism():
     return {"rate": n_pk / (time.perf_counter() - t0)}
 
 
+def bench_config3ismxl():
+    """Refinement-everywhere at scale: 400 clumps x 96 sites on a
+    SiteListTreePolicy octree at maxLevel 8 -> ~1.4e5 leaves, encoding
+    rows ~2900 — far past the multi-level sweep's cap. The engine
+    rasterizes the tree EXACTLY onto its 256^3 fine grid and runs the
+    streamed XL engine (sweepxl.build_tree_tables); before round 5 this
+    regime fell to the ~2k pk/s scan march (ref capability:
+    SKIRT/core/TreeSpatialGrid.cpp:37-90 routinely runs 1e5-1e6 leaves)."""
+    import numpy as np
+
+    from skirt9_tpu.grids.octree import build_octree, site_list_refine_fn
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.media import system as msys
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import lifecycle as lc
+    from skirt9_tpu.transport import sweepxl as xsw
+
+    PC = 3.0857e16
+    SIG = 1e-25
+    rs = np.random.default_rng(9)
+    cc = rs.uniform(-0.85, 0.85, size=(400, 3)) * PC
+    sites = np.concatenate(
+        [c + rs.normal(scale=0.03 * PC, size=(96, 3)) for c in cc])
+    grid = build_octree(((-PC, PC),) * 3, lambda p: np.ones(len(p)),
+                        max_level=8, min_level=2,
+                        refine_fn=site_list_refine_fn(sites, 1))
+    assert grid.ncells > 100_000, f"want >=1e5 leaves, got {grid.ncells}"
+    nd = (1.0 / (SIG * 2 * PC)) * np.ones(grid.ncells, np.float32)
+    med = msys.make_medium(grid, nd, np.array([0.4e-6, 0.7e-6]),
+                           sigma_ext=np.full((1, 2), SIG),
+                           albedo=np.full((1, 2), 0.5),
+                           g=np.full((1, 2), 0.3))
+    inst = dinst.DistantInstrumentCfg(
+        name="i0", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC,
+        npx=64, npy=64, fovx=4 * PC, fovy=4 * PC)
+    # ExtinctionOnly semantics (see bench_config1): no stored RF
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=16,
+                               store_rf=False)
+    n_pk = 1 << 17
+    sim = Simulation(grid=grid, medium=med,
+                     sources=[PointSource(luminosity=1.0, lam0=0.55e-6)],
+                     instruments=[inst], options=opts,
+                     num_packets=n_pk, batch_size=1 << 16, seed=0)
+    assert isinstance(sim._sweep_tabs, xsw.XLTables) \
+        and sim._sweep_tabs.cellmap is not None, \
+        "1e5-leaf tree should ride the fine-raster XL engine"
+    sim.run_primary(verbose=False)
+    t0 = time.perf_counter()
+    sim.run_primary(verbose=False)
+    return {"rate": n_pk / (time.perf_counter() - t0)}
+
+
 CONFIGS = {
     "1": bench_config1,
     "2": bench_config2,
@@ -380,6 +433,7 @@ CONFIGS = {
     "1x256": bench_config1x256,
     "3d9": bench_config3d9,
     "3ism": bench_config3ism,
+    "3ismxl": bench_config3ismxl,
 }
 
 

@@ -180,11 +180,57 @@ def _slab_march(grid_loc, nd_local, pos, dirn, sigma, mask, max_steps):
     return p0, cells, ds, dtau
 
 
+def build_local_xl(dec: SlabDecomposition, med: msys.MediumTables):
+    """Per-device XL sweep tables for the local x-slab subgrids.
+
+    Returns (rho_hi_stacked, rho_lo_stacked, proto): the stacked
+    (n_dev, C, nmax_l, 3, U, V) bf16 hi/lo plane tables (sharded over the
+    mesh by dd_segment) and a prototype XLTables whose STATIC geometry is
+    shared by every device — the local box is expressed in slab-local
+    coordinates (x measured from the slab's own lower border, so
+    `lo = (0, lo_y, lo_z)` is device-independent and positions shift by
+    the traced per-device x offset inside the kernel caller)."""
+    from ..transport import sweepxl as xl
+
+    n_dev = dec.n_slabs
+    nx_l, ny, nz = dec.nx_local, dec.ny, dec.nz
+    C = med.nd.shape[1]
+    nd3 = np.asarray(med.nd, np.float32).reshape(n_dev * nx_l, ny, nz, C)
+    nmax = max(nx_l, ny, nz)
+    U = V = nmax
+    tab = np.zeros((n_dev, C, nmax, 3, U, V), np.float32)
+    for s in range(n_dev):
+        r4 = nd3[s * nx_l:(s + 1) * nx_l]
+        for c in range(C):
+            r3 = r4[..., c]
+            tab[s, c, :nx_l, 0, :ny, :nz] = r3
+            tab[s, c, :ny, 1, :nx_l, :nz] = r3.transpose(1, 0, 2)
+            tab[s, c, :nz, 2, :nx_l, :ny] = r3.transpose(2, 0, 1)
+    hi_t = jnp.asarray(tab, jnp.bfloat16)
+    lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32), jnp.bfloat16)
+    # occupancy union across devices (occ is static kernel metadata and
+    # must be identical on every shard_map program)
+    occ = []
+    for a in range(3):
+        nzr = np.flatnonzero(
+            np.abs(tab[:, :, :, a]).sum(axis=(0, 1, 3, 4)) > 0)
+        occ.append((int(nzr[0]), int(nzr[-1]) + 1) if nzr.size else (0, 0))
+    lo_y = float(dec.slab_lohi[0, 1])
+    lo_z = float(dec.slab_lohi[0, 2])
+    h = np.asarray(dec.h, np.float64)
+    proto = xl.XLTables(
+        rho_hi=None, rho_lo=None,
+        n=(nx_l, ny, nz), lo=(0.0, lo_y, lo_z),
+        h=(float(h[0]), float(h[1]), float(h[2])),
+        nmax=nmax, U=U, V=V, occ=tuple(occ))
+    return hi_t, lo_t, proto
+
+
 def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
                opts: lc.TransportOptions, inst_cfgs, inst_tabs,
                rf_borders, source, source_tabs, n_total: int,
                hist_base: int = 0, lum_weight: float = 1.0,
-               phase_tabs: dict | None = None):
+               phase_tabs: dict | None = None, xl_local=None):
     """Build a jitted shard_mapped segment runner on the decomposed grid.
 
     Returns run(seed_key, history, nd_sharded, rf_sharded, accs) ->
@@ -206,14 +252,52 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
                    else dinst.KIND_SECONDARY_DIRECT)
     kind_scat = (dinst.KIND_PRIMARY_SCATTERED if opts.primary
                  else dinst.KIND_SECONDARY_SCATTERED)
+    # sweep-engine composition (round-5): each device runs the streamed XL
+    # sweep on its OWN slab subgrid instead of the fixed-bound scan march —
+    # per-device work becomes proportional to the rays' actual in-slab
+    # crossings (the march pays the transverse ny+nz bound on every device,
+    # which is why DD-march costs ~5x the replicated engine per device).
+    # The exchange protocol (all_gather ray states, all_to_all owner
+    # partials, psum returns) is unchanged.
+    use_xl = xl_local is not None
+    if use_xl:
+        from ..transport import sweep as sw_
+        from ..transport import sweepxl as xl_
+        xl_hi, xl_lo, xl_proto = xl_local
+        if use_rf and nrf != 1:
+            raise ValueError("dd_segment: XL sweep composition supports a "
+                             "single stored-RF bin (use the march path for "
+                             "multi-bin radiation fields)")
 
-    def per_device(lohi_row, xb_row, seed_key, history, stabs, nd_local,
-                   rf_local, accs):
+    def per_device(lohi_row, xb_row, xh_row, xlo_row, seed_key, history,
+                   stabs, nd_local, rf_local, accs):
         d = jax.lax.axis_index(DD_AXIS)
         grid_loc = _local_grid(dec, lohi_row[0], xb_row[0])
         nc_loc = dec.ncells_local
         B = history.shape[0]
         n_sl = dec.n_slabs
+        if use_xl:
+            tabs_loc = xl_proto._replace(rho_hi=xh_row[0], rho_lo=xlo_row[0])
+            # local slab coordinates: x measured from the slab's lower
+            # border (the tables' static lo is (0, lo_y, lo_z))
+            shift = jnp.stack([lohi_row[0, 0], jnp.float32(0.0),
+                               jnp.float32(0.0)])
+
+            def _xl_sort(pos_all, gdir):
+                """(axis, sign, entry-slab) sort of the gathered rays:
+                axis-pure kernel blocks with compact slab windows (the
+                same contract transport/lifecycle.py applies)."""
+                grp_g = sw_.dominant_axis(tabs_loc, gdir)
+                pa_g = jnp.take_along_axis(pos_all, grp_g[:, None],
+                                           1)[:, 0]
+                da_g = jnp.take_along_axis(gdir, grp_g[:, None], 1)[:, 0]
+                lo_g = jnp.asarray(tabs_loc.lo, jnp.float32)[grp_g]
+                h_g = jnp.asarray(tabs_loc.h, jnp.float32)[grp_g]
+                t_en = jnp.clip(((pa_g - lo_g) / h_g).astype(jnp.int32),
+                                0, tabs_loc.nmax - 1)
+                skey = (grp_g * 2 + (da_g > 0)) * tabs_loc.nmax + t_en
+                prm = jnp.argsort(skey)
+                return prm, jnp.argsort(prm), da_g
 
         # detections accumulate into a ZERO tree; the psum at segment end
         # reduces only this call's delta (psumming the carried-in
@@ -246,9 +330,16 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
             """Observer-direction tau for OWN rays: psum of per-slab parts."""
             gp, gk, gs, gm = gather(pos), gather(dirn_obs), gather(sigma), \
                 gather(mask)
-            _, _, _, dtau = _slab_march(grid_loc, nd_local, gp, gk, gs, gm,
-                                        S_loc)
-            part = jnp.sum(dtau, axis=0)
+            if use_xl:
+                pos_all = gp - shift[None, :]
+                prm, inv, _ = _xl_sort(pos_all, gk)
+                part = jnp.sum(
+                    xl_.sweep_dtau(tabs_loc, pos_all[prm], gk[prm],
+                                   gs.T[:, prm], gm[prm]), axis=0)[inv]
+            else:
+                _, _, _, dtau = _slab_march(grid_loc, nd_local, gp, gk, gs,
+                                            gm, S_loc)
+                part = jnp.sum(dtau, axis=0)
             return my_block(jax.lax.psum(part, DD_AXIS))
 
         # ---- emission peel-off: REUSES the lifecycle's peel-off/detect
@@ -276,9 +367,19 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
             # pass 1: per-slab partial taus for ALL gathered rays
             gpos, gdir = gather(pkt.pos), gather(pkt.dir)
             gsig, gmask = gather(opt.sigma_ext), gather(active | rf_mask)
-            p0, cells_l, ds, dtau = _slab_march(grid_loc, nd_local, gpos,
-                                                gdir, gsig, gmask, S_loc)
-            ptau = jnp.sum(dtau, axis=0)                       # (N,)
+            if use_xl:
+                pos_all = gpos - shift[None, :]
+                prm, inv, da_g = _xl_sort(pos_all, gdir)
+                dtau_sub = xl_.sweep_dtau(tabs_loc, pos_all[prm],
+                                          gdir[prm], gsig.T[:, prm],
+                                          gmask[prm], want_sub=True)
+                dtau_ls = jnp.sum(dtau_sub, axis=1)   # (nmax_l, N) sorted
+                ptau = jnp.sum(dtau_ls, axis=0)[inv]
+            else:
+                p0, cells_l, ds, dtau = _slab_march(grid_loc, nd_local,
+                                                    gpos, gdir, gsig,
+                                                    gmask, S_loc)
+                ptau = jnp.sum(dtau, axis=0)                   # (N,)
             # owner exchange: device d holds slab-d partials for every
             # owner's block; all_to_all turns that into the (n_slabs, B)
             # matrix of MY OWN rays — O(nB), not O(n^2 B)
@@ -303,33 +404,60 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
             glum_half = gather((pkt.lum * rf_mask) * inv_sqrt)
             grfbin = gather(rf_bin)
             gtau_int = gather(tau_int)
-            cum_before = tb_slab[None, :] + jnp.cumsum(dtau, axis=0) - dtau
-            if use_rf:
-                small = dtau < 1e-4
-                expfac = jnp.where(
-                    small, ds * (1.0 - 0.5 * dtau),
-                    -jnp.expm1(-dtau) * ds / jnp.maximum(dtau, 1e-37))
-                contrib = (glum_half[None, :] * jnp.exp(-cum_before)) \
-                    * (expfac * inv_sqrt)
-                flat = cells_l * nrf + grfbin[None, :]
-                rf_local = rf_local.reshape(-1).at[flat.reshape(-1)].add(
-                    contrib.reshape(-1)).reshape(rf_local.shape)
+            if use_xl:
+                # local ray-ordered prefix over the LOCAL grid's
+                # major-axis slabs; global tau before a local slab is the
+                # inter-device entry tau (tb_slab) plus this local prefix
+                tb_loc, _ = sw_.slab_prefix(dtau_ls, (da_g > 0)[prm])
+                if use_rf:
+                    scale_slab = (glum_half[prm][None, :]
+                                  * jnp.exp(-(tb_slab[prm][None, :]
+                                              + tb_loc))) * inv_sqrt
+                    rf_delta = xl_.sweep_deposit(
+                        tabs_loc, pos_all[prm], gdir[prm],
+                        gather(rf_mask)[prm], dtau_sub, scale_slab)
+                    rf_local = rf_local + rf_delta[0][:, None]
+                gact = gather(active)
+                s_s, ic_s, fd_s = xl_.resolve_interaction(
+                    tabs_loc, pos_all[prm], gdir[prm], gact[prm],
+                    dtau_sub, tb_loc, (gtau_int - tb_slab)[prm])
+                found_l = fd_s[inv]
+                icell_l = jnp.maximum(ic_s[inv], 0)
+                ipos_l = gpos + s_s[inv][:, None] * gdir
+                nd_at_l = nd_local[icell_l]                      # (N, H)
+                icell_g = icell_l + d * nc_loc
+            else:
+                cum_before = tb_slab[None, :] \
+                    + jnp.cumsum(dtau, axis=0) - dtau
+                if use_rf:
+                    small = dtau < 1e-4
+                    expfac = jnp.where(
+                        small, ds * (1.0 - 0.5 * dtau),
+                        -jnp.expm1(-dtau) * ds / jnp.maximum(dtau, 1e-37))
+                    contrib = (glum_half[None, :] * jnp.exp(-cum_before)) \
+                        * (expfac * inv_sqrt)
+                    flat = cells_l * nrf + grfbin[None, :]
+                    rf_local = rf_local.reshape(-1).at[
+                        flat.reshape(-1)].add(
+                        contrib.reshape(-1)).reshape(rf_local.shape)
 
-            # interaction: unique slab where global cumulative tau crosses
-            hit = (cum_before + dtau >= gtau_int[None, :]) & (dtau > 0)
-            found_l = (jnp.any(hit, axis=0)
-                       & (tb_slab < gtau_int)
-                       & (tb_slab + ptau >= gtau_int))
-            idx = jnp.argmax(hit, axis=0)
-            take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
-            frac = jnp.clip((gtau_int - take(cum_before))
-                            / jnp.maximum(take(dtau), 1e-37), 0.0, 1.0)
-            s_before = jnp.cumsum(ds, axis=0) - ds
-            s_loc = take(s_before) + frac * take(ds)
-            ipos_l = p0 + s_loc[:, None] * gdir
-            icell_l = take(cells_l)
-            nd_at_l = nd_local[icell_l]                          # (N, H)
-            icell_g = icell_l + d * nc_loc
+                # interaction: unique slab where global cumulative tau
+                # crosses
+                hit = (cum_before + dtau >= gtau_int[None, :]) & (dtau > 0)
+                found_l = (jnp.any(hit, axis=0)
+                           & (tb_slab < gtau_int)
+                           & (tb_slab + ptau >= gtau_int))
+                idx = jnp.argmax(hit, axis=0)
+                take = lambda a: jnp.take_along_axis(a, idx[None, :],
+                                                     axis=0)[0]
+                frac = jnp.clip((gtau_int - take(cum_before))
+                                / jnp.maximum(take(dtau), 1e-37), 0.0, 1.0)
+                s_before = jnp.cumsum(ds, axis=0) - ds
+                s_loc = take(s_before) + frac * take(ds)
+                ipos_l = p0 + s_loc[:, None] * gdir
+                icell_l = take(cells_l)
+                nd_at_l = nd_local[icell_l]                      # (N, H)
+                icell_g = icell_l + d * nc_loc
 
             # return interaction data to the owning device (one slab finds
             # each interaction -> a masked psum is an exact exchange)
@@ -392,18 +520,25 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(DD_AXIS), P(DD_AXIS), P(), P(DD_AXIS), P(), P(DD_AXIS),
-                  P(DD_AXIS), P()),
+        in_specs=(P(DD_AXIS), P(DD_AXIS), P(DD_AXIS), P(DD_AXIS), P(),
+                  P(DD_AXIS), P(), P(DD_AXIS), P(DD_AXIS), P()),
         out_specs=(P(DD_AXIS), P()),
         check_vma=False,
     )
+    if use_xl:
+        xh_arr, xlo_arr = xl_hi, xl_lo
+    else:
+        # placeholder rows (one f32 per device) keep the shard_map
+        # signature uniform; the march path never reads them
+        xh_arr = jnp.zeros((n_dev, 1), jnp.float32)
+        xlo_arr = jnp.zeros((n_dev, 1), jnp.float32)
 
     def run(seed_key, history, stabs, nd_sharded, rf_sharded, accs):
         # source tables flow through as traced arguments so per-iteration
         # secondary-source updates do NOT retrigger compilation (mirrors
         # Simulation._segment_runner)
-        return shard(lohi_dev, xb_dev, seed_key, history, stabs,
-                     nd_sharded, rf_sharded, accs)
+        return shard(lohi_dev, xb_dev, xh_arr, xlo_arr, seed_key, history,
+                     stabs, nd_sharded, rf_sharded, accs)
 
     return jax.jit(run)
 

@@ -213,6 +213,20 @@ class Simulation:
                 _log().info("transport: large-grid streamed sweep engine "
                             f"for {'x'.join(map(str, self.grid.shape))}")
                 self._sweep_tabs = _xsw.build_tables(self.grid, self.medium)
+            elif _xsw.supports_tree_xl(self.grid, self.medium):
+                # trees past the multi-level sweep's encoding cap
+                # (refinement-everywhere, 1e5+ leaves): rasterize EXACTLY
+                # onto the fine voxel grid and run the streamed XL engine
+                # there; interaction cells map back through the leaf map
+                from .utils.log import default as _log
+                self._sweep_tabs = _xsw.build_tree_tables(self.grid,
+                                                          self.medium)
+                _log().info(
+                    "transport: tree grid "
+                    f"({self.grid.ncells} leaves) exceeds the multi-level "
+                    "sweep encoding — rasterized exactly onto its "
+                    f"{'x'.join(map(str, self._sweep_tabs.n))} fine grid "
+                    "for the streamed XL engine")
             else:
                 self._sweep_tabs = None
                 import jax as _jax
@@ -241,12 +255,24 @@ class Simulation:
                                 self.probe_outdir, rf=rf, it=it)
 
     def _rf_finalize(self, rf):
-        """Convert plane-space RF accumulators (multi-level sweep) to the
-        public (ncells, nbins) table; identity otherwise."""
-        if rf is None or not isinstance(rf, tuple):
+        """Convert engine-space RF accumulators (multi-level sweep planes
+        or tree-raster fine voxels) to the public (ncells, nbins) table;
+        identity otherwise."""
+        if rf is None:
             return rf
-        from .transport import mlsweep as _ml
-        return _ml.finalize_rf(self._sweep_tabs, rf, self.grid.ncells)
+        if isinstance(rf, tuple):
+            from .transport import mlsweep as _ml
+            return _ml.finalize_rf(self._sweep_tabs, rf, self.grid.ncells)
+        from .transport import sweepxl as _xsw
+        tabs = self._sweep_tabs
+        if (isinstance(tabs, _xsw.XLTables) and tabs.cellmap is not None
+                and rf.shape[0] == tabs.cellmap.shape[0]
+                and rf.shape[0] != self.grid.ncells):
+            cm = tabs.cellmap
+            out = jnp.zeros((self.grid.ncells, rf.shape[1]), jnp.float32)
+            return out.at[jnp.maximum(cm, 0)].add(
+                jnp.where((cm >= 0)[:, None], rf, 0.0))
+        return rf
 
     def _ensure_dd(self):
         """Build (once) the domain decomposition state: the slab partition
@@ -277,12 +303,21 @@ class Simulation:
         dec, ddmesh = st["dec"], st["mesh"]
         nrf = (len(self.rf_borders) - 1
                if (self.rf_borders is not None and opts.store_rf) else 1)
+        # round-5: compose the XL sweep with DD — each device runs the
+        # streamed sweep on its own slab subgrid (single-RF-bin envelope;
+        # multi-bin radiation fields keep the march path)
+        import os as _os
+        use_xl = (nrf == 1
+                  and (jax.default_backend() in ("tpu", "axon")
+                       or _os.environ.get("SKIRT9_TPU_FORCE_SWEEP") == "1"))
+        if use_xl and "xl_local" not in st:
+            st["xl_local"] = dom.build_local_xl(st["dec"], st["med_vox"])
         # hist_base is baked into the compiled runner as a trace-time
         # constant (hist_end = hist_base + n_total), so it must be part of
         # the cache key — a stale runner would apply the wrong
         # launch-validity window (round-4 advisory)
         key = ("dd", seg_key, int(n_packets), int(hist_base),
-               float(lum_weight), nrf,
+               float(lum_weight), nrf, use_xl,
                opts.store_rf, opts.peel_off, opts.primary)
         if key not in self._seg_cache:
             self._seg_cache[key] = dom.dd_segment(
@@ -291,10 +326,15 @@ class Simulation:
                 self._rf_borders_dev if opts.store_rf else None,
                 source, stabs, int(n_packets), hist_base=hist_base,
                 lum_weight=float(lum_weight),
-                phase_tabs=self.phase_tabs)
+                phase_tabs=self.phase_tabs,
+                xl_local=st["xl_local"] if use_xl else None)
         run = self._seg_cache[key]
         D = dec.n_slabs
-        B = -(-self.batch_size // (D * 128)) * D * 128
+        align = D * 128
+        if use_xl:
+            # the XL lane blocks need the GATHERED batch in 1024-lane rows
+            align = int(np.lcm(align, 1024))
+        B = -(-self.batch_size // align) * align
         from jax.sharding import PartitionSpec as P
         rf_sh = jax.device_put(
             jnp.zeros((st["vox_grid"].ncells, nrf), jnp.float32),
@@ -809,9 +849,16 @@ class Simulation:
         if self.rf_borders is None or not self.options.store_rf:
             return None
         from .transport import mlsweep as _ml
+        from .transport import sweepxl as _xsw
         if isinstance(self._sweep_tabs, _ml.MLTables):
             # plane-space accumulators (aggregated per segment)
             return _ml.init_rf(self._sweep_tabs, len(self.rf_borders) - 1)
+        if (isinstance(self._sweep_tabs, _xsw.XLTables)
+                and self._sweep_tabs.cellmap is not None):
+            # tree-raster mode: fine-voxel accumulators, aggregated to
+            # leaf cells once per segment (_rf_finalize)
+            return jnp.zeros((self._sweep_tabs.cellmap.shape[0],
+                              len(self.rf_borders) - 1), jnp.float32)
         return jnp.zeros((self.grid.ncells, len(self.rf_borders) - 1),
                          jnp.float32)
 

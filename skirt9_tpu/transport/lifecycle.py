@@ -924,6 +924,13 @@ def life_cycle(grid, med: msys.MediumTables, opts: TransportOptions,
                 s_int = s_int_p[xl_inv]
                 icell = icell_p[xl_inv]
                 found = found_p[xl_inv]
+                if sweep_tabs.cellmap is not None:
+                    # tree-raster mode: the tables live on the fine voxel
+                    # grid; downstream per-cell state (albedo, kinematics,
+                    # packet cell) indexes the ORIGINAL leaf cells
+                    icell = jnp.where(
+                        found,
+                        sweep_tabs.cellmap[jnp.maximum(icell, 0)], -1)
             else:
                 scale_slab = (lum_half[None, :] * jnp.exp(-tb_slab)) \
                     * inv_sqrt

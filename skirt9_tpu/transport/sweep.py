@@ -427,7 +427,12 @@ def _prep(tabs: SweepTables, pos, dirn, sigma, active):
     t2 = (hi[None] - pos) * inv
     smin = jnp.maximum(jnp.max(jnp.where(tiny, -_BIG, jnp.minimum(t1, t2)), axis=-1), 0.0)
     smax = jnp.min(jnp.where(tiny, _BIG, jnp.maximum(t1, t2)), axis=-1)
-    smax = jnp.where(active & (smax > smin), smax, smin)  # inactive -> empty
+    # a tiny direction component contributes no s bound, so the ray only
+    # intersects the box if its POSITION lies within that dimension's
+    # range (matters for DD subgrid boxes: an axis-aligned peel ray
+    # outside the slab's x-range must integrate nothing here)
+    inbox = ~jnp.any(tiny & ((pos < lo[None]) | (pos >= hi[None])), axis=-1)
+    smax = jnp.where(active & inbox & (smax > smin), smax, smin)
     NB = B // 128
 
     def tile(x, dt=jnp.float32):

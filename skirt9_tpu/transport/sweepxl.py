@@ -83,6 +83,11 @@ class XLTables(NamedTuple):
     occ: tuple            # per-axis occupied slab range ((lo, hi),)*3:
     #                       slabs outside carry zero density in every
     #                       component, so the kernels clip their loops
+    cellmap: jax.Array | None = None
+    #                       (nvox,) voxel -> original cell id (tree-raster
+    #                       mode: the tables live on a tree's fine voxel
+    #                       grid — EXACT, leaves are voxel unions — and
+    #                       interaction cells map back through this)
 
     @property
     def ncomp(self) -> int:
@@ -106,6 +111,57 @@ def supports_xl(grid, med) -> bool:
     if sw.supports_sweep(grid, med):
         return False
     return True
+
+
+def supports_tree_xl(grid, med) -> bool:
+    """Power-of-two tree grids whose multi-level sweep encoding exceeded
+    the mlsweep cap: the tree rasterizes EXACTLY onto its fine voxel grid
+    (every leaf is an aligned voxel union, grids/amr + octree/bintree
+    construction), so the streamed XL engine runs the transport at fine
+    resolution and interaction cells map back through `cellmap`.
+    Refinement-everywhere trees (1e5-1e6 leaves) thereby keep a fast
+    engine instead of the ~40x scan march (ref capability:
+    SKIRT/core/TreeSpatialGrid.cpp:37-90)."""
+    import os
+
+    if (jax.default_backend() not in ("tpu", "axon")
+            and os.environ.get("SKIRT9_TPU_FORCE_SWEEP") != "1"):
+        return False
+    from ..grids.amr import AMRGrid
+    from ..grids.bintree import BinTreeGrid
+    from ..grids.octree import OctreeGrid
+    if not isinstance(grid, (OctreeGrid, BinTreeGrid, AMRGrid)):
+        return False
+    if med.ncomp > 4:
+        return False
+    from . import mlsweep as ml
+    try:
+        meta = ml._analyze(grid)
+    except Exception:
+        return False
+    nf = tuple(int(v) for v in meta["nf"])
+    if max(nf) > 512:
+        return False
+    # hi+lo bf16 table bytes on the fine raster
+    if med.ncomp * max(nf) * 3 * max(nf) * max(nf) * 4 > 2_500_000_000:
+        return False
+    # a tree whose every leaf IS a fine voxel would make the voxel-space
+    # RF indistinguishable from the cell-space one by shape
+    # (Simulation._rf_finalize aggregates by shape); such trees are
+    # uniform grids in disguise — leave them to the other engines
+    if int(np.prod(nf)) == grid.ncells:
+        return False
+    return True
+
+
+def build_tree_tables(grid, med) -> XLTables:
+    """XL tables on a tree's fine voxel raster (exact; see
+    supports_tree_xl) + the voxel -> leaf-cell map."""
+    from ..parallel import domain as dom
+
+    vox_grid, med_vox, cellmap = dom.voxelize_for_dd(grid, med, 1)
+    tabs = build_tables(vox_grid, med_vox)
+    return tabs._replace(cellmap=cellmap)
 
 
 def build_tables(grid, med) -> XLTables:
@@ -563,7 +619,10 @@ def resolve_interaction(tabs: XLTables, pos, dirn, active, dtau_sub,
                                          jnp.minimum(t1, t2)), axis=-1),
                        0.0)
     smax = jnp.min(jnp.where(tiny, _BIG, jnp.maximum(t1, t2)), axis=-1)
-    smax = jnp.where(active & (smax > smin), smax, smin)
+    # tiny-component rays intersect only if positioned inside that
+    # dimension's range (DD subgrid boxes; see sweep._prep)
+    inbox = ~jnp.any(tiny & ((pos < lo[None]) | (pos >= hi[None])), axis=-1)
+    smax = jnp.where(active & inbox & (smax > smin), smax, smin)
     g = sw._axis_geometry(grp, (pos[:, 0], pos[:, 1], pos[:, 2]),
                           (dirn[:, 0], dirn[:, 1], dirn[:, 2]),
                           tabs.n, tabs.lo, tabs.h)

@@ -187,6 +187,51 @@ def test_octree_simulation_end_to_end_sweep_vs_scan():
                                rtol=5e-3, atol=1e-5 * tot)
 
 
+def test_tree_raster_xl_engine_matches_scan(monkeypatch):
+    """Trees past the multi-level sweep's encoding cap rasterize EXACTLY
+    onto their fine voxel grid and run the streamed XL engine there
+    (sweepxl.build_tree_tables): tau, interactions (mapped back to leaf
+    cells), RF (voxel accumulators finalized per segment) and the SED
+    must match the scan march. The cap is forced low to exercise the
+    route on a small octree."""
+    from skirt9_tpu.instruments import distant as dinst
+    from skirt9_tpu.simulation import Simulation
+    from skirt9_tpu.sources.base import PointSource
+    from skirt9_tpu.transport import sweepxl as xsw
+
+    monkeypatch.setenv("SKIRT9_TPU_ML_ENC_CAP", "1")
+    grid, med = _problem()
+    inst = dinst.DistantInstrumentCfg(
+        name="i", wave_borders=(0.5e-6, 0.6e-6), distance=100 * PC)
+    opts = lc.TransportOptions(max_steps=grid.max_steps(), max_events=4)
+
+    def build():
+        return Simulation(grid=grid, medium=med,
+                          sources=[PointSource(luminosity=1.0,
+                                               lam0=0.55e-6)],
+                          instruments=[inst], options=opts,
+                          rf_borders=np.array([0.5e-6, 0.6e-6]),
+                          num_packets=1024, batch_size=1024, seed=4)
+
+    sim = build()
+    assert isinstance(sim._sweep_tabs, xsw.XLTables)
+    assert sim._sweep_tabs.cellmap is not None
+    rf_s, accs_s = sim.run_primary(verbose=False)
+    assert rf_s.shape[0] == grid.ncells   # finalized to leaf cells
+
+    sim2 = build()
+    sim2._sweep_tabs = None         # force the scan march
+    sim2.grid = grid
+    rf_r, accs_r = sim2.run_primary(verbose=False)
+
+    np.testing.assert_allclose(np.asarray(accs_s[0]["sed"]),
+                               np.asarray(accs_r[0]["sed"]), rtol=3e-3,
+                               atol=1e-8)
+    tot = float(np.asarray(rf_r).sum())
+    np.testing.assert_allclose(np.asarray(rf_s), np.asarray(rf_r),
+                               rtol=5e-3, atol=1e-5 * tot)
+
+
 def test_two_pass_deposit_enc_over_128():
     """Encoding rows > 128 (refinement-everywhere trees; supports() admits
     up to 256) split the one-hot deposit into two MXU passes. A
