@@ -471,7 +471,7 @@ def main():
 
     results = {name: _run_isolated(name)
                for name in ("2", "1", "1h", "3", "4", "5", "6", "7",
-                            "1x128", "1x256", "3d9")}
+                            "1x128", "1x256", "3d9", "3ism", "3ismxl")}
 
     base = {}
     bp = os.path.join(HERE, "BENCH_BASELINE.json")
@@ -535,6 +535,12 @@ def main():
         "config1_256cube_vs_baseline": vs("1x256"),
         "config3_maxlevel9_packets_per_s":
             round(rate("3d9"), 1) if rate("3d9") else None,
+        # SiteListTreePolicy refinement-everywhere regimes (VERDICT r4
+        # item 4): ~5k-leaf clustered mlsweep, 1.4e5-leaf fine-raster XL
+        "config3_ism_sitelist_packets_per_s":
+            round(rate("3ism"), 1) if rate("3ism") else None,
+        "config3_ismxl_140kleaf_packets_per_s":
+            round(rate("3ismxl"), 1) if rate("3ismxl") else None,
         "iterations": (results.get("2") or {}).get("iterations"),
     }))
 

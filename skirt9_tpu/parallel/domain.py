@@ -183,13 +183,16 @@ def _slab_march(grid_loc, nd_local, pos, dirn, sigma, mask, max_steps):
 def build_local_xl(dec: SlabDecomposition, med: msys.MediumTables):
     """Per-device XL sweep tables for the local x-slab subgrids.
 
-    Returns (rho_hi_stacked, rho_lo_stacked, proto): the stacked
-    (n_dev, C, nmax_l, 3, U, V) bf16 hi/lo plane tables (sharded over the
-    mesh by dd_segment) and a prototype XLTables whose STATIC geometry is
-    shared by every device — the local box is expressed in slab-local
-    coordinates (x measured from the slab's own lower border, so
-    `lo = (0, lo_y, lo_z)` is device-independent and positions shift by
-    the traced per-device x offset inside the kernel caller)."""
+    Returns (rho_hi_stacked, rho_lo_stacked, rs_stacked_or_None, proto):
+    the stacked (n_dev, C, nmax_l, 3, U, V) plane tables (sharded over the
+    mesh by dd_segment; int8 q1/q2 + per-row scales when EVERY device slab
+    passes sweepxl's contrast gate, bf16 hi/lo otherwise — the kernel
+    branch is static meta shared by all shard_map programs) and a
+    prototype XLTables whose STATIC geometry is shared by every device —
+    the local box is expressed in slab-local coordinates (x measured from
+    the slab's own lower border, so `lo = (0, lo_y, lo_z)` is
+    device-independent and positions shift by the traced per-device x
+    offset inside the kernel caller)."""
     from ..transport import sweepxl as xl
 
     n_dev = dec.n_slabs
@@ -206,8 +209,16 @@ def build_local_xl(dec: SlabDecomposition, med: msys.MediumTables):
             tab[s, c, :nx_l, 0, :ny, :nz] = r3
             tab[s, c, :ny, 1, :nx_l, :nz] = r3.transpose(1, 0, 2)
             tab[s, c, :nz, 2, :nx_l, :ny] = r3.transpose(2, 0, 1)
-    hi_t = jnp.asarray(tab, jnp.bfloat16)
-    lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32), jnp.bfloat16)
+    qs = [xl._quantize_rows(tab[s]) for s in range(n_dev)]
+    if all(q is not None for q in qs):
+        hi_t = jnp.asarray(np.stack([q[0] for q in qs]))
+        lo_t = jnp.asarray(np.stack([q[1] for q in qs]))
+        rs_t = jnp.asarray(np.stack([q[2] for q in qs]))
+    else:
+        hi_t = jnp.asarray(tab, jnp.bfloat16)
+        lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32),
+                           jnp.bfloat16)
+        rs_t = None
     # occupancy union across devices (occ is static kernel metadata and
     # must be identical on every shard_map program)
     occ = []
@@ -223,7 +234,7 @@ def build_local_xl(dec: SlabDecomposition, med: msys.MediumTables):
         n=(nx_l, ny, nz), lo=(0.0, lo_y, lo_z),
         h=(float(h[0]), float(h[1]), float(h[2])),
         nmax=nmax, U=U, V=V, occ=tuple(occ))
-    return hi_t, lo_t, proto
+    return hi_t, lo_t, rs_t, proto
 
 
 def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
@@ -263,21 +274,23 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
     if use_xl:
         from ..transport import sweep as sw_
         from ..transport import sweepxl as xl_
-        xl_hi, xl_lo, xl_proto = xl_local
+        xl_hi, xl_lo, xl_rs, xl_proto = xl_local
         if use_rf and nrf != 1:
             raise ValueError("dd_segment: XL sweep composition supports a "
                              "single stored-RF bin (use the march path for "
                              "multi-bin radiation fields)")
 
-    def per_device(lohi_row, xb_row, xh_row, xlo_row, seed_key, history,
-                   stabs, nd_local, rf_local, accs):
+    def per_device(lohi_row, xb_row, xh_row, xlo_row, xrs_row, seed_key,
+                   history, stabs, nd_local, rf_local, accs):
         d = jax.lax.axis_index(DD_AXIS)
         grid_loc = _local_grid(dec, lohi_row[0], xb_row[0])
         nc_loc = dec.ncells_local
         B = history.shape[0]
         n_sl = dec.n_slabs
         if use_xl:
-            tabs_loc = xl_proto._replace(rho_hi=xh_row[0], rho_lo=xlo_row[0])
+            tabs_loc = xl_proto._replace(
+                rho_hi=xh_row[0], rho_lo=xlo_row[0],
+                rs=xrs_row[0] if xl_rs is not None else None)
             # local slab coordinates: x measured from the slab's lower
             # border (the tables' static lo is (0, lo_y, lo_z))
             shift = jnp.stack([lohi_row[0, 0], jnp.float32(0.0),
@@ -520,25 +533,29 @@ def dd_segment(mesh: Mesh, dec: SlabDecomposition, grid, med: msys.MediumTables,
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(DD_AXIS), P(DD_AXIS), P(DD_AXIS), P(DD_AXIS), P(),
-                  P(DD_AXIS), P(), P(DD_AXIS), P(DD_AXIS), P()),
+        in_specs=(P(DD_AXIS), P(DD_AXIS), P(DD_AXIS), P(DD_AXIS),
+                  P(DD_AXIS), P(), P(DD_AXIS), P(), P(DD_AXIS),
+                  P(DD_AXIS), P()),
         out_specs=(P(DD_AXIS), P()),
         check_vma=False,
     )
     if use_xl:
         xh_arr, xlo_arr = xl_hi, xl_lo
+        xrs_arr = (xl_rs if xl_rs is not None
+                   else jnp.zeros((n_dev, 1), jnp.float32))
     else:
         # placeholder rows (one f32 per device) keep the shard_map
         # signature uniform; the march path never reads them
         xh_arr = jnp.zeros((n_dev, 1), jnp.float32)
         xlo_arr = jnp.zeros((n_dev, 1), jnp.float32)
+        xrs_arr = jnp.zeros((n_dev, 1), jnp.float32)
 
     def run(seed_key, history, stabs, nd_sharded, rf_sharded, accs):
         # source tables flow through as traced arguments so per-iteration
         # secondary-source updates do NOT retrigger compilation (mirrors
         # Simulation._segment_runner)
-        return shard(lohi_dev, xb_dev, xh_arr, xlo_arr, seed_key, history,
-                     stabs, nd_sharded, rf_sharded, accs)
+        return shard(lohi_dev, xb_dev, xh_arr, xlo_arr, xrs_arr, seed_key,
+                     history, stabs, nd_sharded, rf_sharded, accs)
 
     return jax.jit(run)
 

@@ -88,10 +88,22 @@ class XLTables(NamedTuple):
     #                       mode: the tables live on a tree's fine voxel
     #                       grid — EXACT, leaves are voxel unions — and
     #                       interaction cells map back through this)
+    rs: jax.Array | None = None
+    #                       (C, 3, nmax, U) f32 per-row scales when the
+    #                       planes are int8-quantized (rho_hi/rho_lo hold
+    #                       q1/q2 int8; rho = (127*q1 + q2) * rs / 127^2,
+    #                       |err| <= rs/(2*127^2) = 3.1e-5 * rowmax). int8
+    #                       dots run ~1.5x the bf16 pair on the MXU; the
+    #                       build gates on per-row density contrast so the
+    #                       worst-cell relative error stays <= 5e-4.
 
     @property
     def ncomp(self) -> int:
         return self.rho_hi.shape[0]
+
+    @property
+    def quant(self) -> bool:
+        return self.rs is not None
 
 
 def supports_xl(grid, med) -> bool:
@@ -164,6 +176,39 @@ def build_tree_tables(grid, med) -> XLTables:
     return tabs._replace(cellmap=cellmap)
 
 
+_QUANT_CONTRAST = 16.0
+
+
+def _quantize_rows(tab: np.ndarray):
+    """int8 hi/lo row quantization of the (C, nmax, 3, U, V) planes.
+
+    rho = (127*q1 + q2) * rs / 127^2 with per-row scale rs = rowmax, so
+    |err| <= rs/(2*127^2) = 3.1e-5 * rowmax per cell. Gated on per-row
+    density contrast (max/min over nonzero cells <= 16) so the worst-cell
+    RELATIVE error stays <= 5e-4 — beyond that the bf16 hi/lo pair
+    (2^-16 relative per cell at any contrast) is the safe representation.
+    Returns (q1, q2, rs) or None when the gate rejects."""
+    if np.any(tab < 0.0):
+        return None
+    rowmax = tab.max(axis=4)
+    nzmask = tab > 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rowmin = np.where(nzmask, tab, np.inf).min(axis=4)
+    occ_rows = np.isfinite(rowmin) & (rowmax > 0.0)
+    contrast = np.where(occ_rows, rowmax / np.maximum(rowmin, 1e-300), 1.0)
+    if float(contrast.max(initial=1.0)) > _QUANT_CONTRAST:
+        return None
+    rs = np.where(rowmax > 0.0, rowmax, 1.0).astype(np.float32)
+    x = tab * (127.0 / rs[..., None])
+    q1 = np.rint(x)
+    r = x - q1
+    q2 = np.clip(np.rint(r * 127.0), -127.0, 127.0)
+    # rs laid out (C, 3, nmax, U): the streamed block keeps (T, U) as the
+    # Mosaic-tileable trailing pair (a (.., 1, U) block is not)
+    return (q1.astype(np.int8), q2.astype(np.int8),
+            np.ascontiguousarray(rs.transpose(0, 2, 1, 3)))
+
+
 def build_tables(grid, med) -> XLTables:
     nx, ny, nz = grid.shape
     n = (nx, ny, nz)
@@ -182,8 +227,26 @@ def build_tables(grid, med) -> XLTables:
         tab[c, :nz, 2, :nx, :ny] = r3.transpose(2, 0, 1)
     lo = np.asarray(grid.lo, np.float64)
     h = np.asarray(grid.h, np.float64)
-    hi_t = jnp.asarray(tab, jnp.bfloat16)
-    lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32), jnp.bfloat16)
+    q = _quantize_rows(tab)
+    if q is not None:
+        hi_t = jnp.asarray(q[0])
+        lo_t = jnp.asarray(q[1])
+        rs_t = jnp.asarray(q[2])
+    else:
+        hi_t = jnp.asarray(tab, jnp.bfloat16)
+        lo_t = jnp.asarray(tab - np.asarray(hi_t, np.float32),
+                           jnp.bfloat16)
+        rs_t = None
+    try:
+        from ..utils.log import default as _log
+        _log().info(
+            "sweepxl: density lookup planes "
+            + ("int8 hi/lo + per-row scales (contrast-gated, "
+               "|err| <= 3.1e-5 rowmax)" if q is not None
+               else "bf16 hi/lo (row contrast > "
+               f"{_QUANT_CONTRAST:g}: keeping 2^-16 per-cell exactness)"))
+    except Exception:
+        pass
     occ = []
     for a in range(3):
         nz = np.flatnonzero(np.abs(tab[:, :, a]).sum(axis=(0, 2, 3)) > 0)
@@ -196,6 +259,7 @@ def build_tables(grid, med) -> XLTables:
         lo=(float(lo[0]), float(lo[1]), float(lo[2])),
         h=(float(h[0]), float(h[1]), float(h[2])),
         nmax=nmax, U=U, V=V, occ=tuple(occ),
+        rs=rs_t,
     )
 
 
@@ -212,8 +276,17 @@ def _tile_size(tabs: XLTables, per_slab: int,
 
 
 def _tile_dtau(tabs: XLTables) -> int:
-    # streamed rho tile: hi+lo bf16, one axis plane, C components
-    return _tile_size(tabs, max(tabs.ncomp, 1) * tabs.U * tabs.V * 4)
+    # streamed rho tile: hi+lo (bf16 pair = 4B, int8 pair = 2B + row
+    # scales), one axis plane, C components — PLUS the want_sub out tile
+    # (T, 3, lbr, 128) f32 at the largest lane block (lbr=16), which the
+    # scoped-vmem budget must cover too (the int8 tables halve the rho
+    # bytes, and an unaccounted out tile then overflows the 16M limit)
+    C = max(tabs.ncomp, 1)
+    per = C * tabs.U * tabs.V * (2 if tabs.quant else 4)
+    if tabs.quant:
+        per += C * tabs.U * 4
+    per += 3 * 16 * 128 * 4
+    return _tile_size(tabs, per)
 
 
 def _tile_deposit(tabs: XLTables) -> int:
@@ -285,14 +358,44 @@ def _row_dot(rho_hi, rho_lo, AT):
                                     preferred_element_type=jnp.float32)
 
 
+def _row_dot_i8(q1, q2, cmp):
+    """(V, lb) int32 candidate row per lane, int8 MXU passes (~1.5x the
+    bf16 pair): the hi one-hot carries WEIGHT 127 so the (127*q1 + q2)
+    combine rides the MXU accumulator instead of a VPU pass; the caller
+    rescales by rs/127^2 after the (cheap, small) extract."""
+    AT127 = jnp.where(cmp, 127, 0).astype(jnp.int8)
+    AT1 = jnp.where(cmp, 1, 0).astype(jnp.int8)
+    M = jax.lax.dot_general(q1, AT127, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return M + jax.lax.dot_general(q2, AT1, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+
+def _row_scale(rs_row, cmp, lbr):
+    """(lbr, 128) f32 per-lane row scale rs[iu]/127^2 via a masked
+    reduction of the row-compare mask against the (U,) scale vector."""
+    sc = jnp.where(cmp, rs_row.reshape(-1, 1), 0.0)
+    return (jnp.sum(sc, axis=0, keepdims=True).reshape(lbr, 128)
+            * (1.0 / (127.0 * 127.0)))
+
+
 def _extract(MT, vmask, lbr):
     return jnp.sum(jnp.where(vmask, MT, 0.0), axis=0,
                    keepdims=True).reshape(lbr, 128)
 
 
+def _extract_i(MT, vmask, lbr):
+    return jnp.sum(jnp.where(vmask, MT, 0), axis=0,
+                   keepdims=True).reshape(lbr, 128)
+
+
 def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
-                    rho_hi_ref, rho_lo_ref, out_ref, *, n, lo, h, T, U, V,
-                    lb, C, want_sub, t0_mul, occ):
+                    rho_hi_ref, rho_lo_ref, *rest, n, lo, h, T, U, V,
+                    lb, C, want_sub, t0_mul, occ, quant=False):
+    if quant:
+        rs_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     tidx = pl.program_id(0)
     a = pl.program_id(2)
     grp = grp_ref[...]
@@ -340,20 +443,42 @@ def _xl_dtau_kernel(pos_ref, dir_ref, grp_ref, smin_ref, smax_ref, sig_ref,
             # NOT reliable — but then the affected substeps have ds=0.
             same = iu1 == iu0
             rowb = jnp.where(same, iu2, iu1)
-            ATa, ATb = _row_onehots(iu0, rowb, U, lb)
             vm0 = vsub == iv0.reshape(1, lb)
             vm1 = vsub == iv1.reshape(1, lb)
             vm2 = vsub == iv2.reshape(1, lb)
             k0 = k1 = k2 = jnp.zeros((lbr, 128), jnp.float32)
-            for c in range(C):
-                MA = _row_dot(rho_hi_ref[c, tl, 0], rho_lo_ref[c, tl, 0],
-                              ATa)
-                MB = _row_dot(rho_hi_ref[c, tl, 0], rho_lo_ref[c, tl, 0],
-                              ATb)
-                k0 = k0 + _extract(MA, vm0, lbr) * sig[c]
-                k1 = k1 + jnp.where(same, _extract(MA, vm1, lbr),
-                                    _extract(MB, vm1, lbr)) * sig[c]
-                k2 = k2 + _extract(MB, vm2, lbr) * sig[c]
+            if quant:
+                usub = jax.lax.broadcasted_iota(jnp.int32, (U, lb), 0)
+                cmp_a = usub == iu0.reshape(1, lb)
+                cmp_b = usub == rowb.reshape(1, lb)
+                for c in range(C):
+                    MA = _row_dot_i8(rho_hi_ref[c, tl, 0],
+                                     rho_lo_ref[c, tl, 0], cmp_a)
+                    MB = _row_dot_i8(rho_hi_ref[c, tl, 0],
+                                     rho_lo_ref[c, tl, 0], cmp_b)
+                    rs_row = rs_ref[c, a, tl]
+                    rs_a = _row_scale(rs_row, cmp_a, lbr)
+                    rs_b = _row_scale(rs_row, cmp_b, lbr)
+                    e0 = _extract_i(MA, vm0, lbr).astype(jnp.float32)
+                    e1 = jnp.where(same, _extract_i(MA, vm1, lbr),
+                                   _extract_i(MB, vm1, lbr)
+                                   ).astype(jnp.float32)
+                    e2 = _extract_i(MB, vm2, lbr).astype(jnp.float32)
+                    rs_1 = jnp.where(same, rs_a, rs_b)
+                    k0 = k0 + e0 * rs_a * sig[c]
+                    k1 = k1 + e1 * rs_1 * sig[c]
+                    k2 = k2 + e2 * rs_b * sig[c]
+            else:
+                ATa, ATb = _row_onehots(iu0, rowb, U, lb)
+                for c in range(C):
+                    MA = _row_dot(rho_hi_ref[c, tl, 0],
+                                  rho_lo_ref[c, tl, 0], ATa)
+                    MB = _row_dot(rho_hi_ref[c, tl, 0],
+                                  rho_lo_ref[c, tl, 0], ATb)
+                    k0 = k0 + _extract(MA, vm0, lbr) * sig[c]
+                    k1 = k1 + jnp.where(same, _extract(MA, vm1, lbr),
+                                        _extract(MB, vm1, lbr)) * sig[c]
+                    k2 = k2 + _extract(MB, vm2, lbr) * sig[c]
             if want_sub:
                 out_ref[tl, 0] += k0 * ds0
                 out_ref[tl, 1] += k1 * ds1
@@ -478,7 +603,8 @@ def sweep_dtau(tabs: XLTables, pos, dirn, sigma, active,
     NT = tabs.nmax // T
     G = NB // lbr
     meta = dict(n=tabs.n, lo=tabs.lo, h=tabs.h, T=T, U=tabs.U, V=tabs.V,
-                lb=lb, C=C, want_sub=want_sub, t0_mul=T, occ=tabs.occ)
+                lb=lb, C=C, want_sub=want_sub, t0_mul=T, occ=tabs.occ,
+                quant=tabs.quant)
     kern = functools.partial(_xl_dtau_kernel, **meta)
     lane = lambda t, g, a: (g, 0)
     if want_sub:
@@ -491,30 +617,37 @@ def sweep_dtau(tabs: XLTables, pos, dirn, sigma, active,
         out_spec = pl.BlockSpec((T, lbr, 128), lambda t, g, a: (t, g, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((tabs.nmax, NB, 128), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, lbr, 128), lambda t, g, a: (0, g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tabs.ncomp, T, 1, tabs.U, tabs.V),
+                     lambda t, g, a: (0, t, a, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tabs.ncomp, T, 1, tabs.U, tabs.V),
+                     lambda t, g, a: (0, t, a, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    ins = [pos3, dir3, grp, smin, smax, sig, tabs.rho_hi, tabs.rho_lo]
+    if tabs.quant:
+        in_specs.append(pl.BlockSpec((tabs.ncomp, 3, T, tabs.U),
+                                     lambda t, g, a: (0, 0, t, 0),
+                                     memory_space=pltpu.VMEM))
+        ins.append(tabs.rs)
     out = pl.pallas_call(
         kern,
         grid=(NT, G, 3),
-        in_specs=[
-            pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, lbr, 128), lambda t, g, a: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lbr, 128), lane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, lbr, 128), lambda t, g, a: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tabs.ncomp, T, 1, tabs.U, tabs.V),
-                         lambda t, g, a: (0, t, a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tabs.ncomp, T, 1, tabs.U, tabs.V),
-                         lambda t, g, a: (0, t, a, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=sw._interpret(),
-    )(pos3, dir3, grp, smin, smax, sig, tabs.rho_hi, tabs.rho_lo)
+    )(*ins)
     if want_sub:
         return out.reshape(tabs.nmax, 3, NB * 128)
     return out.reshape(tabs.nmax, NB * 128)

